@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+package object operators {
+
+  /** A named set of queries plus their DuckDB oracle SQL (SURVEY.md §5:
+    * every declared operator needs both). Oracle keys must be a subset of
+    * query keys; queries without an oracle get the driver's weaker
+    * rows-only check.
+    */
+  trait QueryPack {
+    def queries: Map[String, (SparkSession, String) => DataFrame]
+    def oracles: Map[String, String]
+  }
+
+  /** Exact-arithmetic helpers for oracle parity.
+    *
+    * Double aggregation is order-dependent, and Spark and DuckDB reduce in
+    * different orders, so `sum(double)` can never hash-match. Casting each
+    * term to a decimal makes the sum exact and associative; casting the
+    * exact result back to double yields the same IEEE double in both
+    * engines. Per-row arithmetic (`a * b`) stays in double — identical
+    * operand bits give identical result bits in both engines.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided by count, both as doubles —
+    * one double division, identical in both engines.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c).cast(DoubleType)
+
+  /** DuckDB twin of [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** DuckDB twin of [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"(${sqlDsum(expr)} / CAST(COUNT($expr) AS DOUBLE))"
+
+  /** Integer-valued computed outputs are emitted as long in Spark to match
+    * DuckDB's BIGINT-typed functions (year(), count(), etc.).
+    */
+  def asLong(c: Column): Column = c.cast(LongType)
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+}
