@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   /** Every implemented operator pack. Order is presentation-only. */
-  def packs: Seq[QueryPack] = Seq(Relational)
+  def packs: Seq[QueryPack] = Seq(Relational, Relational2)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.
