@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver-mandated
+  * §2e E5): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * The dedup corpus is `documents` ∪ a truncated copy (near-dups) ∪ a
+  * verbatim copy of every 5th doc (exact dups) — deterministic, so both
+  * engines derive identical inputs and the oracle can check the exact
+  * variants end-to-end. Hash-seeded variants (MinHash/SimHash) are
+  * engine-deterministic (xxhash64, fixed seeds) but not SQL-portable →
+  * rows-only driver check; the exact Jaccard twin bounds them.
+  *
+  * Scale notes: exact dedup is one shuffle on the text hash; shingle
+  * LSH is explode → groupBy(doc) → band-bucket join, the standard
+  * linear-in-corpus MinHash pipeline (no all-pairs scan); the only
+  * quadratic candidate generation is *within* LSH/band buckets. The
+  * embedding near-dup blocks on `label` (a stand-in for an IVF/cluster
+  * assignment at 100 TB) before its pair join.
+  */
+object Dedup extends QueryPack {
+
+  /** documents ∪ truncated copies (+1M ids) ∪ verbatim copies of every
+    * 5th doc (+2M ids).
+    */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text", "n_chars")
+    val trunc = d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("substr(text, 1, CAST(greatest(n_chars - 15, 20) AS INT))")
+        .as("text"))
+    val copies = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    d.select("doc_id", "text").unionByName(trunc).unionByName(copies)
+  }
+
+  private val sqlCorpus = """
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(text, 1, CAST(greatest(n_chars - 15, 20) AS INT))
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+      )"""
+
+  /** Distinct word 5-gram shingles per corpus doc. */
+  def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    corpus(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("w")) >= 5,
+            transform(sequence(lit(1), size(col("w")) - 4), i =>
+              concat_ws(" ",
+                element_at(col("w"), i),
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2),
+                element_at(col("w"), i + 3),
+                element_at(col("w"), i + 4))))
+            .otherwise(array().cast("array<string>")))).as("shingle"))
+  }
+
+  private val sqlShingled = s"""
+      $sqlCorpus,
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+                 AS w
+        FROM corpus
+      ),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS s
+          FROM toks)
+      )"""
+
+  /** E5a — exact duplicate groups: hash-groupBy on full text, emit groups
+    * with >1 member. At scale: group on md5(text) (fixed-width shuffle
+    * key) — here the md5 is also the exported group key.
+    */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(md5(col("text")).as("text_hash"), col("keep_id"),
+        col("n_copies"))
+      .orderBy("keep_id")
+
+  /** E5a — the surviving ids after exact dedup (deterministic keep rule:
+    * lowest doc_id per text group).
+    */
+  def ddExactKeep(spark: SparkSession, dir: String): DataFrame = {
+    val byText = Window.partitionBy("text").orderBy("doc_id")
+    corpus(spark, dir)
+      .withColumn("rn", row_number().over(byText))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** E5b — exact n-gram Jaccard near-dup: candidate pairs from shared
+    * 5-gram shingles (inverted-index join, not all-pairs), similarity =
+    * |∩| / |∪| over distinct shingle sets, threshold 0.5. Fully
+    * oracle-checked — this is the ground truth the MinHash estimate
+    * approximates.
+    */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.withColumnRenamed("n", "n_a"),
+        col("doc_a") === counts("doc_id")).drop("doc_id")
+      .join(counts.withColumnRenamed("n", "n_b"),
+        col("doc_b") === counts("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E5c — MinHash signatures + banded LSH: 16 seeded xxhash64 min-hashes
+    * per doc, 4 bands × 4 rows; pairs colliding in ≥1 band are candidates;
+    * estimated Jaccard = matching signature fraction. Engine-deterministic
+    * (fixed seeds, sorted collect) but hash values aren't SQL-portable →
+    * rows-only check; dd_ngram_jaccard is the exact twin.
+    */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val minhashes = sh
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(15))).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        xxhash64(concat(col("shingle"), lit("#"), col("seed"))).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("mh"))
+    val sigs = minhashes
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+      .cache()
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), col("band") * 4 + 1, lit(4)),
+            v => v.cast("string")))).as("band_key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / 16.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E5d — SimHash near-dup: 64-bit signature from per-token hash bit
+    * votes; candidates share one of four 16-bit bands; emit pairs with
+    * Hamming distance ≤ 8. Rows-only check (hash-based).
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val simhashes = corpus(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("doc_id"), col("j"),
+        when(expr("shiftright(h, CAST(j AS INT)) & 1") === 1, 1L)
+          .otherwise(-1L).as("vote"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("vote")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .cache()
+    val banded = simhashes
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535")
+          .as("band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E5e — embedding-cosine near-dup: pairs above 0.95 cosine, blocked on
+    * `label` (the cluster/IVF-cell stand-in — at 100 TB the block key is
+    * a coarse quantizer cell, keeping the pair join linear per cell).
+    * Sequential-fold double dot product matches DuckDB's
+    * list_cosine_similarity bitwise → fully oracle-checked.
+    */
+  def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosineCol(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") > 0.95)
+      .select(col("vec_a"), col("vec_b"),
+        col("label").cast("long").as("label"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact _,
+    "dd_exact_keep" -> ddExactKeep _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_lsh" -> ddMinhashLsh _,
+    "dd_simhash" -> ddSimhash _,
+    "dd_embedding_neardup" -> ddEmbeddingNeardup _)
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> s"""
+      WITH $sqlCorpus
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM corpus GROUP BY text HAVING count(*) > 1
+      ORDER BY keep_id""",
+    "dd_exact_keep" -> s"""
+      WITH $sqlCorpus
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER
+          (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1 ORDER BY doc_id""",
+    "dd_ngram_jaccard" -> s"""
+      WITH $sqlShingled,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) /
+               CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) /
+            CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b""",
+    "dd_embedding_neardup" -> """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(a.label AS BIGINT) AS label,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) > 0.95
+      ORDER BY vec_a, vec_b""")
+}

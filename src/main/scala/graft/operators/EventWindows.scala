@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2e rows E1–E4: event-time windowing and stateful dedup,
+  * batch-first over the `events` table so every semantics is
+  * DuckDB-checkable. The same expressions run unchanged under Structured
+  * Streaming (see graft.streaming.StreamOps); the reference has no
+  * streaming surface (SURVEY.md §2e), so these are driver-mandated new
+  * capability.
+  *
+  * Scale: tumbling/sliding buckets are pure projections (no shuffle until
+  * the groupBy, which partial-aggregates); sessionization shuffles once on
+  * user_id and sorts within partitions — at 100 TB that is one exchange
+  * keyed by user, the same layout a streaming state store would use.
+  */
+object EventWindows extends QueryPack {
+
+  private val TEN_MIN_MS = 600000L
+  private val FIVE_MIN_MS = 300000L
+
+  /** E1 — tumbling window aggregation, bucket as epoch millis (integer
+    * floor arithmetic, identical in both engines).
+    */
+  def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("bucket_ms",
+        unix_millis(col("ts")) - unix_millis(col("ts")) % TEN_MIN_MS)
+      .groupBy("bucket_ms", "event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("bucket_ms", "event_type")
+
+  /** E1 — the same tumbling aggregation through Spark's native `window()`
+    * (what a streaming job would write), projecting window start/end.
+    */
+  def e1TumblingNative(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** E2 — sliding window (10 min window, 5 min slide): every event lands
+    * in exactly two windows; Spark's `window()` does the expansion.
+    */
+  def e2Sliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** E2 — session windows via gaps-and-islands (30 min inactivity gap):
+    * the batch twin of `session_window(ts, gap)`, expressed with window
+    * functions so DuckDB can check it value-for-value.
+    */
+  def e2Session(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(running))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** E3 — watermark-style late-data handling, batch-checkable: drop
+    * events older than (max event time − 1 hour), then aggregate — the
+    * same cutoff `withWatermark("ts", "1 hour")` enforces in streaming.
+    */
+  def e3Watermark(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val wm = events.agg(max(col("ts")).as("max_ts"))
+    events.crossJoin(wm)
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** E4 — stateful dedup with a deterministic keep rule: first event per
+    * (user, type) by event time. `dropDuplicates` keeps an arbitrary row;
+    * the row_number formulation pins the survivor (and is what
+    * `dropDuplicatesWithinWatermark` does with state in streaming).
+    */
+  def e4DedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling" -> e1Tumbling _,
+    "e1_tumbling_native" -> e1TumblingNative _,
+    "e2_sliding" -> e2Sliding _,
+    "e2_session" -> e2Session _,
+    "e3_watermark" -> e3Watermark _,
+    "e4_dedup_first" -> e4DedupFirst _)
+
+  val oracles: Map[String, String] = Map(
+    "e1_tumbling" -> s"""
+      SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms, event_type,
+             count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY bucket_ms, event_type
+      ORDER BY bucket_ms, event_type""",
+    "e1_tumbling_native" -> s"""
+      SELECT make_timestamp((epoch_ms(ts) // 600000) * 600000000)
+               AS window_start,
+             make_timestamp(((epoch_ms(ts) // 600000) + 1) * 600000000)
+               AS window_end,
+             event_type,
+             count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY window_start, window_end, event_type
+      ORDER BY window_start, event_type""",
+    "e2_sliding" -> s"""
+      WITH expanded AS (
+        SELECT unnest([
+                 (epoch_ms(ts) // 300000) * 300000 - 300000,
+                 (epoch_ms(ts) // 300000) * 300000]) AS start_ms,
+               value
+        FROM events
+      )
+      SELECT make_timestamp(start_ms * 1000) AS window_start,
+             count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM expanded GROUP BY window_start ORDER BY window_start""",
+    "e2_session" -> s"""
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               lag(epoch_ms(ts)) OVER w AS prev_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL
+                         OR epoch_ms(ts) - prev_ms > 1800000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM marked
+      ),
+      sessions AS (
+        SELECT *, CAST(sum(is_new) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, session_seq, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             ${sqlDsum("value")} AS session_value
+      FROM sessions GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+    "e3_watermark" -> s"""
+      SELECT event_type, count(*) AS n_events,
+             ${sqlDsum("value")} AS sum_value
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      GROUP BY event_type ORDER BY event_type""",
+    "e4_dedup_first" -> """
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+      ORDER BY user_id, event_type""")
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (driver-mandated §2e E8): media as opaque
+  * binary columns with typed metadata, decode/feature steps as
+  * deterministic stubs (no image/audio libs in this container — the
+  * Spark-side schema, partitioning, and batch shapes are the real,
+  * tested part; a production deploy swaps the stub for a real decoder
+  * run via `mapInPandas`/`mapPartitions` over the same schema).
+  *
+  * The `documents.text` bytes stand in for the media payload, making
+  * every derived value deterministic and oracle-checkable.
+  */
+object Multimodal extends QueryPack {
+
+  /** E8a — binary payload + typed metadata extraction: byte length,
+    * content hash (the dedup key for media), stub-decoded dimensions
+    * (deterministic functions of the payload — a real decoder reads the
+    * container header exactly like this, a few bytes per file), and a
+    * decoded preview.
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("content_hash"),
+        (lit(64L) + expr("CAST(octet_length(text) AS BIGINT)") % 192L)
+          .as("fake_width"),
+        (lit(64L) + expr("CAST(octet_length(text) AS BIGINT)") * 7L % 416L)
+          .as("fake_height"),
+        lit(3L).as("channels"),
+        substring(col("text"), 1, 16).as("decoded_preview"))
+      .orderBy("doc_id")
+
+  /** E8b — frame sampling: a stub "video" has n_chars/40 + 1 frames;
+    * sample every 2nd frame and fingerprint it. The explode-over-
+    * metadata shape is exactly how real frame extraction fans out work
+    * units before the heavy per-frame decode (which would run in
+    * mapPartitions against the binary payload).
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("n_chars div 40"))).as("frame_no"))
+      .filter(col("frame_no") % 2 === 0)
+      .select(col("doc_id"), col("frame_no"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_no").cast("string"))).as("frame_fingerprint"))
+      .orderBy("doc_id", "frame_no")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mmMeta _,
+    "mm_frames" -> mmFrames _)
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS content_hash,
+             64 + CAST(octet_length(encode(text)) AS BIGINT) % 192
+               AS fake_width,
+             64 + CAST(octet_length(encode(text)) AS BIGINT) * 7 % 416
+               AS fake_height,
+             CAST(3 AS BIGINT) AS channels,
+             substring(text, 1, 16) AS decoded_preview
+      FROM documents ORDER BY doc_id""",
+    "mm_frames" -> """
+      SELECT doc_id, frame_no,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(frame_no AS VARCHAR)) AS frame_fingerprint
+      FROM (
+        SELECT doc_id, unnest(range(0, n_chars // 40 + 1)) AS frame_no
+        FROM documents
+      )
+      WHERE frame_no % 2 = 0
+      ORDER BY doc_id, frame_no""")
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (driver-mandated
+  * §2e surface): language ID, quality scoring, token counting, document
+  * fingerprinting. All run over the `documents` table and all are
+  * oracle-checked — the heuristics use only exact integer/string ops so
+  * both engines agree value-for-value.
+  *
+  * Scale: every operator here is a pure per-row projection (no shuffle at
+  * all until a final ORDER BY, which Bench's count() elides) — the ideal
+  * 100 TB shape: map-only over parquet splits.
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Whitespace tokens with empties dropped — `\s+` split in both
+    * engines.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), w => w =!= "")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"),
+    "zh" -> Seq("的", "了", "是", "在", "和"))
+
+  private def stopCount(toks: Column, lang: String): Column =
+    size(filter(toks, w => w.isin(stopwords(lang).map(x => x: Any): _*)))
+
+  private def sqlStopCount(lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, w -> w IN ($list)))"
+  }
+
+  /** Language ID: n-gram-free stopword-overlap heuristic with a
+    * deterministic argmax (ties resolve in the fixed en>es>de>fr>zh
+    * order). A real pipeline swaps the scorer; the plumbing — per-row
+    * score vector → argmax — is the operator.
+    */
+  def txLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        stopCount(col("toks"), "en").as("s_en"),
+        stopCount(col("toks"), "es").as("s_es"),
+        stopCount(col("toks"), "de").as("s_de"),
+        stopCount(col("toks"), "fr").as("s_fr"),
+        stopCount(col("toks"), "zh").as("s_zh"))
+    scored
+      .withColumn("predicted_lang",
+        when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"),
+          col("s_zh")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr"),
+            col("s_zh")), "es")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("agrees"),
+        col("s_en").cast("long").as("score_en"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — the filters a pretraining pipeline gates documents
+    * on. All ratios are exact count/count double divisions.
+    */
+  def txQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .cast("long").as("n_punct"),
+        stopCount(col("toks"), "en").cast("long").as("n_stop"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("passes_gate",
+        col("n_tokens") >= 10 && col("punct_ratio") < 0.1)
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other-glyphs), the cheap proxy
+    * for tokenizer cost used when budgeting training corpora.
+    */
+  def txTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: md5 over the sorted distinct token set (a
+    * bag-of-words fingerprint — robust to token order, catches shuffled
+    * near-copies), plus a polynomial rolling hash over characters
+    * (order-sensitive).
+    */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(toks)), " "))
+          .as("bow_fingerprint"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, code) => (acc * 31L + code) % 1000000007L)
+          .as("rolling_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_langid" -> txLangid _,
+    "tx_quality" -> txQuality _,
+    "tx_tokens" -> txTokens _,
+    "tx_fingerprint" -> txFingerprint _)
+
+  private val sqlToks =
+    "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
+
+  val oracles: Map[String, String] = Map(
+    "tx_langid" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${sqlStopCount("en")} AS s_en,
+               ${sqlStopCount("es")} AS s_es,
+               ${sqlStopCount("de")} AS s_de,
+               ${sqlStopCount("fr")} AS s_fr,
+               ${sqlStopCount("zh")} AS s_zh
+        FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents)
+      )
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang,
+             (CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END) = lang AS agrees,
+             CAST(s_en AS BIGINT) AS score_en
+      FROM scored ORDER BY doc_id""",
+    "tx_quality" -> s"""
+      WITH tokenized AS (
+        SELECT doc_id, text, $sqlToks AS toks FROM documents
+      ),
+      base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(${sqlStopCount("en")} AS BIGINT) AS n_stop
+        FROM tokenized
+      )
+      SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+             CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+               AS punct_ratio,
+             CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS stop_ratio,
+             CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+             (n_tokens >= 10 AND
+              CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1)
+               AS passes_gate
+      FROM base ORDER BY doc_id""",
+    "tx_tokens" -> s"""
+      SELECT doc_id,
+             CAST(len($sqlToks) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+      FROM documents ORDER BY doc_id""",
+    "tx_fingerprint" -> s"""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))
+               AS bow_fingerprint,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, code) -> (acc * 31 + code) % 1000000007)
+               AS rolling_hash
+      FROM documents ORDER BY doc_id""")
+}

@@ -47,4 +47,19 @@ package object operators {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Sequential-fold double dot product over two float vectors — same
+    * accumulation order as DuckDB's list_dot_product on DOUBLE[], so the
+    * result is bitwise identical (verified empirically).
+    */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine via dot/(√·√) — the exact formula DuckDB's
+    * list_cosine_similarity uses, for bitwise oracle parity.
+    */
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
 }
