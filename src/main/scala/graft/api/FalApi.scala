@@ -1,0 +1,133 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine API a model/script/hook sees — the rebuild of the globals
+  * the reference injects into user code (`ref`, `source`,
+  * `write_to_model`, `write_to_source`, `execute_sql`, `list_*`;
+  * `A/fal/dbt/fal_script.py:258-299`) and of the adapter data-movement
+  * operators (SURVEY.md §2a A1–A10).
+  *
+  * One Spark session replaces the reference's entire per-warehouse
+  * read/write matrix (A3/A6): every relation is a parquet directory
+  * resolved through the [[Registry]], every read is
+  * `spark.read.parquet`, every write a parquet job with a commit
+  * protocol. Teleport (A8/A9) is the identity: relations already live
+  * as parquet.
+  *
+  * `allowWrites=false` reproduces hook semantics — hooks may read but
+  * not write models (`fal_script.py:279-296`,
+  * `_not_allowed_function_maker:419-428`).
+  */
+final class FalApi(
+    val spark: SparkSession,
+    val registry: Registry,
+    val ledger: RunLedger,
+    allowWrites: Boolean = true) {
+
+  /** A1 — relation scan: resolve a model name, return its live data.
+    * Lazy: downstream filters/projections push into the parquet scan.
+    */
+  def ref(name: String): DataFrame = {
+    val path = registry.currentPath(name).getOrElse(
+      throw new IllegalStateException(s"model not materialized: $name"))
+    spark.read.parquet(path)
+  }
+
+  /** A2 — source scan. */
+  def source(sourceName: String, tableName: String): DataFrame =
+    spark.read.parquet(registry.source(sourceName, tableName).path)
+
+  /** A4/A5 — write a DataFrame as a model relation.
+    *
+    * Overwrite writes a fresh version directory then atomically swaps
+    * the catalog pointer (never in-place — concurrent readers keep the
+    * old version; ref `overwrite_target lib.py:286-329`). Append writes
+    * new files into a new version that unions the previous data — at
+    * scale this is a pure metadata append (no rewrite of old files) when
+    * the catalog lists both dirs; here we keep one live dir per version
+    * for a single-pointer catalog.
+    */
+  def writeToModel(df: DataFrame, name: String,
+      mode: String = "overwrite"): WriteResult = {
+    require(allowWrites,
+      "write_to_model is not allowed in hooks (ref fal_script.py:290-296)")
+    val target = registry.nextVersionDir(name)
+    val toWrite = mode match {
+      case "overwrite" => df
+      case "append" =>
+        registry.currentPath(name) match {
+          case Some(cur) => spark.read.parquet(cur).unionByName(df)
+          case None => df
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown write mode: $other")
+    }
+    toWrite.write.mode("overwrite").parquet(target)
+    registry.swapPointer(name, target)
+    val rows = spark.read.parquet(target).count()
+    val res = WriteResult(name, rows, mode)
+    ledger.record(name, Status.Success, s"write $mode rows=$rows")
+    registry.setStatus(name, Status.Success)
+    res
+  }
+
+  /** A4 variant for sources (ref `write_to_source project.py:757-801`):
+    * sources are externally-owned paths, so writes go directly (append
+    * creates the path if absent).
+    */
+  def writeToSource(df: DataFrame, sourceName: String, tableName: String,
+      mode: String = "append"): WriteResult = {
+    require(allowWrites, "write_to_source is not allowed in hooks")
+    val src = registry.source(sourceName, tableName)
+    df.write.mode(mode).parquet(src.path)
+    val rows = spark.read.parquet(src.path).count()
+    WriteResult(s"$sourceName.$tableName", rows, mode)
+  }
+
+  /** A7 — execute SQL with `{{ ref('x') }}` / `{{ source('a','b') }}`
+    * substitution: each placeholder resolves to a registered temp view
+    * over the relation's live parquet, then Catalyst takes the whole
+    * statement (parse→optimize→codegen). Mirrors the reference's
+    * compile-then-execute (`lib.py:177-235`) with a template pass
+    * instead of Jinja (SURVEY.md §4: no custom Rule warranted).
+    */
+  def executeSql(sql: String): DataFrame = {
+    val refPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+    val srcPat = raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+    var out = refPat.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      val view = s"__graft_ref_$name"
+      ref(name).createOrReplaceTempView(view)
+      view
+    })
+    out = srcPat.replaceAllIn(out, m => {
+      val (s0, t0) = (m.group(1), m.group(2))
+      val view = s"__graft_src_${s0}_$t0"
+      source(s0, t0).createOrReplaceTempView(view)
+      view
+    })
+    spark.sql(out)
+  }
+
+  /** B13 — source freshness: max(loaded_at) lag vs now, seconds. */
+  def sourceFreshnessSeconds(sourceName: String, tableName: String): Long = {
+    val src = registry.source(sourceName, tableName)
+    val field = src.loadedAtField.getOrElse(throw new IllegalStateException(
+      s"source $sourceName.$tableName has no loaded_at field"))
+    val maxTs = source(sourceName, tableName)
+      .agg(max(col(field)).cast("long").as("t")).head().getLong(0)
+    java.time.Instant.now().getEpochSecond - maxTs
+  }
+
+  /** B14 — listing surface. */
+  def listModels: Seq[String] = registry.listModels.map(_.name)
+  def listModelIds: Map[String, String] = registry.listModelIds
+  def listSources: Seq[(String, String)] =
+    registry.listSources.map(s => (s.sourceName, s.tableName))
+
+  /** Hook-scoped view of the API with writes blocked (B11). */
+  def forHook: FalApi = new FalApi(spark, registry, ledger,
+    allowWrites = false)
+}

@@ -1,0 +1,65 @@
+package graft.api
+
+/** Core data model of the orchestration layer (SURVEY.md §1).
+  *
+  * Mirrors the reference's node taxonomy — `DbtModel`
+  * (`/root/reference/projects/adapter/src/fal/dbt/integration/project.py:214-314`),
+  * `DbtSource` (`project.py:192-210`), `DbtTest` (`project.py:94-172`) —
+  * trimmed to what a Spark-native engine needs: dbt's manifest becomes
+  * this registry's definitions, and a "relation" becomes a parquet
+  * directory behind a versioned pointer.
+  */
+
+/** What produces a model's data (ref: `FalFlowNode` subtypes,
+  * `A/fal/dbt/node_graph.py:21-35`).
+  */
+sealed trait ModelKind
+object ModelKind {
+  /** A SQL-text model run through `spark.sql` after ref substitution. */
+  final case class Sql(sql: String) extends ModelKind
+  /** A Scala model function — the rebuild's `def model(dbt, fal)`
+    * (ref: D1, `A/dbt/include/fal/macros/materializations/table.sql:34-46`).
+    */
+  final case class Scala(
+      fn: (org.apache.spark.sql.SparkSession, FalApi) =>
+        org.apache.spark.sql.DataFrame)
+      extends ModelKind
+}
+
+/** A named transformation producing one relation (ref: `DbtModel`).
+  * `meta` carries free-form config like the reference's `meta.fal`.
+  */
+final case class ModelDef(
+    name: String,
+    kind: ModelKind,
+    deps: Seq[String] = Seq.empty,
+    tags: Set[String] = Set.empty,
+    incremental: Boolean = false,
+    meta: Map[String, String] = Map.empty)
+
+/** A declared external input (ref: `DbtSource`): a parquet path plus an
+  * optional loaded-at column for freshness (B13).
+  */
+final case class SourceDef(
+    sourceName: String,
+    tableName: String,
+    path: String,
+    loadedAtField: Option[String] = None)
+
+/** Run statuses, matching the reference's task states
+  * (`A/fal/dbt/planner/tasks.py:48-53`) plus "tested"
+  * (`project.py:176-188`).
+  */
+object Status {
+  val Pending = "pending"
+  val Success = "success"
+  val Failure = "failure"
+  val Skipped = "skipped"
+  val Tested = "tested"
+}
+
+/** Per-write adapter response (ref: `AdapterResponse.rows_affected`
+  * surfaced through `write_to_model`, `project.py:757-801`).
+  */
+final case class WriteResult(relation: String, rowsAffected: Long,
+    mode: String)

@@ -1,0 +1,118 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Model/source registry + relation catalog: the rebuild's replacement
+  * for the dbt manifest and the teleport location cache (SURVEY.md §7
+  * architecture item 1; ref: manifest parse `A/fal/dbt/integration/
+  * project.py:443-559`, `DataLocation` cache `A/dbt/adapters/
+  * fal_experimental/teleport.py:29`).
+  *
+  * Relation storage is a parquet directory per written version under
+  * `root/<model>/v<N>/`, with a `_current` pointer file naming the live
+  * version. Overwrite = write new version dir, then atomically swap the
+  * pointer (temp file + ATOMIC_MOVE) — the reference's temp-table +
+  * rename dance (`lib.py:286-329`) with a metadata pointer instead of a
+  * DB rename, so concurrent readers of the old version are never broken
+  * (SURVEY.md §7 "hard parts").
+  *
+  * Thread-safety: definition maps are concurrent; per-relation mutation
+  * is serialized by the runner (B7) like the reference's process-wide
+  * lock (`lib.py:108-124`).
+  */
+final class Registry(val root: String) {
+  private val models = TrieMap.empty[String, ModelDef]
+  private val sources = TrieMap.empty[(String, String), SourceDef]
+  private val statuses = TrieMap.empty[String, String]
+
+  Files.createDirectories(Paths.get(root))
+
+  // ---- definitions -------------------------------------------------------
+
+  def register(m: ModelDef): Unit = { models.put(m.name, m); () }
+  def register(s: SourceDef): Unit = {
+    sources.put((s.sourceName, s.tableName), s); ()
+  }
+
+  def model(name: String): ModelDef =
+    models.getOrElse(name,
+      throw new NoSuchElementException(s"model not found: $name"))
+  def source(sourceName: String, tableName: String): SourceDef =
+    sources.getOrElse((sourceName, tableName),
+      throw new NoSuchElementException(
+        s"source not found: $sourceName.$tableName"))
+
+  /** B14 listing surface (ref: `project.py:606-641`). */
+  def listModels: Seq[ModelDef] = models.values.toSeq.sortBy(_.name)
+  def listSources: Seq[SourceDef] =
+    sources.values.toSeq.sortBy(s => (s.sourceName, s.tableName))
+  def listModelIds: Map[String, String] =
+    models.keys.map(n => n -> status(n)).toMap
+
+  def status(name: String): String =
+    statuses.getOrElse(name, Status.Pending)
+  def setStatus(name: String, s: String): Unit = { statuses.put(name, s); () }
+
+  // ---- relation catalog (A10) -------------------------------------------
+
+  private def modelDir(name: String): Path = Paths.get(root, name)
+  private def pointerFile(name: String): Path =
+    modelDir(name).resolve("_current")
+
+  /** Live parquet path for a materialized relation, or None. */
+  def currentPath(name: String): Option[String] = {
+    val p = pointerFile(name)
+    if (Files.exists(p))
+      Some(modelDir(name).resolve(Files.readString(p).trim).toString)
+    else None
+  }
+
+  def relationExists(name: String): Boolean = currentPath(name).isDefined
+
+  /** Allocate the next version directory for a write. */
+  def nextVersionDir(name: String): String = {
+    val dir = modelDir(name)
+    Files.createDirectories(dir)
+    val existing = if (Files.exists(dir)) {
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap(v => v.drop(1).toIntOption)
+        .toSeq
+    } else Seq.empty
+    val next = if (existing.isEmpty) 1 else existing.max + 1
+    dir.resolve(s"v$next").toString
+  }
+
+  /** Atomically point `name` at `versionDir` (must be under the model's
+    * dir). Pointer swap is temp-write + ATOMIC_MOVE — readers see either
+    * the old or the new version, never a partial write.
+    */
+  def swapPointer(name: String, versionDir: String): Unit = {
+    val version = Paths.get(versionDir).getFileName.toString
+    val tmp = modelDir(name).resolve(s"_current.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, version)
+    Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
+  def dropRelation(name: String): Unit = {
+    val dir = modelDir(name)
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Rename a relation: move the whole versioned dir (ref:
+    * `rename_relation adapter_support.py:59-127`).
+    */
+  def renameRelation(from: String, to: String): Unit = {
+    require(!relationExists(to), s"rename target exists: $to")
+    Files.move(modelDir(from), modelDir(to),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.api.{FalApi, ModelKind}
+
+/** The `fal flow run` lifecycle (SURVEY.md §3.1), Spark-native: registry
+  * definitions → DAG (B1) → selection (B2) → filter + script rewiring
+  * (B3) → optional SQL chunking (B4) → schedule (B5/B6) → parallel
+  * execute (B7). The reference disables chunking for flow runs
+  * (`flow_runner.py:42-44`); we expose it as a flag with the same
+  * default.
+  */
+object Runner {
+
+  final case class RunConfig(
+      select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil,
+      threads: Int = 4,
+      enableChunking: Boolean = false,
+      scripts: Seq[NodeGraph.ScriptAttachment] = Nil,
+      scriptFns: Map[String, (FalApi, Map[String, String]) => Unit] =
+        Map.empty,
+      preHooks: Map[String, Seq[String]] = Map.empty,
+      postHooks: Map[String, Seq[String]] = Map.empty,
+      hookFns: Map[String, (FalApi, Map[String, String]) => Unit] =
+        Map.empty,
+      tags: Map[String, Set[String]] = Map.empty)
+
+  def modelTask(api: FalApi, name: String): ModelTask = {
+    val m = api.registry.model(name)
+    ModelTask(NodeGraph.modelId(name), a => {
+      m.kind match {
+        case ModelKind.Sql(sql) =>
+          val mode = if (m.incremental && a.registry.relationExists(name))
+            "append" else "overwrite"
+          a.writeToModel(a.executeSql(sql), name, mode)
+        case ModelKind.Scala(fn) =>
+          a.writeToModel(fn(a.spark, a), name)
+      }
+      ()
+    })
+  }
+
+  /** Build and run the selected pipeline; returns exit status (0 ok). */
+  def run(api: FalApi, config: RunConfig = RunConfig()): Int = {
+    val graph = NodeGraph.build(api.registry.listModels, config.scripts,
+      preHooks = config.preHooks, postHooks = config.postHooks)
+    val selected = Selectors.plan(graph, config.select, config.exclude,
+      config.tags)
+    val planned0 = Plan.scriptConnected(Plan.filtered(graph, selected))
+    val planned = if (config.enableChunking) Plan.chunked(planned0)
+      else planned0
+
+    def taskFor(id: String): Task = {
+      val props = planned.nodes(id)
+      if (props.members.nonEmpty)
+        ChunkTask(id, props.members.map(m =>
+          modelTask(api, NodeGraph.modelName(m))))
+      else if (props.kind == NodeKind.FalScript)
+        HookTask(id, config.scriptFns.getOrElse(id,
+          (_, _) => throw new IllegalStateException(s"no script fn: $id")))
+      else modelTask(api, NodeGraph.modelName(id))
+    }
+
+    def hooksFor(id: String): (Seq[Task], Seq[Task]) = {
+      val props = planned.nodes(id)
+      def hookTask(h: String, phase: String) =
+        HookTask(s"hook.$id.$phase.$h", config.hookFns.getOrElse(h,
+          (_, _) => ()))
+      (props.preHook.map(hookTask(_, "PRE")),
+        props.postHook.map(hookTask(_, "POST")))
+    }
+
+    val scheduler = Scheduler.fromGraph(planned, taskFor, hooksFor)
+    Executor.run(scheduler, api, config.threads)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavior ports of the reference's write/read round-trip assertions
+  * (`cli_tests/features/write_to_model_function.feature:17-21`: append
+  * then overwrite end state; `execute_sql_function.feature`; hook
+  * write-blocking `fal_script.py:290-296`).
+  */
+class FalApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshApi(): FalApi = {
+    val root = Files.createTempDirectory("graft-registry").toString
+    new FalApi(spark, new Registry(root), new RunLedger)
+  }
+
+  import scala.jdk.CollectionConverters._
+  private def df(values: Int*) = {
+    val rows = values.map(v =>
+      org.apache.spark.sql.Row(v.toLong)).asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("my_int",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  test("write overwrite then ref round-trips") {
+    val api = freshApi()
+    val res = api.writeToModel(df(1, 2, 3), "some_model")
+    assert(res.rowsAffected == 3)
+    assert(api.ref("some_model").count() == 3)
+  }
+
+  test("append accumulates, overwrite resets (feature:17-21 semantics)") {
+    val api = freshApi()
+    api.writeToModel(df(0), "other_model", mode = "overwrite")
+    api.writeToModel(df(3), "other_model", mode = "append")
+    val vals = api.ref("other_model").orderBy("my_int")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(0L, 3L))
+    api.writeToModel(df(7), "other_model", mode = "overwrite")
+    assert(api.ref("other_model").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+  }
+
+  test("overwrite swaps pointer atomically, old version dir survives") {
+    val api = freshApi()
+    api.writeToModel(df(1), "m")
+    val v1 = api.registry.currentPath("m").get
+    api.writeToModel(df(2), "m")
+    val v2 = api.registry.currentPath("m").get
+    assert(v1 != v2)
+    // old data still readable (concurrent readers keep their snapshot)
+    assert(spark.read.parquet(v1).count() == 1)
+    assert(spark.read.parquet(v2).head().getLong(0) == 2L)
+  }
+
+  test("executeSql substitutes ref() and source()") {
+    val api = freshApi()
+    api.writeToModel(df(10, 20), "base_model")
+    val srcDir = Files.createTempDirectory("graft-src")
+    df(5).write.mode("overwrite").parquet(srcDir.resolve("t").toString)
+    api.registry.register(SourceDef("results", "t",
+      srcDir.resolve("t").toString))
+    val out = api.executeSql(
+      """SELECT sum(my_int) AS s FROM {{ ref('base_model') }}
+        |UNION ALL
+        |SELECT my_int FROM {{ source('results', 't') }}""".stripMargin)
+    assert(out.orderBy("s").collect().map(_.getLong(0)).toSeq
+      == Seq(5L, 30L))
+  }
+
+  test("hooks cannot write models") {
+    val api = freshApi()
+    val hookApi = api.forHook
+    intercept[IllegalArgumentException] {
+      hookApi.writeToModel(df(1), "nope")
+    }
+    // reads still fine
+    api.writeToModel(df(1), "readable")
+    assert(hookApi.ref("readable").count() == 1)
+  }
+
+  test("relation metadata ops: exists, drop, rename") {
+    val api = freshApi()
+    api.writeToModel(df(1), "a")
+    assert(api.registry.relationExists("a"))
+    api.registry.renameRelation("a", "b")
+    assert(!api.registry.relationExists("a"))
+    assert(api.ref("b").count() == 1)
+    api.registry.dropRelation("b")
+    assert(!api.registry.relationExists("b"))
+  }
+
+  test("source freshness computes lag from loaded_at") {
+    val api = freshApi()
+    val srcDir = Files.createTempDirectory("graft-fresh")
+    spark.range(1).select(
+      (unix_timestamp(current_timestamp()) - 120).cast("timestamp")
+        .as("loaded_at"))
+      .write.mode("overwrite").parquet(srcDir.resolve("f").toString)
+    api.registry.register(SourceDef("ext", "f",
+      srcDir.resolve("f").toString, loadedAtField = Some("loaded_at")))
+    val lag = api.sourceFreshnessSeconds("ext", "f")
+    assert(lag >= 120 && lag < 600, s"lag was $lag")
+  }
+
+  test("ledger records writes as JSON") {
+    val api = freshApi()
+    api.writeToModel(df(1), "logged")
+    val out = Files.createTempDirectory("graft-ledger")
+      .resolve("run_results.json")
+    api.ledger.writeJson(out.toString)
+    val json = Files.readString(out)
+    assert(json.contains("\"node\":\"logged\""))
+    assert(json.contains("\"status\":\"success\""))
+  }
+}
