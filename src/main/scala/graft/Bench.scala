@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the first timed query isn't charged for
+    // session spin-up (~4-5s of JVM warmup otherwise lands on one query)
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)")
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

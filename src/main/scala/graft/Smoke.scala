@@ -19,6 +19,10 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     if (args.contains("--explain")) df.explain("formatted")
     println(s"ENTRY_ROWS=${df.count()}")
+    if (args.contains("--stream")) {
+      graft.streaming.StreamOps.demo(spark, "/root/testdata/sf0.001")
+      println(s"STREAM_ROWS=${spark.table("tumbling_demo").count()}")
+    }
     spark.stop()
   }
 }

@@ -231,15 +231,19 @@ object Dedup extends QueryPack {
     * list_cosine_similarity bitwise → fully oracle-checked.
     */
   def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // Precompute each vector's norm once (linear) so the quadratic pair
+    // stage evaluates a single dot product per pair, not three.
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosineCol(col("emb_a"), col("emb_b")))
+      .withColumn("cosine",
+        dotCol(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") > 0.95)
       .select(col("vec_a"), col("vec_b"),
         col("label").cast("long").as("label"), col("cosine"))

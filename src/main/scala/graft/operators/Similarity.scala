@@ -23,15 +23,18 @@ object Similarity extends QueryPack {
     */
   def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
     val candidates = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"))
+        col("embedding").as("c_emb"), col("norm").as("c_norm"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries))
-      .withColumn("cosine", cosineCol(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -67,16 +70,19 @@ object Similarity extends QueryPack {
         .otherwise(0L)).as("bucket"))
       .cache()
     val e2 = e.join(buckets, "vec_id")
+      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
     val queries = e2.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket"))
+        col("norm").as("q_norm"), col("bucket"))
     val candidates = e2.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"), col("bucket"))
+        col("embedding").as("c_emb"), col("norm").as("c_norm"),
+        col("bucket"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries), Seq("bucket"))
-      .withColumn("cosine", cosineCol(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")

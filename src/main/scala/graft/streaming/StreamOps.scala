@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming shapes for the event operators (SURVEY.md §2e
+  * E1–E4). The reference has no streaming surface; these are the
+  * streaming twins of graft.operators.EventWindows — same expressions,
+  * `readStream` instead of `read`, so a batch-verified query promotes to
+  * a stream by swapping the source (the Spark unified-API contract).
+  *
+  * State scale: windowed aggregations keep one row of state per
+  * (window × key) bounded by the watermark; sessionization via
+  * `session_window` or explicit `flatMapGroupsWithState` keys state by
+  * user — the state store partitions on the grouping key exactly like
+  * the batch shuffle does.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** E1 — tumbling-window counts with a 1h watermark. Works on a batch
+    * or streaming DataFrame unchanged.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** E2 — native session windows (30 min gap). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** E4 — stateful dedup on event_id within the watermark. */
+  def dedupedByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state (the `mapGroupsWithState` surface the reference's
+    * Python scripts approximate with pandas state, SURVEY.md §2e):
+    * running per-user totals that survive across micro-batches.
+    */
+  def runningUserTotals(events: Dataset[Event])
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val updated = batch.foldLeft(prev)((acc, e) =>
+            UserRunning(userId, acc.n_events + 1, acc.total_value + e.value))
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Demo wiring: stream the events parquet as micro-batches into an
+    * in-memory sink (usable from spark-shell; the specs drive the same
+    * transforms through MemoryStream).
+    */
+  def demo(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-source streaming wants a directory; glob-filter to the events
+    // table (a production layout has a directory per table)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_demo")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

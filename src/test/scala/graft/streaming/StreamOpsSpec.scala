@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamOps._
+
+/** Streaming semantics checks via MemoryStream micro-batches, including
+  * batch/stream equivalence of the windowing expressions (the unified
+  * API contract the batch oracle checks rely on).
+  */
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private val fixture = Seq(
+    Event(1, ts(1), 10, "click", 1.0),
+    Event(2, ts(2), 10, "click", 2.0),
+    Event(3, ts(12), 10, "view", 3.0),
+    Event(4, ts(3), 20, "click", 4.0),
+    Event(5, ts(50), 20, "view", 5.0))
+
+  test("tumbling counts: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture)
+    val q = tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+      val batch = tumblingCounts(fixture.toDF())
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+      assert(streamed == batch)
+      // window 0: clicks from both users aggregate; windows 10 and 50: views
+      assert(streamed.size == 3)
+      assert(streamed.head == ((ts(0), "click", 3L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on the 30 min gap") {
+    import spark.implicits._
+    val out = sessionized(fixture.toDF())
+      .filter($"user_id" === 20)
+      .orderBy("session_start")
+      .collect()
+    assert(out.length == 2) // minute 3 and minute 50 are separate sessions
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L))
+  }
+
+  test("dedup within watermark drops replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture)
+    input.addData(fixture.take(2)) // replay
+    val q = dedupedByEventId(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == fixture.size)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(fixture.take(3)) // user 10: 3 events
+      q.processAllAvailable()
+      input.addData(fixture.drop(3)) // user 20: 2 events
+      q.processAllAvailable()
+      val byUser = spark.table("state_test")
+        .orderBy($"user_id", $"n_events".desc).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.head).toMap
+      assert(byUser(10L).getLong(1) == 3)
+      assert(byUser(20L).getLong(1) == 2)
+      assert(byUser(20L).getDouble(2) == 9.0)
+    } finally q.stop()
+  }
+}
