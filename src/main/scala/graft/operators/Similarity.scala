@@ -22,8 +22,10 @@ object Similarity extends QueryPack {
     * (sequential-fold dot product).
     */
   def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = t(spark, dir, "embeddings")
-      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
+      .withColumn("norm",
+        sqrt(expr("graft_dot_product(embedding, embedding)")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
@@ -34,7 +36,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries))
       .withColumn("cosine",
-        dotCol(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -45,32 +48,20 @@ object Similarity extends QueryPack {
     * vector (plane signs from xxhash64), candidates share the full
     * 8-bit bucket, then exact cosine re-ranking within the bucket.
     * Rows-only check (hash planes aren't SQL-portable); recall is
-    * eyeballed against sim_brute_topk.
-    *
-    * Vote sums use decimal so bucket bits are shuffle-order-stable
-    * across runs (a double sum could flip a near-zero bit).
+    * eyeballed against sim_brute_topk. Bucket bits come from a fixed
+    * per-row accumulation order (LshBucket), so they are stable across
+    * runs and shuffle orders.
     */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = t(spark, dir, "embeddings")
-    // (vec_id, dim i, component x) × plane j → signed contribution
-    val contribs = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        col("x").cast("decimal(18,6)").as("x"),
-        explode(sequence(lit(0), lit(7))).as("j"))
-      .select(col("vec_id"), col("j"),
-        when(xxhash64(concat_ws("_", lit("plane"), col("j"), col("i")))
-          .bitwiseAND(1) === 1, col("x")).otherwise(-col("x")).as("c"))
-    val buckets = contribs
-      .groupBy("vec_id", "j")
-      .agg(sum(col("c")).as("s"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("bucket"))
-      .cache()
-    val e2 = e.join(buckets, "vec_id")
-      .withColumn("norm", sqrt(dotCol(col("embedding"), col("embedding"))))
+    // one linear pass per vector: 8 hyperplane sign bits via the custom
+    // LshBucket expression (replaces posexplode(dims) × explode(planes)
+    // + two aggregations)
+    val e2 = e
+      .withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
+      .withColumn("norm",
+        sqrt(expr("graft_dot_product(embedding, embedding)")))
     val queries = e2.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
@@ -82,7 +73,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries), Seq("bucket"))
       .withColumn("cosine",
-        dotCol(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.dotCol
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("DotProduct matches the higher-order fold bitwise (float arrays)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5f, -1.5f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val out = df.select(
+      expr("graft_dot_product(a, b)").as("native"),
+      dotCol(col("a"), col("b")).as("folded")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct works on double arrays and in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // force a non-trivial plan so codegen actually runs
+    val v = df.filter(expr("graft_dot_product(a, b) > 10.0"))
+      .select(expr("graft_dot_product(a, b)")).head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("DotProduct rejects mismatched types at analysis") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0), "x")).toDF("a", "b")
+    intercept[Exception] {
+      df.select(expr("graft_dot_product(a, b)")).collect()
+    }
+  }
+
+  test("MinHashAgg: signature = per-seed minimum, stable under order") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("d1", "aa"), ("d1", "bb"), ("d1", "cc"),
+      ("d2", "cc"), ("d2", "bb"), ("d2", "aa")).toDF("doc", "sh")
+    val sigs = df.groupBy("doc").agg(expr("graft_minhash(sh)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // identical shingle sets → identical signatures regardless of order
+    assert(sigs("d1") == sigs("d2"))
+    assert(sigs("d1").length == 16)
+    // differing sets diverge
+    val other = Seq(("d3", "zz")).toDF("doc", "sh")
+      .groupBy("doc").agg(expr("graft_minhash(sh)").as("sig"))
+      .head().getSeq[Long](1)
+    assert(other != sigs("d1"))
+  }
+
+  test("MinHashAgg estimates Jaccard via signature agreement") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 8 shared of 10 shingles each → J = 8/12 ≈ 0.67
+    val a = (0 until 10).map(i => ("a", s"sh$i"))
+    val b = (2 until 12).map(i => ("b", s"sh$i"))
+    val sigs = (a ++ b).toDF("doc", "sh")
+      .groupBy("doc").agg(expr("graft_minhash(sh)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    assert(agree >= 6 && agree <= 15, s"agreement was $agree/16")
+  }
+}
