@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates and window distribution functions — the
+  * analytic tail of the delegated surface (SURVEY.md C8/C12 extensions;
+  * the reference's forecasting scripts compute exactly these moments in
+  * pandas, `orders_forecast.py`).
+  *
+  * Built-in `stddev`/`corr` sum doubles in shuffle order, so they can
+  * never hash-match an oracle; these queries compute the moments from
+  * decimal-exact sums with identical double arithmetic in both engines —
+  * the same one-pass sufficient-statistics shape (n, Σx, Σx², Σxy) a
+  * scale-out implementation partial-aggregates anyway.
+  */
+object Relational3 extends QueryPack {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Variance / stddev per group from sufficient statistics. */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("s1"),
+        dsum(col("l_quantity") * col("l_quantity")).as("s2"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        (col("s1") / d(col("n"))).as("mean_qty"),
+        ((col("s2") - col("s1") * col("s1") / d(col("n"))) / d(col("n")))
+          .as("var_pop_qty"),
+        sqrt((col("s2") - col("s1") * col("s1") / d(col("n"))) /
+          d(col("n"))).as("stddev_pop_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pearson correlation + population covariance from cross-moments. */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        ((col("sxy") - col("sx") * col("sy") / d(col("n"))) / d(col("n")))
+          .as("covar_pop"),
+        ((d(col("n")) * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(d(col("n")) * col("sxx") - col("sx") * col("sx")) *
+            sqrt(d(col("n")) * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Window distribution functions: ntile, percent_rank, cume_dist,
+    * first/last/nth value over explicit frames.
+    */
+  def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = byPrice.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(byPrice).cast("long").as("price_quartile"),
+        percent_rank().over(byPrice).as("price_pct_rank"),
+        cume_dist().over(byPrice).as("price_cume_dist"),
+        first(col("o_totalprice")).over(full).as("status_min_price"),
+        last(col("o_totalprice")).over(full).as("status_max_price"),
+        nth_value(col("o_totalprice"), 2).over(full)
+          .as("status_2nd_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_moments" -> qStatsMoments _,
+    "q_stats_corr" -> qStatsCorr _,
+    "q_window_dist" -> qWindowDist _)
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_moments" -> s"""
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               ${sqlDsum("l_quantity")} AS s1,
+               ${sqlDsum("l_quantity * l_quantity")} AS s2
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             (s1 / CAST(n AS DOUBLE)) AS mean_qty,
+             ((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS var_pop_qty,
+             sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS stddev_pop_qty
+      FROM s ORDER BY l_returnflag""",
+    "q_stats_corr" -> s"""
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               ${sqlDsum("l_quantity")} AS sx,
+               ${sqlDsum("l_extendedprice")} AS sy,
+               ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+               ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
+               ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag,
+             ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS covar_pop,
+             ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+              (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+               sqrt(CAST(n AS DOUBLE) * syy - sy * sy)))
+               AS corr_qty_price
+      FROM s ORDER BY l_returnflag""",
+    "q_window_dist" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+             percent_rank() OVER w AS price_pct_rank,
+             cume_dist() OVER w AS price_cume_dist,
+             first_value(o_totalprice) OVER wf AS status_min_price,
+             last_value(o_totalprice) OVER wf AS status_max_price,
+             nth_value(o_totalprice, 2) OVER wf AS status_2nd_price
+      FROM orders
+      WINDOW
+        w AS (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice, o_orderkey),
+        wf AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey""")
+}
