@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.tune(spark)
     // JIT/codegen warmup so the first timed query isn't charged for
     // session spin-up (~4-5s of JVM warmup otherwise lands on one query)
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's scale knobs (SURVEY.md §7 step 6:
+  * "partition-count and AQE settings surfaced in one config object").
+  * Build-time settings go through [[builder]]; [[tune]] applies the
+  * runtime-settable subset to an existing session (the driver-owned
+  * Verify/Bench sessions).
+  */
+object GraftConf {
+
+  /** Runtime-settable tuning: AQE with partition coalescing and skew
+    * join splitting — the knobs that matter when the same plans move
+    * from local[N] to a 1000-executor cluster.
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // parquet nanos (events table) read as long, converted in Tables.load
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Session builder with the engine defaults; `shufflePartitions`
+    * should track cluster parallelism (cores locally, ~2-3× total
+    * executor cores on a cluster).
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+}

@@ -73,6 +73,73 @@ final class FalApi(
     res
   }
 
+  /** C20 — incremental `merge` strategy (ref: strategy list
+    * `A/dbt/fal/adapters/python/impl.py:256-291`): upsert by key —
+    * existing rows whose key appears in the increment are replaced. One
+    * shuffle on the key for the anti join; at warehouse scale this is
+    * the same hash join a MERGE INTO executes.
+    */
+  def writeToModelMerge(df: DataFrame, name: String,
+      keys: Seq[String]): WriteResult = {
+    require(allowWrites, "write_to_model is not allowed in hooks")
+    val merged = registry.currentPath(name) match {
+      case Some(cur) =>
+        spark.read.parquet(cur)
+          .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(df)
+      case None => df
+    }
+    val target = registry.nextVersionDir(name)
+    merged.write.mode("overwrite").parquet(target)
+    registry.swapPointer(name, target)
+    val rows = spark.read.parquet(target).count()
+    ledger.record(name, Status.Success, s"write merge rows=$rows")
+    registry.setStatus(name, Status.Success)
+    WriteResult(name, rows, "merge")
+  }
+
+  /** C20 — `insert_overwrite` strategy: replace exactly the partitions
+    * (values of `partitionCol`) present in the increment, keep the
+    * rest. Partition pruning keeps the rewrite proportional to the
+    * touched partitions on a partitioned catalog.
+    */
+  def writeToModelInsertOverwrite(df: DataFrame, name: String,
+      partitionCol: String): WriteResult = {
+    require(allowWrites, "write_to_model is not allowed in hooks")
+    val merged = registry.currentPath(name) match {
+      case Some(cur) =>
+        spark.read.parquet(cur)
+          .join(df.select(partitionCol).distinct(), Seq(partitionCol),
+            "left_anti")
+          .unionByName(df)
+      case None => df
+    }
+    val target = registry.nextVersionDir(name)
+    merged.write.mode("overwrite").parquet(target)
+    registry.swapPointer(name, target)
+    val rows = spark.read.parquet(target).count()
+    ledger.record(name, Status.Success, s"write insert_overwrite rows=$rows")
+    registry.setStatus(name, Status.Success)
+    WriteResult(name, rows, "insert_overwrite")
+  }
+
+  /** Feature-store listing (ref `Feature`, `A/fal/dbt/feature_store/
+    * feature.py:6-17`; discovery `project.py:642-673`): models whose
+    * meta declares `feature_store.entity_column` expose every other
+    * materialized column as a feature.
+    */
+  def listFeatures: Seq[(String, String, String, Option[String])] =
+    registry.listModels.flatMap { m =>
+      m.meta.get("feature_store.entity_column").toSeq.flatMap { entity =>
+        val ts = m.meta.get("feature_store.timestamp_column")
+        registry.currentPath(m.name).toSeq.flatMap { path =>
+          spark.read.parquet(path).schema.fieldNames.toSeq
+            .filterNot(f => f == entity || ts.contains(f))
+            .map(f => (m.name, f, entity, ts))
+        }
+      }
+    }
+
   /** A4 variant for sources (ref `write_to_source project.py:757-801`):
     * sources are externally-owned paths, so writes go directly (append
     * creates the path if absent).
