@@ -35,9 +35,15 @@ final class FalApi(
     spark.read.parquet(path)
   }
 
-  /** A2 — source scan. */
-  def source(sourceName: String, tableName: String): DataFrame =
-    spark.read.parquet(registry.source(sourceName, tableName).path)
+  /** A2/A3 — source scan through the declared format (one DataSource
+    * code path instead of the reference's per-warehouse readers).
+    * Path-less formats (jdbc) read purely from options.
+    */
+  def source(sourceName: String, tableName: String): DataFrame = {
+    val src = registry.source(sourceName, tableName)
+    val reader = spark.read.format(src.format).options(src.options)
+    if (src.path.nonEmpty) reader.load(src.path) else reader.load()
+  }
 
   /** A4/A5 — write a DataFrame as a model relation.
     *
@@ -148,8 +154,9 @@ final class FalApi(
       mode: String = "append"): WriteResult = {
     require(allowWrites, "write_to_source is not allowed in hooks")
     val src = registry.source(sourceName, tableName)
-    df.write.mode(mode).parquet(src.path)
-    val rows = spark.read.parquet(src.path).count()
+    df.write.format(src.format).options(src.options).mode(mode)
+      .save(src.path)
+    val rows = source(sourceName, tableName).count()
     WriteResult(s"$sourceName.$tableName", rows, mode)
   }
 

@@ -37,14 +37,22 @@ final case class ModelDef(
     incremental: Boolean = false,
     meta: Map[String, String] = Map.empty)
 
-/** A declared external input (ref: `DbtSource`): a parquet path plus an
+/** A declared external input (ref: `DbtSource`): a data path plus an
   * optional loaded-at column for freshness (B13).
+  *
+  * `format`/`options` replace the reference's per-warehouse fast-scan
+  * matrix (SURVEY.md §2a A3: seven backend-specific readers) with the
+  * one Spark DataSource surface — parquet is the native storage,
+  * csv/json cover file feeds, and `jdbc` (with url/dbtable options)
+  * covers external databases.
   */
 final case class SourceDef(
     sourceName: String,
     tableName: String,
     path: String,
-    loadedAtField: Option[String] = None)
+    loadedAtField: Option[String] = None,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty)
 
 /** Run statuses, matching the reference's task states
   * (`A/fal/dbt/planner/tasks.py:48-53`) plus "tested"

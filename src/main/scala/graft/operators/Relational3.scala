@@ -81,12 +81,49 @@ object Relational3 extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** C19 (completion) — map construction and access: build a map from
+    * arrays, read it back via keys/values/element_at. Output stays flat
+    * (sorted key/value strings) so both engines' map representations
+    * compare cleanly.
+    */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    t(spark, dir, "part")
+      .withColumn("m",
+        map_from_arrays(
+          array(lit("brand"), lit("type")),
+          array(col("p_brand"), col("p_type"))))
+      .select(
+        col("p_partkey"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("m_keys"),
+        element_at(col("m"), "brand").as("m_brand"),
+        element_at(col("m"), "type").as("m_type"),
+        size(col("m")).cast("long").as("m_size"),
+        array_join(transform(words, w => concat(w, lit("="),
+          lit("1"))), "&").as("qs"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
-    "q_window_dist" -> qWindowDist _)
+    "q_window_dist" -> qWindowDist _,
+    "q_map_funcs" -> qMapFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" -> """
+      SELECT p_partkey,
+             array_to_string(list_sort(map_keys(
+               map(['brand', 'type'], [p_brand, p_type]))), ',') AS m_keys,
+             map(['brand', 'type'], [p_brand, p_type])['brand'][1]
+               AS m_brand,
+             map(['brand', 'type'], [p_brand, p_type])['type'][1]
+               AS m_type,
+             CAST(cardinality(map(['brand', 'type'], [p_brand, p_type]))
+               AS BIGINT) AS m_size,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> w || '=1'), '&') AS qs
+      FROM part ORDER BY p_partkey""",
     "q_stats_moments" -> s"""
       WITH s AS (
         SELECT l_returnflag, count(*) AS n,

@@ -1,0 +1,58 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** A3 — one DataSource code path for every source format (the
+  * reference needed seven backend-specific readers; SURVEY.md §2a).
+  */
+class SourceFormatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshApi(): FalApi = {
+    val root = Files.createTempDirectory("graft-srcfmt").toString
+    new FalApi(spark, new Registry(root), new RunLedger)
+  }
+
+  test("csv source with header + schema inference") {
+    val api = freshApi()
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("data.csv"), "id,name\n1,a\n2,b\n")
+    api.registry.register(SourceDef("files", "csv_feed", dir.toString,
+      format = "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true")))
+    val out = api.source("files", "csv_feed").orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("json-lines source") {
+    val api = freshApi()
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": 0.5}
+        |{"id": 2, "v": 1.5}""".stripMargin)
+    api.registry.register(SourceDef("files", "json_feed", dir.toString,
+      format = "json"))
+    val out = api.source("files", "json_feed").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.5), (2L, 1.5)))
+  }
+
+  test("write_to_source round-trips through the declared format") {
+    val api = freshApi()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wsrc")
+    api.registry.register(SourceDef("files", "out_csv",
+      dir.resolve("out").toString, format = "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true")))
+    api.writeToSource(Seq((1, "x"), (2, "y")).toDF("id", "s"),
+      "files", "out_csv", mode = "overwrite")
+    val back = api.source("files", "out_csv").orderBy("id").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+  }
+}
