@@ -26,6 +26,7 @@ final class Registry(val root: String) {
   private val models = TrieMap.empty[String, ModelDef]
   private val sources = TrieMap.empty[(String, String), SourceDef]
   private val statuses = TrieMap.empty[String, String]
+  private val tests = TrieMap.empty[String, Seq[TestDef]]
 
   Files.createDirectories(Paths.get(root))
 
@@ -35,6 +36,14 @@ final class Registry(val root: String) {
   def register(s: SourceDef): Unit = {
     sources.put((s.sourceName, s.tableName), s); ()
   }
+
+  def registerTest(t: TestDef): Unit = {
+    tests.updateWith(t.model)(prev => Some(prev.getOrElse(Nil) :+ t)); ()
+  }
+  def testsFor(model: String): Seq[TestDef] =
+    tests.getOrElse(model, Nil)
+  def listTests: Seq[TestDef] =
+    tests.values.flatten.toSeq.sortBy(_.name)
 
   def model(name: String): ModelDef =
     models.getOrElse(name,

@@ -119,6 +119,12 @@ object Dedup extends QueryPack {
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Plain inverted-index join: candidates come only from shared
+    // shingles, so join volume tracks shingle selectivity. (A PPJoin
+    // prefix filter was measured here and LOST — the global-order
+    // row_number sort cost more than the ~2× candidate reduction saved
+    // on this selective corpus. Revisit only if shingle frequency
+    // skew makes single postings lists quadratic.)
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -28,14 +28,40 @@ object Runner {
   def modelTask(api: FalApi, name: String): ModelTask = {
     val m = api.registry.model(name)
     ModelTask(NodeGraph.modelId(name), a => {
-      m.kind match {
-        case ModelKind.Sql(sql) =>
-          val mode = if (m.incremental && a.registry.relationExists(name))
-            "append" else "overwrite"
-          a.writeToModel(a.executeSql(sql), name, mode)
-        case ModelKind.Scala(fn) =>
-          a.writeToModel(fn(a.spark, a), name)
+      val out = m.kind match {
+        case ModelKind.Sql(sql) => a.executeSql(sql)
+        case ModelKind.Scala(fn) => fn(a.spark, a)
       }
+      // C20 — strategy from meta (ref: strategy list
+      // `A/dbt/fal/adapters/python/impl.py:256-291`); full refresh when
+      // the relation doesn't exist yet
+      if (m.incremental && a.registry.relationExists(name)) {
+        m.meta.getOrElse("incremental_strategy", "append") match {
+          case "append" => a.writeToModel(out, name, "append")
+          case "merge" => a.writeToModelMerge(out, name,
+            m.meta("unique_key").split(",").toSeq.map(_.trim))
+          case "insert_overwrite" =>
+            a.writeToModelInsertOverwrite(out, name, m.meta("partition_by"))
+          case other => throw new IllegalArgumentException(
+            s"unknown incremental_strategy: $other")
+        }
+      } else a.writeToModel(out, name)
+      // C22 — run the model's declared tests; clean run promotes the
+      // status to "tested" (ref project.py:176-188), any violation
+      // fails the node (downstream then SKIPs via the scheduler)
+      val results = a.registry.testsFor(name)
+        .map(td => td -> td.violations(a))
+      results.foreach { case (td, v) =>
+        a.ledger.record(td.name,
+          if (v == 0) graft.api.Status.Success else graft.api.Status.Failure,
+          s"violations=$v")
+      }
+      val bad = results.filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"data tests failed: ${bad.map(_._1.name).mkString(", ")}")
+      if (results.nonEmpty)
+        a.registry.setStatus(name, graft.api.Status.Tested)
       ()
     })
   }

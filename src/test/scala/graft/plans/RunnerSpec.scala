@@ -1,0 +1,97 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.api._
+
+/** End-to-end Runner behaviors: meta-driven incremental strategies and
+  * test-status propagation (ref: simple_project incremental chain +
+  * `project.py:176-188` tested-status rules).
+  */
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshApi(): FalApi = {
+    val root = Files.createTempDirectory("graft-runner").toString
+    new FalApi(spark, new Registry(root), new RunLedger)
+  }
+
+  test("incremental merge strategy upserts on re-run") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-inc")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("inc_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}"),
+      incremental = true,
+      meta = Map("incremental_strategy" -> "merge", "unique_key" -> "id")))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(api.ref("inc_model").count() == 2)
+
+    // source evolves: id=2 updated, id=3 new
+    Seq((2L, 21.0), (3L, 30.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    val out = api.ref("inc_model").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+  }
+
+  test("passing tests promote status to tested") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-ok")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("tested_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}")))
+    api.registry.registerTest(Tests.notNull("tested_model", "id"))
+    api.registry.registerTest(Tests.unique("tested_model", "id"))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(api.registry.status("tested_model") == Status.Tested)
+    assert(api.ledger.all.exists(r =>
+      r.node == "not_null_tested_model_id" && r.status == Status.Success))
+  }
+
+  test("failing test fails the node and skips dependents") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-bad")
+    Seq((1L, "a"), (1L, "b")).toDF("id", "s") // duplicate id
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("bad_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}")))
+    api.registry.register(ModelDef("downstream",
+      ModelKind.Sql("SELECT count(*) AS n FROM {{ ref('bad_model') }}"),
+      deps = Seq("bad_model")))
+    api.registry.registerTest(Tests.unique("bad_model", "id"))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 1)
+    assert(api.ledger.all.exists(r =>
+      r.node == "unique_bad_model_id" && r.status == Status.Failure))
+    assert(!api.registry.relationExists("downstream"))
+  }
+
+  test("relationship + singular test builders count violations") {
+    val api = freshApi()
+    import spark.implicits._
+    api.writeToModel(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), "dim")
+    api.writeToModel(Seq((10L, 1L), (11L, 3L)).toDF("fk_id", "dim_id"),
+      "fact")
+    val rel = Tests.relationship("fact", "dim_id", "dim", "id")
+    assert(rel.violations(api) == 1) // dim_id=3 is orphaned
+    val sing = Tests.singular("no_negative_ids", "fact",
+      a => a.ref("fact").filter(org.apache.spark.sql.functions
+        .col("fk_id") < 0))
+    assert(sing.violations(api) == 0)
+  }
+}
