@@ -52,11 +52,58 @@ object Multimodal extends QueryPack {
           col("frame_no").cast("string"))).as("frame_fingerprint"))
       .orderBy("doc_id", "frame_no")
 
+  /** Decoded media record — the typed batch shape a real decoder fills
+    * (swap `decode` for an image/audio library call; schema and
+    * partition flow stay identical).
+    */
+  final case class DecodedMedia(doc_id: Long, n_bytes: Long,
+      width: Long, height: Long, checksum: Long)
+
+  /** E8c — per-partition decode over binary payloads via a typed
+    * `Dataset.mapPartitions`: the Scala twin of `mapInPandas` (one
+    * iterator per partition, library handles amortized across the
+    * batch, no per-row interpreter crossing). The decode itself is a
+    * deterministic stub (byte checksum + fake dimensions); oracle-
+    * checked because the stub is SQL-expressible.
+    */
+  def mmDecodePartitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // a real decoder opens its codec context once per partition here
+        batch.map { case (id, bytes) =>
+          var sum = 0L
+          var i = 0
+          val n = math.min(bytes.length, 64)
+          while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+          DecodedMedia(id, bytes.length.toLong,
+            64L + bytes.length % 192, 64L + bytes.length * 7 % 416,
+            sum % 997L)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta _,
-    "mm_frames" -> mmFrames _)
+    "mm_frames" -> mmFrames _,
+    "mm_decode_partitions" -> mmDecodePartitions _)
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_partitions" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             64 + CAST(octet_length(encode(text)) AS BIGINT) % 192
+               AS width,
+             64 + CAST(octet_length(encode(text)) AS BIGINT) * 7 % 416
+               AS height,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, 1, 64), ''),
+               c -> ascii(c))) % 997 AS BIGINT) AS checksum
+      FROM documents ORDER BY doc_id""",
     "mm_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
