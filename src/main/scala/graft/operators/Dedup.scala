@@ -117,7 +117,13 @@ object Dedup extends QueryPack {
     * approximates.
     */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    // Join on the 8-byte shingle hash instead of the ~30-byte string —
+    // same pairs w.h.p. (64-bit collisions are ~1e-9 at this corpus
+    // size), smaller shuffle keys. The oracle joins raw strings, so a
+    // collision would surface as a hash mismatch.
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Plain inverted-index join: candidates come only from shared
     // shingles, so join volume tracks shingle selectivity. (A PPJoin
