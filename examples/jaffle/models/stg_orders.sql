@@ -1,0 +1,3 @@
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM {{ source('warehouse', 'orders') }}

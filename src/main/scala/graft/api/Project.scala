@@ -1,0 +1,86 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Project loader: a directory of `.sql` model files becomes the
+  * registry — the rebuild of dbt's project parse as consumed by the
+  * reference (`FalDbt.__init__` → manifest → `_map_nodes`,
+  * `/root/reference/projects/adapter/src/fal/dbt/integration/
+  * project.py:443-559`). Dependencies are regex-extracted from
+  * `{{ ref('x') }}` / `{{ source('a','b') }}` in the SQL text, the same
+  * extraction the reference applies to generated python-model shims
+  * (`model_generator.py` / `module_check.py:7-109`).
+  *
+  * Layout:
+  * {{{
+  *   project/
+  *     models/<name>.sql            one model per file
+  *     models/<name>.meta           optional "key=value" lines
+  *                                  (tags=a,b  incremental=true
+  *                                   incremental_strategy=merge ...)
+  *     sources.conf                 srcName table path [format]
+  * }}}
+  */
+object Project {
+
+  private val refPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+  private val srcPat =
+    raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+
+  def extractRefs(sql: String): Seq[String] =
+    refPat.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+
+  def extractSources(sql: String): Seq[(String, String)] =
+    srcPat.findAllMatchIn(sql).map(m => (m.group(1), m.group(2)))
+      .toSeq.distinct
+
+  /** Load model + source definitions from `projectDir` into a fresh
+    * registry rooted at `storageRoot`.
+    */
+  def load(projectDir: String, storageRoot: String): Registry = {
+    val registry = new Registry(storageRoot)
+    val modelsDir = Paths.get(projectDir, "models")
+    require(Files.isDirectory(modelsDir), s"no models/ dir in $projectDir")
+
+    val sqlFiles = Files.list(modelsDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".sql")).toSeq
+      .sortBy(_.getFileName.toString)
+    sqlFiles.foreach { f =>
+      val name = f.getFileName.toString.stripSuffix(".sql")
+      val sql = Files.readString(f)
+      val meta = readMeta(modelsDir.resolve(s"$name.meta"))
+      registry.register(ModelDef(
+        name,
+        ModelKind.Sql(sql),
+        deps = extractRefs(sql),
+        tags = meta.get("tags")
+          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+        incremental = meta.get("incremental").contains("true"),
+        meta = meta -- Seq("tags", "incremental")))
+    }
+
+    val sourcesFile = Paths.get(projectDir, "sources.conf")
+    if (Files.exists(sourcesFile)) {
+      Files.readAllLines(sourcesFile).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .foreach { line =>
+          val parts = line.split("\\s+")
+          require(parts.length >= 3, s"bad source line: $line")
+          registry.register(SourceDef(parts(0), parts(1), parts(2),
+            format = if (parts.length > 3) parts(3) else "parquet"))
+        }
+    }
+    registry
+  }
+
+  private def readMeta(p: Path): Map[String, String] =
+    if (Files.exists(p))
+      Files.readAllLines(p).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val Array(k, v) = l.split("=", 2)
+          k.trim -> v.trim
+        }.toMap
+    else Map.empty
+}

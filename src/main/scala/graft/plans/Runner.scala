@@ -23,11 +23,29 @@ object Runner {
       postHooks: Map[String, Seq[String]] = Map.empty,
       hookFns: Map[String, (FalApi, Map[String, String]) => Unit] =
         Map.empty,
-      tags: Map[String, Set[String]] = Map.empty)
+      tags: Map[String, Set[String]] = Map.empty,
+      /** B12 analogue — per-model FAIR scheduler pool (the reference
+        * ran steps in isolated envs with machine sizes; on Spark the
+        * resource-isolation knob is the scheduler pool the step's jobs
+        * submit into, `spark.scheduler.pool`).
+        */
+      pools: Map[String, String] = Map.empty)
 
-  def modelTask(api: FalApi, name: String): ModelTask = {
+  def modelTask(api: FalApi, name: String,
+      pool: Option[String] = None): ModelTask = {
     val m = api.registry.model(name)
     ModelTask(NodeGraph.modelId(name), a => {
+      pool.foreach(p =>
+        a.spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
+      try runModel(a, m, name)
+      finally pool.foreach(_ =>
+        a.spark.sparkContext.setLocalProperty("spark.scheduler.pool", null))
+    })
+  }
+
+  private def runModel(a: FalApi, m: graft.api.ModelDef,
+      name: String): Unit = {
+    {
       val out = m.kind match {
         case ModelKind.Sql(sql) => a.executeSql(sql)
         case ModelKind.Scala(fn) => fn(a.spark, a)
@@ -63,7 +81,7 @@ object Runner {
       if (results.nonEmpty)
         a.registry.setStatus(name, graft.api.Status.Tested)
       ()
-    })
+    }
   }
 
   /** Build and run the selected pipeline; returns exit status (0 ok). */
@@ -79,12 +97,17 @@ object Runner {
     def taskFor(id: String): Task = {
       val props = planned.nodes(id)
       if (props.members.nonEmpty)
-        ChunkTask(id, props.members.map(m =>
-          modelTask(api, NodeGraph.modelName(m))))
+        ChunkTask(id, props.members.map { m =>
+          val n = NodeGraph.modelName(m)
+          modelTask(api, n, config.pools.get(n))
+        })
       else if (props.kind == NodeKind.FalScript)
         HookTask(id, config.scriptFns.getOrElse(id,
           (_, _) => throw new IllegalStateException(s"no script fn: $id")))
-      else modelTask(api, NodeGraph.modelName(id))
+      else {
+        val n = NodeGraph.modelName(id)
+        modelTask(api, n, config.pools.get(n))
+      }
     }
 
     def hooksFor(id: String): (Seq[Task], Seq[Task]) = {

@@ -81,6 +81,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(!api.registry.relationExists("downstream"))
   }
 
+  test("per-model scheduler pool is set during execution (B12 analogue)") {
+    val api = freshApi()
+    @volatile var seenPool: String = null
+    api.registry.register(ModelDef("pooled", ModelKind.Scala((s, _) => {
+      seenPool = s.sparkContext.getLocalProperty("spark.scheduler.pool")
+      import s.implicits._
+      Seq(1L).toDF("x")
+    })))
+    assert(Runner.run(api, Runner.RunConfig(
+      pools = Map("pooled" -> "heavy"))) == 0)
+    assert(seenPool == "heavy")
+    assert(api.spark.sparkContext
+      .getLocalProperty("spark.scheduler.pool") == null)
+  }
+
   test("relationship + singular test builders count violations") {
     val api = freshApi()
     import spark.implicits._
