@@ -104,13 +104,50 @@ object Relational3 extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  /** Exact median per group via row positions (avg of the middle one or
+    * two values) — interpolating quantile functions differ across
+    * engines, positional selection doesn't. One shuffle + per-partition
+    * sort; at scale the same plan as any ranked-window query.
+    */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val n = Window.partitionBy("o_orderstatus")
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(byPrice).as("rn"),
+        count(lit(1)).over(n).as("n"))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("n div 2 + 1"))
+      .groupBy("o_orderstatus")
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("median_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
     "q_window_dist" -> qWindowDist _,
-    "q_map_funcs" -> qMapFuncs _)
+    "q_map_funcs" -> qMapFuncs _,
+    "q_median" -> qMedian _)
 
   val oracles: Map[String, String] = Map(
+    "q_median" -> """
+      WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+      )
+      SELECT o_orderstatus,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS median_price
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
     "q_map_funcs" -> """
       SELECT p_partkey,
              array_to_string(list_sort(map_keys(
