@@ -259,7 +259,53 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** E5f — duplicate-cluster resolution: turn near-dup PAIRS into a
+    * keep/drop decision. Connected components over the Jaccard≥0.5 pair
+    * graph via iterative min-label propagation (each iteration is one
+    * distributed join+groupBy; converges in O(cluster diameter)
+    * rounds — the GraphX-free CC idiom). Cluster representative = the
+    * smallest doc_id reachable; every other member is dropped. The
+    * DuckDB oracle computes the same fixpoint with a recursive CTE.
+    */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val vertices = corpus(spark, dir).select(col("doc_id")).distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    // eager localCheckpoint each round: kills the growing lineage (each
+    // iteration otherwise replays the whole shingle/jaccard pipeline)
+    var labels = vertices.withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("n_min"), col("old")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("doc_id", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_rep"),
+        (col("doc_id") === col("label")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> ddCluster _,
     "dd_exact" -> ddExact _,
     "dd_exact_keep" -> ddExactKeep _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
@@ -298,6 +344,33 @@ object Dedup extends QueryPack {
       WHERE CAST(n_common AS DOUBLE) /
             CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b""",
+    "dd_cluster" -> s"""
+      WITH RECURSIVE $sqlShingled,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ) p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT src AS doc_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src ORDER BY doc_id""",
     "dd_embedding_neardup" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(a.label AS BIGINT) AS label,
