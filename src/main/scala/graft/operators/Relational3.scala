@@ -125,7 +125,22 @@ object Relational3 extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** C14 (completion) — schema-evolving union: `unionByName` with
+    * missing columns null-filled (DuckDB's UNION ALL BY NAME) — the
+    * shape incremental pipelines hit when a model adds a column.
+    */
+  def qUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val a = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_byname" -> qUnionByName _,
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
     "q_window_dist" -> qWindowDist _,
@@ -133,6 +148,14 @@ object Relational3 extends QueryPack {
     "q_median" -> qMedian _)
 
   val oracles: Map[String, String] = Map(
+    "q_union_byname" -> """
+      SELECT * FROM (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderstatus = 'O'
+      ) ORDER BY o_orderkey""",
     "q_median" -> """
       WITH ranked AS (
         SELECT o_orderstatus, o_totalprice,

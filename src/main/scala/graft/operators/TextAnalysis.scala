@@ -127,16 +127,54 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance similarity on known near-dup pairs (each doc vs its
+    * truncated copy — the Dedup corpus construction): levenshtein is
+    * the character-level check a pipeline runs on candidate pairs after
+    * cheap filters. Unit-cost edit distance is algorithm-identical in
+    * both engines → exact oracle.
+    */
+  def txEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val a = d.select(col("doc_id"), col("text").as("text_a"))
+    val b = d.select(col("doc_id"),
+      expr("substr(text, 1, CAST(greatest(n_chars - 15, 20) AS INT))")
+        .as("text_b"))
+    a.join(b, "doc_id")
+      .select(
+        col("doc_id"),
+        levenshtein(col("text_a"), col("text_b")).cast("long")
+          .as("edit_distance"),
+        (lit(1.0) - levenshtein(col("text_a"), col("text_b"))
+          .cast("double") /
+          greatest(length(col("text_a")), length(col("text_b")))
+            .cast("double")).as("similarity"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> txLangid _,
     "tx_quality" -> txQuality _,
     "tx_tokens" -> txTokens _,
-    "tx_fingerprint" -> txFingerprint _)
+    "tx_fingerprint" -> txFingerprint _,
+    "tx_editdist" -> txEditDistance _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_editdist" -> """
+      WITH pairs AS (
+        SELECT doc_id, text AS text_a,
+               substr(text, 1, CAST(greatest(n_chars - 15, 20) AS INT))
+                 AS text_b
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+             1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE) /
+               CAST(greatest(length(text_a), length(text_b)) AS DOUBLE)
+               AS similarity
+      FROM pairs ORDER BY doc_id""",
     "tx_langid" -> s"""
       WITH scored AS (
         SELECT doc_id, lang,
