@@ -19,6 +19,10 @@ import scala.jdk.CollectionConverters._
   *     models/<name>.meta           optional "key=value" lines
   *                                  (tags=a,b  incremental=true
   *                                   incremental_strategy=merge ...)
+  *     models/<name>.tests          optional test lines (the schema.yml
+  *                                  analogue): `not_null <col>`,
+  *                                  `unique <col>`,
+  *                                  `relationship <col> <model> <col>`
   *     sources.conf                 srcName table path [format]
   * }}}
   */
@@ -58,6 +62,8 @@ object Project {
           .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
         incremental = meta.get("incremental").contains("true"),
         meta = meta -- Seq("tags", "incremental")))
+      readTests(modelsDir.resolve(s"$name.tests"), name)
+        .foreach(registry.registerTest)
     }
 
     val sourcesFile = Paths.get(projectDir, "sources.conf")
@@ -73,6 +79,22 @@ object Project {
     }
     registry
   }
+
+  private def readTests(p: Path, model: String): Seq[TestDef] =
+    if (Files.exists(p))
+      Files.readAllLines(p).asScala.toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          line.split("\\s+").toSeq match {
+            case Seq("not_null", c) => Tests.notNull(model, c)
+            case Seq("unique", c) => Tests.unique(model, c)
+            case Seq("relationship", c, refModel, refCol) =>
+              Tests.relationship(model, c, refModel, refCol)
+            case other => throw new IllegalArgumentException(
+              s"bad test line in $p: $line")
+          }
+        }
+    else Nil
 
   private def readMeta(p: Path): Map[String, String] =
     if (Files.exists(p))

@@ -34,6 +34,40 @@ class ProjectSpec extends AnyFunSuite {
       .toSet == Set(("warehouse", "orders"), ("warehouse", "customer")))
   }
 
+  test("project-declared tests load and run, promoting status to tested") {
+    val storage = Files.createTempDirectory("graft-proj-t").toString
+    val registry = Project.load("examples/jaffle", storage)
+    assert(registry.testsFor("customer_orders").map(_.name).toSet ==
+      Set("not_null_customer_orders_customer_id",
+        "unique_customer_orders_customer_id",
+        "relationships_customer_orders_customer_id__stg_orders"))
+    val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+    assert(Runner.run(api, Runner.RunConfig(
+      select = Seq("+customer_orders"))) == 0)
+    assert(registry.status("customer_orders") == Status.Tested)
+  }
+
+  test("executeSql on an unmaterialized ref fails with a clear error") {
+    val storage = Files.createTempDirectory("graft-proj-e").toString
+    val registry = Project.load("examples/jaffle", storage)
+    val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+    val e = intercept[IllegalStateException] {
+      api.executeSql("SELECT * FROM {{ ref('customer_orders') }}")
+    }
+    assert(e.getMessage.contains("not materialized"))
+  }
+
+  test("bad test line is rejected at load") {
+    val dir = Files.createTempDirectory("graft-badproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/m.sql"), "SELECT 1 AS x")
+    Files.writeString(dir.resolve("models/m.tests"), "bogus x y z")
+    intercept[IllegalArgumentException] {
+      Project.load(dir.toString,
+        Files.createTempDirectory("graft-badproj-s").toString)
+    }
+  }
+
   test("loaded project runs end-to-end with selection") {
     val storage = Files.createTempDirectory("graft-proj-run").toString
     val registry = Project.load("examples/jaffle", storage)
