@@ -14,8 +14,8 @@ object SparkEntry {
 
   /** Every implemented operator pack. Order is presentation-only. */
   def packs: Seq[QueryPack] = Seq(Relational, Relational2, Relational3,
-    Joins2, Analytics, EventWindows, TextAnalysis, Dedup, Similarity,
-    Multimodal)
+    Joins2, Analytics, EventWindows, TextAnalysis, Curation, Dedup,
+    Similarity, Multimodal)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.
