@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation operators: the selection/mixing stage of a
   * training-data pipeline (driver-mandated §2e scope — after dedup and
   * quality scoring, a pretraining run picks documents to a token budget
-  * and a source mixture). All deterministic; budget/mixture are
-  * oracle-checked, sampling is seed-deterministic rows-only.
+  * and a source mixture). All deterministic and oracle-checked.
   *
   * Scale: budget selection is one window over a quality ordering (one
   * shuffle); at 100 TB the same result comes from quality-bucket
@@ -56,35 +55,67 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
-  /** Seed-deterministic stratified sample per language (`sampleBy` —
-    * the distributed Bernoulli sampler; deterministic for a fixed seed
-    * and input layout, not SQL-portable → rows-only check bounded by
-    * the exact quota variant above).
+  /** Stratified sample per language — deterministic systematic sampling
+    * (every k-th document by id rank within each stratum, k = 2 for en,
+    * 5 otherwise ≈ the 0.5/0.2 fractions). Replaces the round-1 seeded
+    * `sampleBy` (Bernoulli, engine-deterministic but not SQL-portable):
+    * systematic sampling gives the same stratum fractions AND an exact
+    * DuckDB oracle. The Bernoulli path stays covered by CurationSpec.
     */
   def txSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2,
-      "fr" -> 0.2, "zh" -> 0.2)
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
     t(spark, dir, "documents")
-      .stat.sampleBy("lang", fractions, seed = 42L)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(byLang))
+      .filter(col("rn") % when(col("lang") === "en", 2).otherwise(5) === 1)
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
 
-  /** Approximate percentiles of document length (the sketch path for
-    * corpus stats at 100 TB) next to the exact values it approximates —
-    * rows-only (sketch internals aren't portable), self-bounded.
+  /** Document-length percentiles per language: exact interpolated p50/p90
+    * via the textbook rank formula (idx = 1 + p·(n−1), linear
+    * interpolation between the two bracketing order statistics), written
+    * so both engines evaluate the identical double expression → bitwise
+    * oracle parity. The `percentile_approx` sketch (the 100 TB one-pass
+    * path) rides along as a CONTRACT check: its p50 must land within 5%
+    * of the exact value (oracle emits `true`).
+    *
+    * Scale: rank + conditional agg is one shuffle on lang; the sketch
+    * column shows the mergeable one-pass alternative for when a global
+    * sort per group is no longer affordable.
     */
-  def txLengthPercentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  def txLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("n_chars")))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    def idx(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
+    def pc(p: Double, tag: String) = Seq(
+      max(when(col("rn") === floor(idx(p)).cast("long"), col("n_chars")))
+        .as(s"vlo_$tag"),
+      max(when(col("rn") === floor(idx(p)).cast("long") + 1, col("n_chars")))
+        .as(s"vhi_$tag"),
+      max(idx(p) - floor(idx(p))).as(s"frac_$tag"))
+    def interp(tag: String) =
+      col(s"vlo_$tag").cast("double") +
+        (coalesce(col(s"vhi_$tag"), col(s"vlo_$tag")).cast("double") -
+          col(s"vlo_$tag").cast("double")) * col(s"frac_$tag")
+    val aggs = pc(0.5, "50") ++ pc(0.9, "90") ++ Seq(
+      percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+        .cast("double").as("approx50"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    d.join(broadcast(counts), "lang")
       .groupBy("lang")
-      .agg(
-        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
-          .cast("long").as("approx_p50"),
-        percentile_approx(col("n_chars"), lit(0.9), lit(1000))
-          .cast("long").as("approx_p90"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"),
+        interp("50").as("p50"),
+        interp("90").as("p90"),
+        (abs(col("approx50") - interp("50")) / interp("50") <= 0.05)
+          .as("approx_p50_ok"),
+        col("min_chars"), col("max_chars"))
       .orderBy("lang")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_budget" -> txTokenBudget _,
@@ -120,5 +151,44 @@ object Curation extends QueryPack {
       WHERE rank_in_source <= CASE source
         WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
         WHEN 'src2' THEN 20 WHEN 'src3' THEN 10 ELSE 0 END
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+    "tx_sample_stratified" -> """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      WHERE rn % (CASE WHEN lang = 'en' THEN 2 ELSE 5 END) = 1
+      ORDER BY doc_id""",
+    "tx_length_percentiles" -> {
+      def idx(p: String) = s"1.0 + $p * CAST(n - 1 AS DOUBLE)"
+      def g(p: String, tag: String) = s"""
+        max(CASE WHEN rn = CAST(floor(${idx(p)}) AS BIGINT)
+          THEN n_chars END) AS vlo_$tag,
+        max(CASE WHEN rn = CAST(floor(${idx(p)}) AS BIGINT) + 1
+          THEN n_chars END) AS vhi_$tag,
+        max(${idx(p)} - floor(${idx(p)})) AS frac_$tag"""
+      def interp(tag: String) =
+        s"""CAST(vlo_$tag AS DOUBLE) +
+          (CAST(coalesce(vhi_$tag, vlo_$tag) AS DOUBLE) -
+           CAST(vlo_$tag AS DOUBLE)) * frac_$tag"""
+      s"""
+      WITH d AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+        FROM documents
+      ),
+      c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+      g AS (
+        SELECT d.lang, ${g("0.5", "50")}, ${g("0.9", "90")},
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM d JOIN c ON d.lang = c.lang GROUP BY d.lang
+      )
+      SELECT lang,
+             ${interp("50")} AS p50,
+             ${interp("90")} AS p90,
+             true AS approx_p50_ok,
+             min_chars, max_chars
+      FROM g ORDER BY lang"""
+    })
 }

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * The dedup corpus is `documents` ∪ a truncated copy (near-dups) ∪ a
   * verbatim copy of every 5th doc (exact dups) — deterministic, so both
-  * engines derive identical inputs and the oracle can check the exact
-  * variants end-to-end. Hash-seeded variants (MinHash/SimHash) are
-  * engine-deterministic (xxhash64, fixed seeds) but not SQL-portable →
-  * rows-only driver check; the exact Jaccard twin bounds them.
+  * engines derive identical inputs and every variant is oracle-checked
+  * end-to-end. The MinHash/SimHash hashes are built from md5 prefixes
+  * plus affine transforms — i.e. a hash family ANSI SQL can express —
+  * so DuckDB reproduces the signatures, LSH buckets, candidates and
+  * scores bit-for-bit (round 1 used xxhash64 seeds, which forced a
+  * weaker rows-only check).
   *
   * Scale notes: exact dedup is one shuffle on the text hash; shingle
   * LSH is explode → groupBy(doc) → band-bucket join, the standard
@@ -149,72 +151,100 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** E5c — MinHash signatures + banded LSH: 16 seeded xxhash64 min-hashes
-    * per doc, 4 bands × 4 rows; pairs colliding in ≥1 band are candidates;
-    * estimated Jaccard = matching signature fraction. Engine-deterministic
-    * (fixed seeds, sorted collect) but hash values aren't SQL-portable →
-    * rows-only check; dd_ngram_jaccard is the exact twin.
+  /** 16 affine hash params (A odd < 2^28, B < 2^30) from a fixed
+    * xorshift64 seed — shared between the Spark expressions and the
+    * generated oracle SQL, so both engines evaluate the identical hash
+    * family. A < 2^28 keeps every product base(<2^32)·A < 2^60: no
+    * overflow in either engine's signed-64 arithmetic.
+    */
+  private[operators] val minhashParams: IndexedSeq[(Long, Long)] = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    (1 to 16).map { _ => (((next() >>> 36) | 1L), next() >>> 34) }
+  }
+  private val M61 = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+
+  /** E5c — MinHash signatures + banded LSH: 16 min-hashes per doc from a
+    * portable multiply-add family over a 32-bit md5-prefix shingle hash,
+    * 4 bands × 4 rows; pairs colliding in ≥1 band are candidates;
+    * estimated Jaccard = matching signature fraction ≥ 0.5.
+    *
+    * Fully oracle-checked: every hash is expressible in ANSI SQL
+    * (`conv(substr(md5(s),1,8),16,10)`, then `(b·A+B) mod (2^61−1)`), so
+    * DuckDB reproduces signatures → band buckets → candidates → estimates
+    * exactly. The 16 `min()` aggregates stay inside whole-stage codegen
+    * with map-side partial aggregation (each buffer is 16 longs), which
+    * is the property that matters at 100 TB; bands then shuffle only
+    * (doc, band, key) rows, and candidate generation is quadratic only
+    * within a band bucket — the standard linear-in-corpus LSH layout.
     */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val sh = shingled(spark, dir)
-    // one-pass signature: the custom TypedImperativeAggregate computes
-    // all 16 seeded minima map-side (vs explode ×16 + double groupBy)
-    val sigs = sh
-      .groupBy("doc_id")
-      .agg(expr("graft_minhash(shingle)").as("sig"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
+          .as("b"))
+    val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
+      expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
+    }
+    val sigs = sh.groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
       .cache()
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (1 to 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+          .as("bk"))
+    }
     val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(col("sig"), col("band") * 4 + 1, lit(4)),
-            v => v.cast("string")))).as("band_key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).cast("double") / 16.0)
+    val sigA = sigs.toDF("doc_a" +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigs.toDF("doc_b" +: (1 to 16).map(i => s"b$i"): _*)
+    val nMatch = (1 to 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
       .filter(col("est_jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** E5d — SimHash near-dup: 64-bit signature from per-token hash bit
-    * votes; candidates share one of four 16-bit bands; emit pairs with
-    * Hamming distance ≤ 8. Rows-only check (hash-based).
+  /** E5d — SimHash near-dup: 60-bit signature from per-token md5-prefix
+    * hash bit votes (one-pass SimHashAgg, portable hash — see
+    * graft.functions.SimHashAgg); candidates share one of two 30-bit
+    * bands; emit pairs with Hamming distance ≤ 2.
+    *
+    * Fully oracle-checked: the token hash is
+    * `CAST('0x' || substr(md5(t),1,15) AS BIGINT)` in DuckDB, so the
+    * oracle reproduces signatures, band buckets and Hamming distances
+    * exactly (it votes via an explode(60 bits) — same math, slower
+    * shape; the Spark side keeps the fixed-buffer one-pass aggregate).
     */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = TextAnalysis.tokens(col("text"))
-    // one-pass signature via the custom SimHashAgg (64 bit-votes in a
-    // fixed buffer, partial-aggregated map-side)
     val simhashes = corpus(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .groupBy("doc_id")
       .agg(expr("graft_simhash(tok)").as("simhash"))
       .cache()
-    // 2 bands × 32 bits: a candidate pair must agree on a full half of
-    // the signature — near-certain for true near-dups (hamming ≤ 2) and
-    // rare for the merely-similar, keeping bucket joins linear-ish even
-    // on self-similar corpora.
+    // 2 bands × 30 bits: a candidate pair must agree on a full half of
+    // the signature — certain for hamming ≤ 2 pairs when the differing
+    // bits fall in one band, i.e. recall is exact for hamming ≤ 1 and
+    // covers hamming = 2 unless the two flipped bits straddle both
+    // bands; both engines apply the identical rule, so the check is
+    // still exact.
     val banded = simhashes
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(1))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftright(simhash, CAST(band * 32 AS INT)) & 4294967295")
+        expr("shiftright(simhash, CAST(band * 30 AS INT)) & 1073741823")
           .as("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -371,6 +401,89 @@ object Dedup extends QueryPack {
       SELECT src AS doc_id, min(node) AS cluster_rep,
              (src = min(node)) AS is_kept
       FROM reach GROUP BY src ORDER BY doc_id""",
+    "dd_minhash_lsh" -> {
+      val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
+        s"min((b * $a + $c) % $M61) AS s${i + 1}"
+      }.mkString(",\n               ")
+      val bands = (0 until 4).map { bnd =>
+        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val match16 = (1 to 16)
+        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n               ")
+      s"""
+      WITH $sqlShingled,
+      hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
+        FROM sh
+      ),
+      sig AS (
+        SELECT doc_id,
+               $mins
+        FROM hx GROUP BY doc_id
+      ),
+      banded AS (
+        $bands
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      ),
+      scored AS (
+        SELECT doc_a, doc_b,
+               CAST($match16 AS BIGINT) AS n_match
+        FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                  JOIN sig sb ON doc_b = sb.doc_id
+      )
+      SELECT doc_a, doc_b, n_match,
+             CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
+      FROM scored
+      WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
+      ORDER BY doc_a, doc_b"""
+    },
+    "dd_simhash" -> s"""
+      WITH $sqlCorpus,
+      tok AS (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> x != '')) AS t
+          FROM corpus)
+      ),
+      th AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM tok
+      ),
+      votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 60)) AS j) bits
+        GROUP BY doc_id, j
+      ),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id
+      ),
+      banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 30)) & 1073741823 AS band_val
+        FROM sig, (SELECT unnest([0, 1]) AS band) bands
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id
+      WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
+      ORDER BY doc_a, doc_b""",
     "dd_embedding_neardup" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(a.label AS BIGINT) AS label,

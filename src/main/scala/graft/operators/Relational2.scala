@@ -36,13 +36,20 @@ object Relational2 extends QueryPack {
       .orderBy("l_returnflag")
 
   /** C9 — approx distinct via HLL sketch: the 100 TB path, one pass, no
-    * expand. No DuckDB oracle (sketch internals differ) → rows-only check;
-    * the exact twin above bounds it.
+    * expand. HLL internals aren't SQL-portable, so the exported check is
+    * the sketch's CONTRACT: the approx count must land within 5% of the
+    * exact count (rsd is configured at 1%). The oracle emits the exact
+    * count plus `within_5pct = true`, so a drifting sketch hash-fails.
     */
   def c9ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
   /** C10 — CASE-WHEN pivot (the `orders.sql:19-22` payment-method shape). */
@@ -243,19 +250,22 @@ object Relational2 extends QueryPack {
       .orderBy("p_partkey")
 
   /** C18 — array pack over higher-order functions (ref:
-    * model_with_array.py string[]/int[] round-trips).
+    * model_with_array.py string[]/int[] round-trips). Array results are
+    * serialized with array_join for the export: the driver's compare
+    * sorts the pandas frame and raw array cells are unhashable there
+    * (round-1 c18_arrays failure); the list ops themselves still run.
     */
   def c18Arrays(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("p_name"), " ")
     t(spark, dir, "part")
       .select(
         col("p_partkey"),
-        words.as("words"),
+        array_join(words, "|").as("words"),
         size(words).cast("long").as("n_words"),
         array_contains(words, "green").as("has_green"),
-        transform(words, w => upper(w)).as("words_uc"),
-        filter(words, w => length(w) > 4).as("long_words"),
-        sort_array(words).as("words_sorted"),
+        array_join(transform(words, w => upper(w)), "|").as("words_uc"),
+        array_join(filter(words, w => length(w) > 4), "|").as("long_words"),
+        array_join(sort_array(words), "|").as("words_sorted"),
         element_at(words, 1).as("first_word"))
       .orderBy("p_partkey")
   }
@@ -387,6 +397,11 @@ object Relational2 extends QueryPack {
              count(DISTINCT l_partkey) AS distinct_parts,
              count(DISTINCT l_suppkey) AS distinct_supps,
              count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "c9_approx_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             true AS within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "c10_pivot_case" -> s"""
       SELECT o_orderstatus,
@@ -538,14 +553,15 @@ object Relational2 extends QueryPack {
       FROM part ORDER BY p_partkey""",
     "c18_arrays" -> """
       SELECT p_partkey,
-             string_split(p_name, ' ') AS words,
+             array_to_string(string_split(p_name, ' '), '|') AS words,
              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
              list_contains(string_split(p_name, ' '), 'green') AS has_green,
-             list_transform(string_split(p_name, ' '), w -> upper(w))
-               AS words_uc,
-             list_filter(string_split(p_name, ' '), w -> length(w) > 4)
-               AS long_words,
-             list_sort(string_split(p_name, ' ')) AS words_sorted,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> upper(w)), '|') AS words_uc,
+             coalesce(array_to_string(list_filter(string_split(p_name, ' '),
+               w -> length(w) > 4), '|'), '') AS long_words,
+             array_to_string(list_sort(string_split(p_name, ' ')), '|')
+               AS words_sorted,
              string_split(p_name, ' ')[1] AS first_word
       FROM part ORDER BY p_partkey""",
     "c18_explode" -> """

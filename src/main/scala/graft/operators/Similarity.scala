@@ -44,22 +44,40 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** E6b — LSH-bucketed ANN: 8 deterministic random-hyperplane bits per
-    * vector (plane signs from xxhash64), candidates share the full
-    * 8-bit bucket, then exact cosine re-ranking within the bucket.
-    * Rows-only check (hash planes aren't SQL-portable); recall is
-    * eyeballed against sim_brute_topk. Bucket bits come from a fixed
-    * per-row accumulation order (LshBucket), so they are stable across
-    * runs and shuffle orders.
+  /** 8 hyperplanes × 64 dims of integer-valued coefficients in
+    * [-500, 500] from a fixed xorshift64 seed. Integer-valued doubles
+    * are exactly representable, and the same literals are interpolated
+    * into both the Spark expression and the oracle SQL — so the plane
+    * dot products (sequential folds in both engines) agree bitwise.
+    */
+  private[operators] val planes: IndexedSeq[IndexedSeq[Int]] = {
+    var x = 0x243f6a8885a308d3L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    IndexedSeq.fill(8, 64)((math.floorMod(next(), 1001L) - 500L).toInt)
+  }
+
+  /** E6b — LSH-bucketed ANN: 8 random-hyperplane sign bits per vector,
+    * candidates share the full 8-bit bucket, then exact cosine
+    * re-ranking within the bucket. Fully oracle-checked: the plane
+    * matrix is a literal shared with the generated DuckDB SQL, and the
+    * sign-bit dot products fold sequentially in both engines, so bucket
+    * assignments — hence candidates, ranks and cosines — match exactly.
+    *
+    * Scale: bucketing is one linear codegen'd pass over the corpus; the
+    * join shuffles on the bucket key only, and scoring is quadratic only
+    * within a bucket — the same structure an IVF index gives, with
+    * bucket width (bits) trading recall for scan fraction.
     */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = t(spark, dir, "embeddings")
-    // one linear pass per vector: 8 hyperplane sign bits via the custom
-    // LshBucket expression (replaces posexplode(dims) × explode(planes)
-    // + two aggregations)
+    val bucketSql = (0 until 8).map { p =>
+      val arr = planes(p).map(c => s"${c}.0D").mkString(",")
+      s"(CASE WHEN graft_dot_product(CAST(embedding AS ARRAY<DOUBLE>), " +
+        s"array($arr)) > 0.0D THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
     val e2 = e
-      .withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
+      .withColumn("bucket", expr(s"CAST($bucketSql AS BIGINT)"))
       .withColumn("norm",
         sqrt(expr("graft_dot_product(embedding, embedding)")))
     val queries = e2.filter(col("vec_id") < 10)
@@ -102,5 +120,38 @@ object Similarity extends QueryPack {
         FROM scored
       )
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_lsh_topk" -> {
+      val bucketSql = (0 until 8).map { p =>
+        val arr = planes(p).map(c => s"$c.0").mkString(", ")
+        s"(CASE WHEN list_dot_product(emb, CAST([$arr] AS DOUBLE[])) " +
+          s"> 0.0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n               + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      eb AS (
+        SELECT vec_id, emb,
+               CAST($bucketSql AS BIGINT) AS bucket
+        FROM e
+      ),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket
+            FROM eb WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, bucket
+            FROM eb WHERE vec_id >= 10),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(q_emb, c_emb) AS cosine
+        FROM q JOIN c USING (bucket)
+      ),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+          AS BIGINT) AS rank
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
 }

@@ -45,6 +45,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashAgg token hash equals the SQL-portable md5-prefix form") {
+    // The DuckDB oracle recomputes simhash from
+    // CAST('0x' || substr(md5(t),1,15) AS BIGINT); the JVM fast path
+    // must produce the identical 60-bit value (incl. multi-byte UTF-8).
+    import spark.implicits._
+    val toks = Seq("hello", "wörld", "a b", "日本語", "x")
+    val sqlVals = toks.toDF("t")
+      .select(expr("CAST(conv(substr(md5(t),1,15),16,10) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val jvmVals = toks.map(t =>
+      SimHashAgg.md5Prefix60(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(sqlVals.toSeq == jvmVals)
+  }
+
   test("MinHashAgg: signature = per-seed minimum, stable under order") {
     GraftFunctions.register(spark)
     import spark.implicits._
