@@ -29,8 +29,14 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` queries (the
     * `execute_sql` surface, SURVEY.md §2a A7) can name them directly.
-    * Idempotent; views are lazy (no data motion).
+    * Views are lazy (no data motion), but each registration still reads
+    * parquet footers for schema inference — so registration is memoized
+    * per (session, dir) instead of paying ~10 footer reads per query.
     */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.put(spark, dir) != dir)
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

