@@ -48,6 +48,7 @@ final class Registry(val root: String) {
   def model(name: String): ModelDef =
     models.getOrElse(name,
       throw new NoSuchElementException(s"model not found: $name"))
+  def modelOpt(name: String): Option[ModelDef] = models.get(name)
   def source(sourceName: String, tableName: String): SourceDef =
     sources.getOrElse((sourceName, tableName),
       throw new NoSuchElementException(

@@ -99,9 +99,64 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** E6c — IVF-style ANN (the other standard 100 TB path next to LSH):
+    * 8 coarse centroids sampled deterministically from the corpus
+    * (vec_id ≥ 10, vec_id % 59 = 0, lowest 8 — sampled centroids, no
+    * Lloyd iterations, so assignment stays bitwise portable), every
+    * vector assigned to its max-cosine cell, queries probe their 2
+    * nearest cells, exact cosine re-rank within the probed cells.
+    *
+    * Fully oracle-checked: centroid choice, assignments, probes and
+    * re-ranks are all sequential-fold cosine + row_number — DuckDB
+    * replays them exactly.
+    *
+    * Scale: centroid scoring is a broadcast nested loop (K·N dot
+    * products, one linear pass); the candidate join shuffles on the
+    * cell id only; scan fraction ≈ nprobe/K of the corpus per query.
+    * At 100 TB, K grows to ~√N and centroids come from k-means — the
+    * plan shape (assign → cell join → windowed top-k) is unchanged.
+    */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = t(spark, dir, "embeddings")
+      .withColumn("norm",
+        sqrt(expr("graft_dot_product(embedding, embedding)")))
+    val cents = e
+      .filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
+      .orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("cos_c",
+        expr("graft_dot_product(embedding, cent_emb)") /
+          (col("norm") * col("cent_norm")))
+      .withColumn("crank", row_number().over(byVec))
+    val corpusCells = assigned.filter(col("vec_id") >= 10 && col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"),
+        col("cent_id").as("cell"))
+    val queryCells = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        col("cent_id").as("cell"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .withColumn("cosine",
+        expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> simBruteTopk _,
-    "sim_lsh_topk" -> simLshTopk _)
+    "sim_lsh_topk" -> simLshTopk _,
+    "sim_ivf_topk" -> simIvfTopk _)
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" -> """
@@ -153,5 +208,45 @@ object Similarity extends QueryPack {
       )
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank"""
-    })
+    },
+    "sim_ivf_topk" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+        WHERE vec_id >= 10 AND vec_id % 59 = 0
+        ORDER BY vec_id LIMIT 8
+      ),
+      scored AS (
+        SELECT e.vec_id, e.emb, cent_id,
+               list_cosine_similarity(emb, cent_emb) AS cos_c
+        FROM e, cents
+      ),
+      assigned AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS crank
+        FROM scored
+      ),
+      corpus AS (
+        SELECT vec_id AS neighbor_id, emb AS c_emb, cent_id AS cell
+        FROM assigned WHERE vec_id >= 10 AND crank = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, emb AS q_emb, cent_id AS cell
+        FROM assigned WHERE vec_id < 10 AND crank <= 2
+      ),
+      sc AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(q_emb, c_emb) AS cosine
+        FROM corpus JOIN q USING (cell)
+      ),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+          AS BIGINT) AS rank
+        FROM sc
+      )
+      SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
 }

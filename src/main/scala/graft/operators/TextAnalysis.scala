@@ -127,6 +127,51 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Repetition-ratio quality gate (the Gopher-style duplicate-n-gram
+    * filter): fraction of a document's word 3-grams that repeat an
+    * earlier 3-gram; curation drops documents above the threshold.
+    * Map-only per row — no shuffle until the final presentation sort.
+    */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("w")) - 2), i =>
+          concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))).as("g3"))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") /
+          col("n_3grams").cast("double"))
+      .withColumn("repetitive", col("rep_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Scrub/normalize stage: drop the match lexicon from each document
+    * and emit the cleaned text plus removal counts — the exact plumbing
+    * of a PII-redaction pass (match class → drop/replace), exercised
+    * with a lexicon (en stopwords) the synthetic corpus actually hits.
+    */
+  def txScrub(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def kept(c: Column) =
+      filter(c, w => !w.isin(stopwords("en").map(x => x: Any): _*))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        array_join(kept(col("w")), " ").as("cleaned"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(kept(col("w")))).cast("long")
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance similarity on known near-dup pairs (each doc vs its
     * truncated copy — the Dedup corpus construction): levenshtein is
     * the character-level check a pipeline runs on candidate pairs after
@@ -156,7 +201,9 @@ object TextAnalysis extends QueryPack {
     "tx_quality" -> txQuality _,
     "tx_tokens" -> txTokens _,
     "tx_fingerprint" -> txFingerprint _,
-    "tx_editdist" -> txEditDistance _)
+    "tx_editdist" -> txEditDistance _,
+    "tx_repetition" -> txRepetition _,
+    "tx_scrub" -> txScrub _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
@@ -238,5 +285,33 @@ object TextAnalysis extends QueryPack {
                    c -> CAST(ascii(c) AS BIGINT))),
                (acc, code) -> (acc * 31 + code) % 1000000007)
                AS rolling_hash
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "tx_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        FROM toks WHERE len(w) >= 3
+      )
+      SELECT doc_id,
+             CAST(len(g3) AS BIGINT) AS n_3grams,
+             CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+             1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) /
+               CAST(len(g3) AS DOUBLE) AS rep_ratio,
+             (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) /
+               CAST(len(g3) AS DOUBLE)) > 0.2 AS repetitive
+      FROM g ORDER BY doc_id""",
+    "tx_scrub" -> {
+      val list = stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents)
+      SELECT doc_id,
+             coalesce(array_to_string(
+               list_filter(w, t -> t NOT IN ($list)), ' '), '') AS cleaned,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(w) - len(list_filter(w, t -> t NOT IN ($list)))
+               AS BIGINT) AS n_removed
+      FROM toks ORDER BY doc_id"""
+    })
 }

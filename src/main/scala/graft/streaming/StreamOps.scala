@@ -71,6 +71,26 @@ object StreamOps {
       }
   }
 
+  /** File-to-file pipeline: parquet source directory → stateful dedup →
+    * parquet file sink with a checkpoint. This is the production layout
+    * beyond the in-memory demo sink: the checkpoint makes restarts
+    * resume exactly where they stopped, and the sink's _spark_metadata
+    * commit log admits only committed files — together, exactly-once
+    * output across failures (StreamOpsSpec drives a kill-and-restart).
+    */
+  def fileSinkPipeline(spark: SparkSession, sourceDir: String,
+      sinkDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    dedupedByEventId(stream)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Demo wiring: stream the events parquet as micro-batches into an
     * in-memory sink (usable from spark-shell; the specs drive the same
     * transforms through MemoryStream).

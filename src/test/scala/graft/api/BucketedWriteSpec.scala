@@ -1,0 +1,65 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The write-path half of the bucketing story: a model whose meta
+  * declares `bucket_by` materializes as a bucketed table version, and
+  * `ref` joins between co-bucketed models plan WITHOUT a shuffle
+  * exchange (BucketedJoinSpec proves the raw plan property; this spec
+  * proves the registry wiring — write, pointer swap, re-resolution).
+  */
+class BucketedWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucket_by meta gives shuffle-free ref-to-ref joins across versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bw").toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    reg.register(ModelDef("bw_orders", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+    reg.register(ModelDef("bw_lines", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+
+    api.writeToModel((1L to 500L).map(i => (i, s"o$i")).toDF("key", "o"),
+      "bw_orders")
+    api.writeToModel(
+      (1L to 2500L).map(i => (i % 500 + 1, s"l$i")).toDF("key", "l"),
+      "bw_lines")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = api.ref("bw_orders").join(api.ref("bw_lines"), "key")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed ref join should not shuffle:\n$plan")
+      assert(j.count() == 2500)
+
+      // overwrite makes a new bucketed version; ref follows the pointer
+      api.writeToModel((1L to 600L).map(i => (i, s"n$i")).toDF("key", "o"),
+        "bw_orders")
+      val j2 = api.ref("bw_orders").join(api.ref("bw_lines"), "key")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(api.ref("bw_orders").count() == 600)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("writes report output-file skew stats in the ledger") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_skew").toString
+    val reg = new Registry(root)
+    val ledger = new RunLedger
+    val api = new FalApi(spark, reg, ledger)
+    api.writeToModel(
+      (1L to 100L).map(i => (i, i * 2)).toDF("k", "v").repartition(4),
+      "skewed")
+    val detail = ledger.all.find(_.node == "skewed").get.detail
+    assert(detail.contains("files=") && detail.contains("maxBytes="),
+      s"expected skew stats in ledger detail, got: $detail")
+  }
+}

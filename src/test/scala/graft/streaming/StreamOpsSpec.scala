@@ -96,4 +96,43 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(byUser(20L).getDouble(2) == 9.0)
     } finally q.stop()
   }
+
+  test("file-sink pipeline dedups exactly-once across a restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fs")
+    val (src, sink, chk) = (s"$base/src", s"$base/sink", s"$base/chk")
+    val schema = Seq.empty[Event].toDS().schema
+    def arrive(events: Event*): Unit =
+      events.toDS().write.mode("append").parquet(src)
+    def sinkIds(): Set[Long] =
+      spark.read.schema(schema).parquet(sink)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+
+    arrive(Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 2.0),
+      Event(1, ts(3), 10, "click", 1.0)) // duplicate id 1
+    val q1 = fileSinkPipeline(spark, src, sink, chk, schema)
+    try {
+      q1.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L))
+      arrive(Event(2, ts(4), 20, "view", 3.0), // dup id 2, new batch
+        Event(3, ts(5), 20, "view", 4.0))
+      q1.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L, 3L))
+    } finally q1.stop()
+
+    // restart from the checkpoint: state (seen ids) survives, output
+    // files already committed are not re-emitted
+    val q2 = fileSinkPipeline(spark, src, sink, chk, schema)
+    try {
+      arrive(Event(3, ts(6), 30, "view", 5.0), // dup across restart
+        Event(4, ts(7), 30, "view", 6.0))
+      q2.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L, 3L, 4L))
+      // exactly-once: each id appears exactly one time in the sink
+      val counts = spark.read.schema(schema).parquet(sink)
+        .groupBy("event_id").count().collect()
+      assert(counts.forall(_.getLong(1) == 1L))
+    } finally q2.stop()
+  }
 }
