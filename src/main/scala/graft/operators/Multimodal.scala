@@ -87,10 +87,71 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E8d — resize planning: letterbox every stub image to fit 224×224
+    * (scale = min over axes, floor to integer pixels, 3-byte pixels).
+    * This is the projection a resize stage computes per item before the
+    * pixel work; the pixel work itself belongs in the mapPartitions
+    * decode. Exact double division + floor → oracle-checked.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val w = (lit(64L) + expr("CAST(octet_length(text) AS BIGINT)") % 192L)
+    val h = (lit(64L) + expr("CAST(octet_length(text) AS BIGINT)") * 7L % 416L)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), w.as("width"), h.as("height"))
+      .withColumn("scale",
+        least(lit(224.0) / col("width").cast("double"),
+          lit(224.0) / col("height").cast("double")))
+      .select(col("doc_id"), col("width"), col("height"), col("scale"),
+        floor(col("width").cast("double") * col("scale")).cast("long")
+          .as("resized_w"),
+        floor(col("height").cast("double") * col("scale")).cast("long")
+          .as("resized_h"))
+      .withColumn("out_bytes", col("resized_w") * col("resized_h") * 3L)
+      .orderBy("doc_id")
+  }
+
+  /** Stub feature vector: 8 strided byte sums over the first 64 payload
+    * bytes. Integer-exact, so the norm is sqrt of an exact integer —
+    * bitwise portable without float-fold concerns.
+    */
+  final case class MediaEmbedding(doc_id: Long,
+      e0: Double, e1: Double, e2: Double, e3: Double,
+      e4: Double, e5: Double, e6: Double, e7: Double, norm: Double)
+
+  /** E8e — feature extraction over binary payloads (the embed step of a
+    * multimodal pipeline) as typed `mapPartitions`: same batch shape as
+    * the decode stub — a real model host loads weights once per
+    * partition and maps the iterator. Emits fixed-width embedding
+    * columns + an exact-integer-rooted norm, ready for the E6 ANN
+    * operators downstream.
+    */
+  def mmEmbedPartitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val v = new Array[Long](8)
+          var i = 0
+          val n = math.min(bytes.length, 64)
+          while (i < n) { v(i % 8) += (bytes(i) & 0xffL); i += 1 }
+          val sumSq = v.map(x => x * x).sum
+          MediaEmbedding(id, v(0).toDouble, v(1).toDouble, v(2).toDouble,
+            v(3).toDouble, v(4).toDouble, v(5).toDouble, v(6).toDouble,
+            v(7).toDouble, math.sqrt(sumSq.toDouble))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta _,
     "mm_frames" -> mmFrames _,
-    "mm_decode_partitions" -> mmDecodePartitions _)
+    "mm_decode_partitions" -> mmDecodePartitions _,
+    "mm_resize" -> mmResize _,
+    "mm_embed_partitions" -> mmEmbedPartitions _)
 
   val oracles: Map[String, String] = Map(
     "mm_decode_partitions" -> """
@@ -124,5 +185,48 @@ object Multimodal extends QueryPack {
         FROM documents
       )
       WHERE frame_no % 2 = 0
-      ORDER BY doc_id, frame_no""")
+      ORDER BY doc_id, frame_no""",
+    "mm_resize" -> """
+      WITH dims AS (
+        SELECT doc_id,
+               64 + CAST(octet_length(encode(text)) AS BIGINT) % 192
+                 AS width,
+               64 + CAST(octet_length(encode(text)) AS BIGINT) * 7 % 416
+                 AS height
+        FROM documents
+      ),
+      scaled AS (
+        SELECT doc_id, width, height,
+               least(224.0 / CAST(width AS DOUBLE),
+                     224.0 / CAST(height AS DOUBLE)) AS scale
+        FROM dims
+      )
+      SELECT doc_id, width, height, scale,
+             CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)
+               AS resized_w,
+             CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)
+               AS resized_h,
+             CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT) *
+             CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT) * 3
+               AS out_bytes
+      FROM scaled ORDER BY doc_id""",
+    "mm_embed_partitions" -> {
+      def lane(k: Int) =
+        s"""CAST(coalesce(list_sum(list_transform(
+          list_filter(range(1, least(length(text), 64) + 1),
+            p -> (p - 1) % 8 = $k),
+          p -> ascii(substr(text, p, 1)))), 0) AS BIGINT)"""
+      val lanes = (0 to 7).map(k => s"${lane(k)} AS v$k").mkString(",\n               ")
+      val sumSq = (0 to 7).map(k => s"v$k * v$k").mkString(" + ")
+      val outs = (0 to 7).map(k => s"CAST(v$k AS DOUBLE) AS e$k").mkString(", ")
+      s"""
+      WITH lanes AS (
+        SELECT doc_id,
+               $lanes
+        FROM documents
+      )
+      SELECT doc_id, $outs,
+             sqrt(CAST($sumSq AS DOUBLE)) AS norm
+      FROM lanes ORDER BY doc_id"""
+    })
 }

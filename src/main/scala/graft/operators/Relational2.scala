@@ -82,6 +82,19 @@ object Relational2 extends QueryPack {
       .withColumnRenamed("3-MEDIUM", "medium_amount")
       .orderBy("o_orderstatus")
 
+  /** C10 — unpivot/melt (the pivot inverse): wide metric columns to
+    * (key, metric, value) rows — the shape feature pipelines use to
+    * normalize heterogeneous per-entity metrics. Pure row-local
+    * Generate, no shuffle.
+    */
+  def c10Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   /** C11 — rollup with grouping id (subtotal rows keyed by gid). */
   def c11Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -164,6 +177,27 @@ object Relational2 extends QueryPack {
           .cast("double") /
           count(lit(1)).over(moving).cast("double")).as("moving_avg_qty"))
       .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** C12 — analytic value functions: ntile bucketing plus
+    * first/last/nth over the full-partition frame (explicit frame —
+    * the default RANGE..CURRENT frame makes last_value a footgun in
+    * every engine). Deterministic via the unique (date, orderkey)
+    * ordering.
+    */
+  def c12WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = byDate.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(byDate).cast("long").as("quartile"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** C13 — top-k: compiles to TakeOrderedAndProject — each partition keeps
@@ -376,6 +410,8 @@ object Relational2 extends QueryPack {
     "c11_grouping_sets" -> c11GroupingSets _,
     "c12_window_rank" -> c12WindowRank _,
     "c12_window_frames" -> c12WindowFrames _,
+    "c12_window_analytics" -> c12WindowAnalytics _,
+    "c10_unpivot" -> c10Unpivot _,
     "c13_topk" -> c13TopK _,
     "c14_setops" -> c14SetOps _,
     "c15_strings" -> c15Strings _,
@@ -492,6 +528,25 @@ object Relational2 extends QueryPack {
           AS moving_avg_qty
       FROM lineitem
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "c10_unpivot" -> """
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+      ORDER BY p_partkey, metric""",
+    "c12_window_analytics" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(ntile(4) OVER w_date AS BIGINT) AS quartile,
+        first_value(o_totalprice) OVER w_full AS first_price,
+        last_value(o_totalprice) OVER w_full AS last_price,
+        nth_value(o_totalprice, 2) OVER w_full AS second_price
+      FROM orders
+      WINDOW
+        w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
     "c13_topk" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice
       FROM lineitem
