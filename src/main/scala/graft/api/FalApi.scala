@@ -56,10 +56,13 @@ final class FalApi(
       }
     }
 
-  /** Materialize to a version dir: plain parquet, or — when the model
-    * declares bucketing — a bucketed external table named after the
-    * version (old versions keep their table until dropped, so readers
-    * of a stale pointer stay consistent).
+  /** Materialize to a version dir: plain parquet; directory-partitioned
+    * parquet when the model declares `partition_by` (readers with a
+    * filter on the partition column scan only matching directories —
+    * partition pruning, the first lever against a 100 TB full scan); or
+    * — when the model declares bucketing — a bucketed external table
+    * named after the version (old versions keep their table until
+    * dropped, so readers of a stale pointer stay consistent).
     */
   private def materialize(df: DataFrame, name: String, target: String)
       : Unit = bucketSpec(name) match {
@@ -74,7 +77,13 @@ final class FalApi(
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target, "_bucketed_table"), tbl)
     case None =>
-      df.write.mode("overwrite").parquet(target)
+      val partCols = registry.modelOpt(name)
+        .flatMap(_.meta.get("partition_by"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      if (partCols.nonEmpty)
+        df.write.mode("overwrite").partitionBy(partCols: _*).parquet(target)
+      else df.write.mode("overwrite").parquet(target)
   }
 
   /** Output-layout skew report from the written files' sizes — free
@@ -84,7 +93,7 @@ final class FalApi(
     */
   private def fileSkew(target: String): String = {
     import scala.jdk.CollectionConverters._
-    val sizes = java.nio.file.Files.list(java.nio.file.Paths.get(target))
+    val sizes = java.nio.file.Files.walk(java.nio.file.Paths.get(target))
       .iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(java.nio.file.Files.size(_)).toSeq

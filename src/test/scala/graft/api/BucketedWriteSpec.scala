@@ -49,6 +49,26 @@ class BucketedWriteSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("partition_by meta gives pruned scans through ref") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pw").toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    reg.register(ModelDef("pw_events", ModelKind.Sql("unused"),
+      meta = Map("partition_by" -> "day")))
+    api.writeToModel(
+      (1L to 300L).map(i => (i, s"d${i % 3}", i * 1.5)).toDF("id", "day", "v"),
+      "pw_events")
+    val q = api.ref("pw_events").filter($"day" === "d1")
+    val scan = q.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning),
+    // not as a post-scan row filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("day#"),
+      s"expected partition pruning in scan:\n$scan")
+    assert(q.count() == 100)
+    assert(api.ref("pw_events").count() == 300)
+  }
+
   test("writes report output-file skew stats in the ledger") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_skew").toString
