@@ -94,6 +94,51 @@ object Relational extends QueryPack {
     """)
   }
 
+  /** C5 — recursive CTE: the dbt_utils date-spine pattern (a generated
+    * calendar left-joined to daily order counts, zero-filled gaps).
+    * Spark 4 executes WITH RECURSIVE natively (iterative union under
+    * the default 100-level limit); DuckDB replays the same recursion.
+    */
+  def c5DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(s"""
+      WITH RECURSIVE spine(day) AS (
+        SELECT CAST(min(o_orderdate) AS DATE) FROM orders
+        UNION ALL
+        SELECT date_add(day, 1) FROM spine
+        WHERE day < date_add(
+          (SELECT CAST(min(o_orderdate) AS DATE) FROM orders), 89)
+      )
+      SELECT s.day, count(o.o_orderkey) AS n_orders
+      FROM spine s
+      LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
+      GROUP BY s.day ORDER BY s.day
+    """)
+  }
+
+  /** C7 — correlated subqueries: EXISTS / NOT EXISTS semi-join forms
+    * plus a correlated scalar count (Catalyst decorrelates all three
+    * into joins — the declarative way to get the semi/anti plans of
+    * c7_join_semi/anti from SQL).
+    */
+  def c7Exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(s"""
+      SELECT c.c_custkey, c.c_name,
+             (SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey)
+               AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderstatus = 'F'
+                          AND o_totalprice < 10000)
+      ORDER BY c.c_custkey
+    """)
+  }
+
   /** C6 — left equi-join + per-customer rollup: the jaffle `customers.sql`
     * shape (min/max/count/sum per customer) on the testdata. This is the
     * flagship `SparkEntry.entry` query (SURVEY.md §7 step 1).
@@ -189,7 +234,9 @@ object Relational extends QueryPack {
     "c3_filter" -> c3Filter _,
     "c4_cast" -> c4Cast _,
     "c5_cte" -> c5Cte _,
+    "c5_date_spine" -> c5DateSpine _,
     "c6_join_left" -> c6JoinLeft _,
+    "c7_exists" -> c7Exists _,
     "c7_join_inner" -> c7JoinInner _,
     "c7_join_semi" -> c7JoinSemi _,
     "c7_join_anti" -> c7JoinAnti _,
@@ -241,6 +288,31 @@ object Relational extends QueryPack {
       FROM customer c
       LEFT JOIN customer_orders co ON c.c_custkey = co.o_custkey
       LEFT JOIN customer_payments cp ON c.c_custkey = cp.o_custkey
+      ORDER BY c.c_custkey""",
+    "c5_date_spine" -> """
+      WITH RECURSIVE spine(day) AS (
+        SELECT CAST(min(o_orderdate) AS DATE) FROM orders
+        UNION ALL
+        SELECT day + 1 FROM spine
+        WHERE day < (SELECT CAST(min(o_orderdate) AS DATE) FROM orders)
+                    + 89
+      )
+      SELECT s.day, count(o.o_orderkey) AS n_orders
+      FROM spine s
+      LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
+      GROUP BY s.day ORDER BY s.day""",
+    "c7_exists" -> """
+      SELECT c.c_custkey, c.c_name,
+             (SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey)
+               AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderstatus = 'F'
+                          AND o_totalprice < 10000)
       ORDER BY c.c_custkey""",
     "c6_join_left" -> s"""
       SELECT c_custkey, c_name,

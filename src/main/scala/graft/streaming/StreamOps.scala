@@ -71,6 +71,29 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream join: clicks enriched with the impression that
+    * preceded them by at most 20 minutes for the same user. Both sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so the state store can evict rows once the watermark
+    * passes — the condition that keeps stream-stream join state finite
+    * on an unbounded stream.
+    */
+  def clickImpressionJoin(clicks: DataFrame, impressions: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val i = impressions.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"), col("value").as("imp_value"))
+    c.join(i,
+      col("user_id") === col("imp_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 20 MINUTES"))
+      .select("click_id", "imp_id", "user_id", "click_ts", "imp_ts",
+        "imp_value")
+  }
+
   /** File-to-file pipeline: parquet source directory → stateful dedup →
     * parquet file sink with a checkpoint. This is the production layout
     * beyond the in-memory demo sink: the checkpoint makes restarts

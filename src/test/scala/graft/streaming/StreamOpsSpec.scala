@@ -97,6 +97,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with in-range impressions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val imps = MemoryStream[Event]
+    val q = clickImpressionJoin(clicks.toDF(), imps.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(Event(100, ts(5), 10, "imp", 0.5),
+        Event(101, ts(40), 20, "imp", 0.7))
+      clicks.addData(
+        Event(1, ts(10), 10, "click", 1.0), // 5 min after imp 100 → joins
+        Event(2, ts(45), 10, "click", 1.0), // user 10, 40 min gap → no
+        Event(3, ts(45), 20, "click", 1.0)) // 5 min after imp 101 → joins
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .select("click_id", "imp_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L), (3L, 101L)))
+    } finally q.stop()
+  }
+
   test("file-sink pipeline dedups exactly-once across a restart") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_fs")
