@@ -191,8 +191,10 @@ object TextAnalysis extends QueryPack {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("n_tokens",
         sum(col("cnt")).over(Window.partitionBy("doc_id")))
-    val dfreq = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .cache()
+    // tf already has one row per (doc, term), so document frequency is
+    // a count over it — no second tokenize/explode pass of the corpus
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
