@@ -44,6 +44,61 @@ object Analytics extends QueryPack {
       .orderBy("day")
   }
 
+  /** D3 — anomaly detection (the reference's `examples/anomaly-detection`
+    * rebuilt Spark-native): per event type, z-score each event's value
+    * against the rolling mean/std of the 50 preceding events; emit
+    * |z| > 3 outliers. Moments come from exact decimal sums (the
+    * q_stats_moments parity pattern), so z is bitwise portable. One
+    * shuffle on event_type; window state is the 50-row frame.
+    */
+  def d3Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-50, -1)
+    val s1 = sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+    val s2 = sum((col("value") * col("value")).cast("decimal(18,4)"))
+      .over(w).cast("double")
+    val n = count(col("value")).over(w).cast("double")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        s1.as("s1"), s2.as("s2"), n.as("n"))
+      .filter(col("n") >= 30)
+      .withColumn("mean_prev", col("s1") / col("n"))
+      .withColumn("std_prev",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+      .withColumn("z", (col("value") - col("mean_prev")) / col("std_prev"))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "value", "mean_prev", "z")
+      .orderBy("event_id")
+  }
+
+  /** D3 — lexicon sentiment (the reference's `examples/sentiment-analysis`
+    * rebuilt Spark-native): polarity = (pos − neg) / tokens against a
+    * fixed lexicon, thresholded into labels. Map-only per document —
+    * the classifier swaps out, the scoring plumbing is the operator.
+    */
+  def d3Sentiment(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val pos = Seq("fast", "big", "value")
+    val neg = Seq("slow", "small")
+    def hits(words: Seq[String]) =
+      size(filter(col("toks"), t => t.isin(words.map(x => x: Any): _*)))
+        .cast("long")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        hits(pos).as("n_pos"), hits(neg).as("n_neg"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("polarity",
+        (col("n_pos") - col("n_neg")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("label",
+        when(col("polarity") > 0.01, "positive")
+          .when(col("polarity") < -0.01, "negative")
+          .otherwise("neutral"))
+      .orderBy("doc_id")
+  }
+
   /** C5–C8 composite — the TPC-H Q5 shape: six-table join (two
     * broadcast dims, region filter pushed through nation) with a
     * revenue rollup. The plan to want at 100 TB: lineitem scans once,
@@ -75,6 +130,8 @@ object Analytics extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_forecast" -> d3Forecast _,
+    "d3_anomaly" -> d3Anomaly _,
+    "d3_sentiment" -> d3Sentiment _,
     "q5_analytic" -> q5Analytic _)
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +160,53 @@ object Analytics extends QueryPack {
       SELECT day, n_orders, forecast_orders, revenue, forecast_revenue
       FROM forecast WHERE forecast_orders IS NOT NULL
       ORDER BY day""",
+    "d3_anomaly" -> """
+      WITH stats AS (
+        SELECT event_id, event_type, value,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w
+                 AS DOUBLE) AS s2,
+               CAST(count(value) OVER w AS DOUBLE) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+      ),
+      scored AS (
+        SELECT event_id, event_type, value,
+               s1 / n AS mean_prev,
+               (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS z
+        FROM stats WHERE n >= 30
+      )
+      SELECT event_id, event_type, value, mean_prev, z
+      FROM scored WHERE abs(z) > 3.0 ORDER BY event_id""",
+    "d3_sentiment" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x != '')
+                 AS w
+        FROM documents
+      ),
+      counted AS (
+        SELECT doc_id,
+               CAST(len(list_filter(w,
+                 t -> t IN ('fast', 'big', 'value'))) AS BIGINT) AS n_pos,
+               CAST(len(list_filter(w,
+                 t -> t IN ('slow', 'small'))) AS BIGINT) AS n_neg,
+               CAST(len(w) AS BIGINT) AS n_tokens
+        FROM toks
+      )
+      SELECT doc_id, n_pos, n_neg, n_tokens,
+             CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS polarity,
+             CASE
+               WHEN CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    > 0.01 THEN 'positive'
+               WHEN CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    < -0.01 THEN 'negative'
+               ELSE 'neutral' END AS label
+      FROM counted ORDER BY doc_id""",
     "q5_analytic" -> s"""
       SELECT n_name,
              ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")}
