@@ -309,7 +309,6 @@ object Dedup extends QueryPack {
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ddNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b")).cache()
-    val vertices = corpus(spark, dir).select(col("doc_id")).distinct()
     // cache the symmetric edge list pre-partitioned on the join key:
     // the cached partitioning satisfies the per-round join requirement,
     // so only the (much smaller) label table shuffles each iteration
@@ -317,6 +316,11 @@ object Dedup extends QueryPack {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst").repartition(col("dst")).cache()
+    // (Measured and rejected: iterating only over pair-touched vertices
+    // and joining isolated docs back at the end — the extra distinct +
+    // final join cost more here than the smaller loop state saved. At a
+    // corpus scale where the dup graph is a tiny fraction, revisit.)
+    val vertices = corpus(spark, dir).select(col("doc_id")).distinct()
     // eager localCheckpoint each round: kills the growing lineage (each
     // iteration otherwise replays the whole shingle/jaccard pipeline)
     var labels = vertices.withColumn("label", col("doc_id"))
