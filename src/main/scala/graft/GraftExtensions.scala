@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec) - 8 hyperplane sign bits"),
       (exprs: Seq[Expression]) => LshBucket(exprs.head)))
+    // whole-operator extension: the native as-of join plan node
+    // (graft.plans.AsOfJoin) — builder guidance option (c)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

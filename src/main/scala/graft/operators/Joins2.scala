@@ -44,6 +44,33 @@ object Joins2 extends QueryPack {
       .orderBy("purchase_id")
   }
 
+  /** As-of join on the NATIVE operator (graft.plans.AsOfJoin — custom
+    * LogicalPlan + Strategy + merge-pass SparkPlan): purchases matched
+    * to the latest click at or before them per user. The right side is
+    * deduped to one row per (user, ts) so the match is unique and the
+    * oracle — DuckDB's built-in ASOF LEFT JOIN — is deterministic.
+    * Unlike the window formulation above, neither side is unioned or
+    * widened: each shuffles once on the key and streams through the
+    * merge with O(1) state.
+    */
+  def qAsofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("click_ts"), col("click_id"))
+    graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts")
+      .toDF("purchase_id", "user_id", "purchase_ts", "r_user_id",
+        "click_ts", "click_id")
+      .select("purchase_id", "user_id", "purchase_ts", "click_id",
+        "click_ts")
+      .orderBy("purchase_id")
+  }
+
   /** Pure-range join via time buckets: count clicks within the 60 s
     * before each error, with no equi key. The probe side explodes to two
     * adjacent 60 s buckets, making it an equi-join on bucket; each
@@ -90,6 +117,7 @@ object Joins2 extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin _,
+    "q_asof_join_native" -> qAsofJoinNative _,
     "q_range_join" -> qRangeJoin _,
     "q_salted_join" -> qSaltedJoin _)
 
@@ -109,6 +137,23 @@ object Joins2 extends QueryPack {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       )
       WHERE event_type = 'purchase'
+      ORDER BY purchase_id""",
+    "q_asof_join_native" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+               max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(ts AS TIMESTAMP)
+      ),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.click_id, c.click_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY purchase_id""",
     "q_range_join" -> """
       SELECT e.event_id AS error_id, count(*) AS n_recent_clicks
