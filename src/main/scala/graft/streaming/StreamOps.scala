@@ -71,6 +71,52 @@ object StreamOps {
       }
   }
 
+  final case class SessionState(user_id: Long, n_events: Long,
+      total_value: Double, last_ts_ms: Long)
+
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** Session closing via `flatMapGroupsWithState`: per-user state
+    * accumulates until the event-time watermark passes the session's
+    * gap deadline, then the operator EMITS the closed session and
+    * clears state — zero output per invocation while a session is
+    * live, one row when it closes (the flatMap shape;
+    * `mapGroupsWithState` must emit exactly one row per invocation,
+    * which can't express "emit only on close"). Event-time timeouts
+    * make closing deterministic — driven by the data's own watermark,
+    * not wall clocks — which is also what makes it replayable at
+    * scale. State is one small record per active user, keyed and
+    * partitioned like any grouped aggregation.
+    */
+  def closedSessions(events: Dataset[Event], gapMs: Long = 60000L)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.user_id, s.n_events, s.total_value))
+          } else {
+            val prev = state.getOption
+              .getOrElse(SessionState(userId, 0L, 0.0, 0L))
+            val updated = batch.foldLeft(prev)((acc, e) =>
+              SessionState(userId, acc.n_events + 1,
+                acc.total_value + e.value,
+                math.max(acc.last_ts_ms, e.ts.getTime)))
+            state.update(updated)
+            state.setTimeoutTimestamp(updated.last_ts_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream join: clicks enriched with the impression that
     * preceded them by at most 20 minutes for the same user. Both sides
     * carry watermarks and the join condition bounds event time in both

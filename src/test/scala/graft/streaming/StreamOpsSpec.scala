@@ -97,6 +97,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions as the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = closedSessions(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("close_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.5))
+      q.processAllAvailable()
+      // watermark hasn't passed ts(2)+60s yet: session 10 still live
+      assert(spark.table("close_test").count() == 0)
+      // event at ts(9) advances the watermark to 00:08:50 > 00:03:00 —
+      // session 10's timer fires on the following batch
+      input.addData(Event(3, ts(9), 20, "view", 7.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(30), 30, "view", 0.0))
+      q.processAllAvailable()
+      // watermark now 00:29:50 > 00:10:00: session 20 fires next batch
+      input.addData(Event(5, ts(55), 40, "view", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("close_test")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(closed.get(10L).contains((2L, 3.5)))
+      assert(closed.get(20L).contains((1L, 7.0)))
+      assert(!closed.contains(40L)) // newest session still open
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with in-range impressions only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
