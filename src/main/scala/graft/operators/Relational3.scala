@@ -51,11 +51,15 @@ object Relational3 extends QueryPack {
         dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
       .select(
         col("l_returnflag"),
-        ((col("sxy") - col("sx") * col("sy") / d(col("n"))) / d(col("n")))
-          .as("covar_pop"),
-        ((d(col("n")) * col("sxy") - col("sx") * col("sy")) /
+        // round(…, 6): the large squared-price sums exceed 2^53 after
+        // decimal scaling, where DuckDB's int128→double→÷10^4 double
+        // rounding can differ from the JVM's correctly-rounded decimal
+        // cast by 1 ulp (seen at sf0.001); rounding collapses the gap
+        round((col("sxy") - col("sx") * col("sy") / d(col("n"))) /
+          d(col("n")), 6).as("covar_pop"),
+        round((d(col("n")) * col("sxy") - col("sx") * col("sy")) /
           (sqrt(d(col("n")) * col("sxx") - col("sx") * col("sx")) *
-            sqrt(d(col("n")) * col("syy") - col("sy") * col("sy"))))
+            sqrt(d(col("n")) * col("syy") - col("sy") * col("sy"))), 6)
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -209,11 +213,11 @@ object Relational3 extends QueryPack {
         FROM lineitem GROUP BY l_returnflag
       )
       SELECT l_returnflag,
-             ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
-               AS covar_pop,
-             ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             round((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+               6) AS covar_pop,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy) /
               (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
-               sqrt(CAST(n AS DOUBLE) * syy - sy * sy)))
+               sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
                AS corr_qty_price
       FROM s ORDER BY l_returnflag""",
     "q_window_dist" -> """
