@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** SURVEY.md §2e rows E1–E4: event-time windowing and stateful dedup,
   * batch-first over the `events` table so every semantics is
   * DuckDB-checkable. The same expressions run unchanged under Structured
@@ -83,15 +85,19 @@ object EventWindows extends QueryPack {
   /** E3 — watermark-style late-data handling, batch-checkable: drop
     * events older than (max event time − 1 hour), then aggregate — the
     * same cutoff `withWatermark("ts", "1 hour")` enforces in streaming.
+    * The cutoff is a scalar subquery (planned as its own tiny job, then
+    * a plain filter over the scan) rather than a crossJoin with the
+    * 1-row aggregate, which would plan a nested-loop join node.
     */
   def e3Watermark(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val wm = events.agg(max(col("ts")).as("max_ts"))
-    events.crossJoin(wm)
-      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .orderBy("event_type")
+    Tables.registerViews(spark, dir)
+    spark.sql(s"""
+      SELECT event_type, count(*) AS n_events,
+             ${sqlDsum("value")} AS sum_value
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      GROUP BY event_type ORDER BY event_type
+    """)
   }
 
   /** E4 — stateful dedup with a deterministic keep rule: first event per

@@ -63,4 +63,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"),
       s"expected ShuffledHashJoin for the band join:\n${p.take(1500)}")
   }
+
+  /** Queries where a nested-loop/cross join is the intended plan: the
+    * brute-force ANN baseline and centroid/scalar broadcasts (small
+    * side is O(queries) or O(1) rows), and the theta join (pure
+    * inequality predicate has no hash key by definition).
+    */
+  private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
+    "sim_ivf_topk", "tx_tfidf", "c7_join_theta", "q_range_join")
+
+  test("no query plans an unintended cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val bad = p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") &&
+          !intendedNestedLoop(name))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unintended quadratic join strategies in: $offenders")
+  }
 }
