@@ -142,6 +142,24 @@ object Relational extends QueryPack {
     """)
   }
 
+  /** C7 — LATERAL correlated join: top-2 orders per customer through a
+    * correlated subquery with LIMIT (the "top-N per group as a join"
+    * shape). Catalyst decorrelates the lateral into a ranked window
+    * join — same plan the hand-written window form produces, from
+    * declarative SQL.
+    */
+  def c7Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(s"""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)
+  }
+
   /** C6 — left equi-join + per-customer rollup: the jaffle `customers.sql`
     * shape (min/max/count/sum per customer) on the testdata. This is the
     * flagship `SparkEntry.entry` query (SURVEY.md §7 step 1).
@@ -240,6 +258,7 @@ object Relational extends QueryPack {
     "c5_date_spine" -> c5DateSpine _,
     "c6_join_left" -> c6JoinLeft _,
     "c7_exists" -> c7Exists _,
+    "c7_lateral" -> c7Lateral _,
     "c7_join_inner" -> c7JoinInner _,
     "c7_join_semi" -> c7JoinSemi _,
     "c7_join_anti" -> c7JoinAnti _,
@@ -317,6 +336,13 @@ object Relational extends QueryPack {
                           AND o_orderstatus = 'F'
                           AND o_totalprice < 10000)
       ORDER BY c.c_custkey""",
+    "c7_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
     "c6_join_left" -> s"""
       SELECT c_custkey, c_name,
              min(o_orderdate) AS first_order,
