@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the bench/verify JSON protocol lines from the
+// captured process output; sbt's default forked-output logger prefixes
+// every line with "[info] " which breaks that parse (BENCH_r02
+// "parsed": null). Inherit stdout/stderr directly instead.
+outputStrategy := Some(StdoutOutput)
+// ...and drop the "[success] Total time" trailer so the JSON line stays
+// the last line of output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,10 @@ object Bench {
     // Millisecond precision keeps the whole line under ~2 KB: the round
     // driver captures only the tail of the build output, and round 1's
     // full-precision line overflowed that window ("parsed": null).
-    def fmt(v: Double) = "%.3f".format(v)
+    // Locale.ROOT: under a comma-decimal default locale "%.3f" would
+    // emit 45,975 and break the driver's JSON parse.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
