@@ -36,9 +36,29 @@ final class FalApi(
     val path = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
     val marker = java.nio.file.Paths.get(path, "_bucketed_table")
-    if (java.nio.file.Files.exists(marker))
-      spark.table(java.nio.file.Files.readString(marker).trim)
-    else spark.read.parquet(path)
+    if (java.nio.file.Files.exists(marker)) {
+      val tbl = java.nio.file.Files.readString(marker).trim
+      // The default in-memory catalog forgets tables across JVM
+      // restarts while the pointer + parquet data persist on disk —
+      // re-register from the model's bucket meta so a materialized
+      // bucketed model stays readable (and keeps its no-shuffle joins).
+      if (!spark.catalog.tableExists(tbl)) bucketSpec(name) match {
+        case Some((n, cols)) =>
+          val schemaDdl = spark.read.parquet(path).schema.toDDL
+          val colList = cols.map(c => s"`$c`").mkString(", ")
+          spark.sql(s"CREATE TABLE `$tbl` ($schemaDdl) USING parquet " +
+            s"CLUSTERED BY ($colList) SORTED BY ($colList) " +
+            s"INTO $n BUCKETS LOCATION '$path'")
+        case None =>
+          // bucket meta was removed since the write: data is still
+          // valid parquet, so degrade to a plain (unbucketed) read
+          ledger.record(name, Status.Success,
+            s"warn: bucketed table $tbl lost and model no longer " +
+              "declares bucket_by; reading as plain parquet")
+          return spark.read.parquet(path)
+      }
+      spark.table(tbl)
+    } else spark.read.parquet(path)
   }
 
   /** Bucketing config from the model's meta (`bucket_by` = comma-joined
@@ -93,10 +113,12 @@ final class FalApi(
     */
   private def fileSkew(target: String): String = {
     import scala.jdk.CollectionConverters._
-    val sizes = java.nio.file.Files.walk(java.nio.file.Paths.get(target))
-      .iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(java.nio.file.Files.size(_)).toSeq
+    val sizes = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(target))) { walk =>
+      walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).toSeq
+    }
     if (sizes.isEmpty) ""
     else s" files=${sizes.size} maxBytes=${sizes.max} minBytes=${sizes.min}"
   }

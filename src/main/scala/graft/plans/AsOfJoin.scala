@@ -90,11 +90,17 @@ final case class AsOfJoinExec(
     val keyTypes = lk.map(_.dataType)
     val timeType = lt.dataType
     val rightWidth = rightOut.size
+    val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, leftOut)
       val rKeyProj = UnsafeProjection.create(rk, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      // Parents (collect's getByteArrayRdd, an exchange with no
+      // intervening project) consume UnsafeRow — emit through a result
+      // projection exactly as SortMergeJoinExec's resultProj does,
+      // instead of a raw JoinedRow.
+      val resultProj = UnsafeProjection.create(out, out)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joined = new JoinedRow
@@ -118,7 +124,11 @@ final case class AsOfJoinExec(
             rPendingTime = rTimeProj(rPending).copy()
           }
           if (rPending == null) continue = false
-          else {
+          else if (rPendingKey.anyNull) {
+            // SQL equi-join semantics: a null key matches nothing
+            // (RowOrdering would otherwise compare NULL == NULL).
+            rPending = null
+          } else {
             val c = keyOrd.compare(rPendingKey, lKey)
             if (c < 0) {
               rPending = null // right key already behind every future left
@@ -134,10 +144,12 @@ final case class AsOfJoinExec(
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow).copy()
         val lTime = lTimeProj(lRow).copy()
-        advanceRightTo(lKey, lTime)
-        val matched = lastMatch != null &&
-          keyOrd.compare(lastMatchKey, lKey) == 0
-        joined(lRow, if (matched) lastMatch else nullRight)
+        // null-keyed left rows emit unmatched (left outer), never match
+        val matched = if (lKey.anyNull) false else {
+          advanceRightTo(lKey, lTime)
+          lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
+        }
+        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
   }
@@ -179,9 +191,21 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(attr(rPlan, _))
+    val lTime = attr(lPlan, leftTimeCol)
+    val rTime = attr(rPlan, rightTimeCol)
+    // The merge compares raw binary keys/times — mismatched types would
+    // compare garbage instead of failing, so reject them up front.
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of join key type mismatch on ${a.name}: " +
+          s"${a.dataType.sql} vs ${b.dataType.sql}")
+    }
+    require(lTime.dataType == rTime.dataType,
+      s"as-of join time type mismatch: ${lTime.dataType.sql} vs " +
+        s"${rTime.dataType.sql}")
     GraftSqlBridge.ofRows(spark,
-      AsOfJoin(lPlan, rPlan,
-        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-        attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime))
   }
 }

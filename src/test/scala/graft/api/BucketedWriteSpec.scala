@@ -69,6 +69,42 @@ class BucketedWriteSpec extends AnyFunSuite {
     assert(api.ref("pw_events").count() == 300)
   }
 
+  test("ref survives catalog loss by re-registering the bucketed table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bl").toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    reg.register(ModelDef("bl_orders", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+    reg.register(ModelDef("bl_lines", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+    api.writeToModel((1L to 200L).map(i => (i, s"o$i")).toDF("key", "o"),
+      "bl_orders")
+    api.writeToModel((1L to 400L).map(i => (i % 200 + 1, s"l$i"))
+      .toDF("key", "l"), "bl_lines")
+
+    // simulate a JVM restart: the in-memory catalog forgets the tables
+    // while the registry pointer + parquet + marker files persist
+    val tbl = Files.readString(java.nio.file.Paths.get(
+      reg.currentPath("bl_orders").get, "_bucketed_table")).trim
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val tbl2 = Files.readString(java.nio.file.Paths.get(
+      reg.currentPath("bl_lines").get, "_bucketed_table")).trim
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+
+    assert(api.ref("bl_orders").count() == 200) // re-registered, readable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // ...and the recreated table keeps the bucket spec: still no shuffle
+      val j = api.ref("bl_orders").join(api.ref("bl_lines"), "key")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-registered bucketed join should not shuffle:\n$plan")
+      assert(j.count() == 400)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("writes report output-file skew stats in the ledger") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_skew").toString

@@ -73,4 +73,47 @@ class AsOfJoinSpec extends AnyFunSuite {
       r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(c == n)
   }
+
+  test("collects directly without a parent projection (UnsafeRow output)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, ts(5)), (2L, 20L, ts(6))).toDF("id", "k", "ts")
+    val r = Seq((7L, 10L, ts(1))).toDF("rid", "rk", "rts")
+    // bare collect() hits getByteArrayRdd, which consumes UnsafeRow —
+    // the operator must emit through a result projection (ADVICE r2)
+    val rows = AsOf.join(l, r.withColumnRenamed("rk", "k"),
+      Seq("k"), "ts", "rts").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("null join keys never match (SQL equi-join semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), ts(5)), (2L, None, ts(6)))
+      .toDF("id", "k", "ts")
+    val r = Seq((7L, Some(10L), ts(1)), (8L, None, ts(1)))
+      .toDF("rid", "k2", "rts")
+    val out = AsOf.join(l, r.withColumnRenamed("k2", "k"),
+      Seq("k"), "ts", "rts")
+      .select("id", "rid").collect()
+      .map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) -1L
+        else r0.getLong(1))).toMap
+    // id=1 (k=10) matches rid=7; id=2 (k=null) matches nothing — and
+    // the null-keyed right row (rid=8) is never emitted as a match
+    assert(out == Map(1L -> 7L, 2L -> -1L))
+  }
+
+  test("rejects mismatched key or time types up front") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, ts(5))).toDF("id", "k", "ts")
+    val rStrKey = Seq(("a", "10", ts(1))).toDF("rid", "k", "rts")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rStrKey, Seq("k"), "ts", "rts")
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val rLongTime = Seq((7L, 10L, 99L)).toDF("rid", "k", "rts")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rLongTime, Seq("k"), "ts", "rts")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
 }
