@@ -234,6 +234,67 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary / Zipf head: top-50 terms by frequency with each
+    * term's share of all tokens and the cumulative share — the
+    * vocabulary-coverage table a tokenizer-training or corpus-audit
+    * step produces.
+    *
+    * Scale: one hash aggregation over the exploded terms, then top-k
+    * via TakeOrderedAndProject (no global sort of the vocabulary); the
+    * windows run over the 50 surviving rows only.
+    */
+  def txVocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val vc = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vc.agg(sum(col("cnt")).as("total"))
+    val top = vc.orderBy(col("cnt").desc, col("term")).limit(50)
+    val byFreq = Window.orderBy(col("cnt").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt").cast("double") / col("total").cast("double"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)), 6))
+      .select(col("term"), col("cnt").cast("long").as("cnt"), col("rank"),
+        col("share"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Bigram language-model statistics: conditional probability
+    * P(w2 | w1) = c(w1,w2) / c(w1·) over the corpus token stream, top-80
+    * bigrams — the count tables behind perplexity-style quality filters
+    * and contamination-resistant fluency scores.
+    *
+    * Scale: explode to bigrams (map-side), one aggregation per table;
+    * the context counts derive from the bigram table (no second corpus
+    * pass); top-k via TakeOrderedAndProject.
+    */
+  def txBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val bi = t(spark, dir, "documents")
+      .select(w.as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c1 = c12.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    c12.join(c1, "w1")
+      .withColumn("p",
+        round(col("cnt").cast("double") / col("ctx").cast("double"), 6))
+      .select(col("w1"), col("w2"), col("cnt").cast("long").as("cnt"),
+        col("ctx").cast("long").as("ctx"), col("p"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(80)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> txLangid _,
     "tx_quality" -> txQuality _,
@@ -242,12 +303,45 @@ object TextAnalysis extends QueryPack {
     "tx_editdist" -> txEditDistance _,
     "tx_repetition" -> txRepetition _,
     "tx_scrub" -> txScrub _,
-    "tx_tfidf" -> txTfidf _)
+    "tx_tfidf" -> txTfidf _,
+    "tx_vocab" -> txVocab _,
+    "tx_bigram_lm" -> txBigramLm _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_vocab" -> s"""
+      WITH terms AS (SELECT unnest($sqlToks) AS term FROM documents),
+      vc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+      tot AS (SELECT sum(cnt) AS total FROM vc),
+      top AS (SELECT term, cnt FROM vc ORDER BY cnt DESC, term LIMIT 50)
+      SELECT term, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS rank,
+             round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS share,
+             round(sum(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+               OVER (ORDER BY cnt DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_share
+      FROM top CROSS JOIN tot
+      ORDER BY rank""",
+    "tx_bigram_lm" -> s"""
+      WITH toks AS (SELECT $sqlToks AS w FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                 i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        FROM toks
+      ),
+      bij AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+      c12 AS (SELECT w1, w2, count(*) AS cnt FROM bij GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(cnt) AS ctx FROM c12 GROUP BY 1)
+      SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+             CAST(ctx AS BIGINT) AS ctx,
+             round(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE), 6) AS p
+      FROM c12 JOIN c1 USING (w1)
+      ORDER BY cnt DESC, w1, w2 LIMIT 80""",
     "tx_editdist" -> """
       WITH pairs AS (
         SELECT doc_id, text AS text_a,

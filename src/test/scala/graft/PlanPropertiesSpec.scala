@@ -66,11 +66,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   /** Queries where a nested-loop/cross join is the intended plan: the
     * brute-force ANN baseline and centroid/scalar broadcasts (small
-    * side is O(queries) or O(1) rows), and the theta join (pure
-    * inequality predicate has no hash key by definition).
+    * side is O(queries) or O(1) rows), the theta join (pure inequality
+    * predicate has no hash key by definition), the prefix-sum bucket
+    * offsets (triangular join over the tiny bucket-total table), and
+    * the vocabulary share (1-row corpus-total broadcast).
     */
   private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
-    "sim_ivf_topk", "tx_tfidf", "c7_join_theta", "q_range_join")
+    "sim_ivf_topk", "tx_tfidf", "c7_join_theta", "q_range_join",
+    "tx_token_budget", "tx_vocab")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
