@@ -52,16 +52,33 @@ object Analytics extends QueryPack {
     * shuffle on event_type; window state is the 50-row frame.
     */
   def d3Anomaly(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
+    // The 50-row frame as prefix-sum differences: a bounded sliding
+    // frame makes WindowExec re-scan the frame for every row (O(50·n)
+    // decimal adds); running totals + lag(·, 50) are one O(n) pass over
+    // the same sort. Decimal arithmetic is exact, so cum(i−1)−cum(i−51)
+    // is bitwise the frame sum the oracle computes directly. decimal
+    // (28,4) gives the prefix sums 10 orders of headroom over the
+    // frame-sum bound.
+    val ord = Window.partitionBy("event_type")
       .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-50, -1)
-    val s1 = sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
-    val s2 = sum((col("value") * col("value")).cast("decimal(18,4)"))
-      .over(w).cast("double")
-    val n = count(col("value")).over(w).cast("double")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val dz = lit(0).cast("decimal(28,4)")
+    val c1 = sum(col("value").cast("decimal(28,4)")).over(cum)
+    val c2 = sum((col("value") * col("value")).cast("decimal(28,4)"))
+      .over(cum)
+    val cn = count(col("value")).over(cum)
     t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        c1.as("c1"), c2.as("c2"), cn.as("cn"))
       .select(col("event_id"), col("event_type"), col("value"),
-        s1.as("s1"), s2.as("s2"), n.as("n"))
+        (coalesce(col("c1"), dz) -
+          coalesce(lag(col("c1"), 50).over(ord), dz)).cast("double")
+          .as("s1"),
+        (coalesce(col("c2"), dz) -
+          coalesce(lag(col("c2"), 50).over(ord), dz)).cast("double")
+          .as("s2"),
+        (col("cn") - coalesce(lag(col("cn"), 50).over(ord), lit(0L)))
+          .cast("double").as("n"))
       .filter(col("n") >= 30)
       .withColumn("mean_prev", col("s1") / col("n"))
       .withColumn("std_prev",
