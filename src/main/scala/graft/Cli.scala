@@ -9,7 +9,8 @@ import graft.plans.Runner
   *
   * {{{
   *   sbt "runMain graft.Cli <projectDir> [--select S]... [--exclude X]...
-  *        [--threads N] [--storage DIR] [--chunk]"
+  *        [--threads N] [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
+  *        [--full-refresh]"
   * }}}
   *
   * Runs the project's model DAG, prints per-node statuses, writes
@@ -25,6 +26,8 @@ object Cli {
     var threads = 4
     var storage = sys.props("java.io.tmpdir") + "/graft-cli"
     var chunk = false
+    var vars = Map.empty[String, String]
+    var fullRefresh = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -33,6 +36,14 @@ object Cli {
         case "--threads" => threads = args(i + 1).toInt; i += 2
         case "--storage" => storage = args(i + 1); i += 2
         case "--chunk" => chunk = true; i += 1
+        case "--vars" => // k=v[,k=v]... (repeatable; ref args.py --vars)
+          vars ++= args(i + 1).split(",").iterator.filter(_.nonEmpty)
+            .map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              k.trim -> v.trim
+            }
+          i += 2
+        case "--full-refresh" => fullRefresh = true; i += 1
         case other => throw new IllegalArgumentException(
           s"unknown flag: $other")
       }
@@ -47,7 +58,8 @@ object Cli {
     val tags = registry.listModels.map(m => m.name -> m.tags).toMap
     val status = Runner.run(api, Runner.RunConfig(
       select = select, exclude = exclude, threads = threads,
-      enableChunking = chunk, tags = tags))
+      enableChunking = chunk, tags = tags, vars = vars,
+      fullRefresh = fullRefresh))
 
     api.listModelIds.toSeq.sortBy(_._1).foreach { case (name, st) =>
       println(f"$name%-30s $st")

@@ -135,11 +135,15 @@ object Dedup extends QueryPack {
       .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Plain inverted-index join: candidates come only from shared
-    // shingles, so join volume tracks shingle selectivity. (A PPJoin
-    // prefix filter was measured here and LOST — the global-order
-    // row_number sort cost more than the ~2× candidate reduction saved
-    // on this selective corpus. Revisit only if shingle frequency
-    // skew makes single postings lists quadratic.)
+    // shingles, so join volume tracks shingle selectivity (measured on
+    // this corpus: 97% of postings are on shared shingles, max 10 docs
+    // per shingle — a frequency pre-filter would save ~3%). (Measured
+    // and rejected here: a PPJoin prefix filter — the global-order
+    // row_number sort cost more than the ~2× candidate reduction
+    // saved; and postings-list pair generation via collect_list +
+    // higher-order explode — one fewer shuffled side but ~10% slower
+    // than the cache-fed shuffled-hash self-join. Revisit both only if
+    // shingle frequency skew makes single postings lists quadratic.)
     // Shuffled hash join instead of sort-merge: the postings list is
     // large but each partition's build side fits comfortably in memory,
     // and skipping the two O(n log n) sorts is a ~25% win here. Count

@@ -188,10 +188,12 @@ object TextAnalysis extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      .withColumn("n_tokens",
-        sum(col("cnt")).over(Window.partitionBy("doc_id")))
-      .cache()
+    // per-doc token totals via aggregate + broadcast join rather than an
+    // all-columns window: one row per doc broadcasts at any corpus
+    // size, and the (doc, term) table never re-shuffles onto doc_id
+    val tf0 = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val ntok = tf0.groupBy("doc_id").agg(sum(col("cnt")).as("n_tokens"))
+    val tf = tf0.join(broadcast(ntok), "doc_id").cache()
     // tf already has one row per (doc, term), so document frequency is
     // a count over it — no second tokenize/explode pass of the corpus
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

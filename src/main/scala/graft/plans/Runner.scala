@@ -29,31 +29,60 @@ object Runner {
         * resource-isolation knob is the scheduler pool the step's jobs
         * submit into, `spark.scheduler.pool`).
         */
-      pools: Map[String, String] = Map.empty)
+      pools: Map[String, String] = Map.empty,
+      /** `--vars` (ref `args.py` / `test_cli.py --vars`): values for
+        * `{{ var('name'[, 'default']) }}` placeholders in SQL models.
+        */
+      vars: Map[String, String] = Map.empty,
+      /** `--full-refresh` (ref `args.py:94-100`, forwarded to dbt at
+        * `dbt_runner.py:73-74`): rebuild incremental models from
+        * scratch instead of applying their incremental strategy.
+        */
+      fullRefresh: Boolean = false)
+
+  private val varPat =
+    raw"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*'([^']*)'\s*)?\)\s*\}\}".r
+
+  /** Substitute `{{ var('k') }}` / `{{ var('k', 'default') }}` in a SQL
+    * model's text — the rebuild of dbt's vars jinja context, as a
+    * template pass like ref substitution (SURVEY.md §4: no custom Rule).
+    */
+  private[plans] def substituteVars(sql: String,
+      vars: Map[String, String]): String =
+    varPat.replaceAllIn(sql, m => {
+      val value = vars.get(m.group(1)).orElse(Option(m.group(2)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"undefined var with no default: ${m.group(1)}"))
+      scala.util.matching.Regex.quoteReplacement(value)
+    })
 
   def modelTask(api: FalApi, name: String,
-      pool: Option[String] = None): ModelTask = {
+      pool: Option[String] = None,
+      vars: Map[String, String] = Map.empty,
+      fullRefresh: Boolean = false): ModelTask = {
     val m = api.registry.model(name)
     ModelTask(NodeGraph.modelId(name), a => {
       pool.foreach(p =>
         a.spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
-      try runModel(a, m, name)
+      try runModel(a, m, name, vars, fullRefresh)
       finally pool.foreach(_ =>
         a.spark.sparkContext.setLocalProperty("spark.scheduler.pool", null))
     })
   }
 
   private def runModel(a: FalApi, m: graft.api.ModelDef,
-      name: String): Unit = {
+      name: String, vars: Map[String, String],
+      fullRefresh: Boolean): Unit = {
     {
       val out = m.kind match {
-        case ModelKind.Sql(sql) => a.executeSql(sql)
+        case ModelKind.Sql(sql) => a.executeSql(substituteVars(sql, vars))
         case ModelKind.Scala(fn) => fn(a.spark, a)
       }
       // C20 — strategy from meta (ref: strategy list
       // `A/dbt/fal/adapters/python/impl.py:256-291`); full refresh when
-      // the relation doesn't exist yet
-      if (m.incremental && a.registry.relationExists(name)) {
+      // the relation doesn't exist yet or --full-refresh forces it
+      if (m.incremental && !fullRefresh &&
+          a.registry.relationExists(name)) {
         m.meta.getOrElse("incremental_strategy", "append") match {
           case "append" => a.writeToModel(out, name, "append")
           case "merge" => a.writeToModelMerge(out, name,
@@ -99,14 +128,16 @@ object Runner {
       if (props.members.nonEmpty)
         ChunkTask(id, props.members.map { m =>
           val n = NodeGraph.modelName(m)
-          modelTask(api, n, config.pools.get(n))
+          modelTask(api, n, config.pools.get(n), config.vars,
+            config.fullRefresh)
         })
       else if (props.kind == NodeKind.FalScript)
         HookTask(id, config.scriptFns.getOrElse(id,
           (_, _) => throw new IllegalStateException(s"no script fn: $id")))
       else {
         val n = NodeGraph.modelName(id)
-        modelTask(api, n, config.pools.get(n))
+        modelTask(api, n, config.pools.get(n), config.vars,
+          config.fullRefresh)
       }
     }
 

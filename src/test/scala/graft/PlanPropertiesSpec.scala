@@ -58,6 +58,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the eval shingle set (corpus never shuffles for the probe)") {
+    val p = plan("dd_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the eval side broadcast:\n${p.take(1500)}")
+  }
+
   test("the banded LSH self-joins use shuffled hash joins (no sort)") {
     val p = plan("dd_minhash_lsh")
     assert(p.contains("ShuffledHashJoin"),

@@ -96,6 +96,50 @@ class RunnerSpec extends AnyFunSuite {
       .getLocalProperty("spark.scheduler.pool") == null)
   }
 
+  test("--vars substitutes into SQL models; defaults apply; missing fails") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-vars")
+    Seq((1L, 5.0), (2L, 20.0), (3L, 50.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("vars_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }} " +
+        "WHERE v >= {{ var('cutoff') }} " +
+        "AND v <= {{ var('ceiling', '1000') }}")))
+
+    assert(Runner.run(api, Runner.RunConfig(
+      vars = Map("cutoff" -> "10"))) == 0)
+    assert(api.ref("vars_model").count() == 2) // default ceiling applies
+
+    assert(Runner.run(api, Runner.RunConfig(
+      vars = Map("cutoff" -> "10", "ceiling" -> "30"))) == 0)
+    assert(api.ref("vars_model").count() == 1)
+
+    // no value and no default → the node fails (non-zero exit)
+    assert(Runner.run(api, Runner.RunConfig()) != 0)
+  }
+
+  test("--full-refresh rebuilds an incremental model from scratch") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-fr")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("fr_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}"),
+      incremental = true,
+      meta = Map("incremental_strategy" -> "append")))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(api.ref("fr_model").count() == 4) // append stacked the rows
+
+    assert(Runner.run(api, Runner.RunConfig(fullRefresh = true)) == 0)
+    assert(api.ref("fr_model").count() == 2) // rebuilt, not appended
+  }
+
   test("relationship + singular test builders count violations") {
     val api = freshApi()
     import spark.implicits._
