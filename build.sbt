@@ -17,8 +17,10 @@ run / fork := true
 // "parsed": null). Inherit stdout/stderr directly instead.
 outputStrategy := Some(StdoutOutput)
 // ...and drop the "[success] Total time" trailer so the JSON line stays
-// the last line of output.
+// the last line of output. (Read by the command engine, not a task —
+// excluded from the unused-key lint.)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -379,16 +379,20 @@ object Dedup extends QueryPack {
     * other member is dropped. The DuckDB oracle computes the same
     * fixpoint with a recursive CTE.
     */
-  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // 4M edges ≈ 64 MB of longs — comfortable in one task; above it,
-    // contract another level
-    val singleTaskEdges = 4L << 20
-    val edges = ddNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
-    // first contraction consumes the (expensive) pair pipeline exactly
-    // once; its output is ≤ one star edge per pair-touched node, so the
-    // cache is small at any corpus size
+  /** Connected components over an undirected edge list by hierarchical
+    * contraction (see [[ddCluster]] scaladoc for the scale argument);
+    * returns one (node, component_min) row per node appearing in any
+    * edge. `singleTaskEdges` is the final-level size bound — lowered in
+    * tests to force multi-level contraction.
+    */
+  private[graft] def connectedComponents(
+      edges: org.apache.spark.sql.Dataset[(Long, Long)],
+      singleTaskEdges: Long = 4L << 20): DataFrame = {
+    val session = edges.sparkSession
+    import session.implicits._
+    // first contraction consumes the (possibly expensive) edge input
+    // exactly once; its output is ≤ one star edge per touched node, so
+    // the cache is small at any corpus size
     var stars = edges.mapPartitions(unionFind).cache()
     var n = stars.count()
     var level = 0
@@ -401,8 +405,15 @@ object Dedup extends QueryPack {
       n = stars.count()
       level += 1
     }
-    val labelMap = stars.coalesce(1).mapPartitions(unionFind)
+    stars.coalesce(1).mapPartitions(unionFind)
       .toDF("doc_id", "cluster_rep")
+  }
+
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = ddNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    val labelMap = connectedComponents(edges)
     // every doc outside the pair graph is its own singleton cluster;
     // the label map covers only pair-touched docs → broadcast, so the
     // corpus-sized side never shuffles
