@@ -143,15 +143,47 @@ object Relational3 extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** Fixed-width histogram of order totals: bucket counts plus each
+    * bucket's share of all orders — the one-pass distribution profile a
+    * pipeline computes before picking salting/partition bounds. One
+    * hash aggregation on the bucket id (integer key); the scalar total
+    * rides along via a window over the tiny bucket table.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50000L
+    val h = t(spark, dir, "orders")
+      .select((floor(col("o_totalprice") / width) * width)
+        .cast("long").as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n_orders"))
+    h.withColumn("share",
+        round(col("n_orders").cast("double") /
+          sum(col("n_orders")).over(Window.partitionBy()).cast("double"),
+          6))
+      .select(col("bucket_lo"), col("n_orders"), col("share"))
+      .orderBy("bucket_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union_byname" -> qUnionByName _,
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
     "q_window_dist" -> qWindowDist _,
     "q_map_funcs" -> qMapFuncs _,
-    "q_median" -> qMedian _)
+    "q_median" -> qMedian _,
+    "q_histogram" -> qHistogram _)
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> """
+      WITH h AS (
+        SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
+                 AS bucket_lo,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+      )
+      SELECT bucket_lo, n_orders,
+             round(CAST(n_orders AS DOUBLE) /
+               CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share
+      FROM h ORDER BY bucket_lo""",
     "q_union_byname" -> """
       SELECT * FROM (
         SELECT o_orderkey, o_totalprice FROM orders
