@@ -42,6 +42,34 @@ object Runner {
 
   private val varPat =
     raw"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*'([^']*)'\s*)?\)\s*\}\}".r
+  private val incrBlockPat =
+    raw"(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}".r
+  private val thisPat = raw"\{\{\s*this\s*\}\}".r
+
+  /** The dbt incremental-model jinja surface (ref: `is_incremental()` /
+    * `{{ this }}` in model SQL — the pattern every dbt incremental
+    * model uses to read only new rows): `{% if is_incremental() %}…{%
+    * endif %}` blocks are kept on incremental applications and stripped
+    * on first runs / `--full-refresh`; `{{ this }}` resolves to a view
+    * over the model's own current relation.
+    */
+  private[plans] def renderIncremental(sql: String, isIncremental: Boolean,
+      name: String, a: FalApi): String = {
+    val afterBlocks = incrBlockPat.replaceAllIn(sql, m =>
+      if (isIncremental)
+        scala.util.matching.Regex.quoteReplacement(m.group(1))
+      else "")
+    if (thisPat.findFirstIn(afterBlocks).isEmpty) afterBlocks
+    else {
+      if (!a.registry.relationExists(name))
+        throw new IllegalStateException(
+          s"{{ this }} referenced but model $name is not materialized " +
+            "(guard it with {% if is_incremental() %})")
+      val view = s"__graft_this_$name"
+      a.ref(name).createOrReplaceTempView(view)
+      thisPat.replaceAllIn(afterBlocks, view)
+    }
+  }
 
   /** Substitute `{{ var('k') }}` / `{{ var('k', 'default') }}` in a SQL
     * model's text — the rebuild of dbt's vars jinja context, as a
@@ -74,15 +102,17 @@ object Runner {
       name: String, vars: Map[String, String],
       fullRefresh: Boolean): Unit = {
     {
+      val isIncremental = m.incremental && !fullRefresh &&
+        a.registry.relationExists(name)
       val out = m.kind match {
-        case ModelKind.Sql(sql) => a.executeSql(substituteVars(sql, vars))
+        case ModelKind.Sql(sql) => a.executeSql(renderIncremental(
+          substituteVars(sql, vars), isIncremental, name, a))
         case ModelKind.Scala(fn) => fn(a.spark, a)
       }
       // C20 — strategy from meta (ref: strategy list
       // `A/dbt/fal/adapters/python/impl.py:256-291`); full refresh when
       // the relation doesn't exist yet or --full-refresh forces it
-      if (m.incremental && !fullRefresh &&
-          a.registry.relationExists(name)) {
+      if (isIncremental) {
         m.meta.getOrElse("incremental_strategy", "append") match {
           case "append" => a.writeToModel(out, name, "append")
           case "merge" => a.writeToModelMerge(out, name,

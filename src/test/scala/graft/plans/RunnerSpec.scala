@@ -140,6 +140,43 @@ class RunnerSpec extends AnyFunSuite {
     assert(api.ref("fr_model").count() == 2) // rebuilt, not appended
   }
 
+  test("is_incremental() blocks + {{ this }} read only new rows") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-this")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("this_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }} " +
+        "{% if is_incremental() %} " +
+        "WHERE id > (SELECT max(id) FROM {{ this }}) {% endif %}"),
+      incremental = true,
+      meta = Map("incremental_strategy" -> "append")))
+
+    // first run: block stripped, full load
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(api.ref("this_model").count() == 2)
+
+    // source gains one new and one already-loaded id; only id=3 appends
+    Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    val rows = api.ref("this_model").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+
+    // --full-refresh strips the block again: rebuilt from current source
+    assert(Runner.run(api, Runner.RunConfig(fullRefresh = true)) == 0)
+    assert(api.ref("this_model").count() == 2)
+
+    // unguarded {{ this }} on a never-materialized model fails the node
+    api.registry.register(ModelDef("bad_this",
+      ModelKind.Sql("SELECT * FROM {{ this }}")))
+    assert(Runner.run(api, Runner.RunConfig(
+      select = Seq("bad_this"))) != 0)
+  }
+
   test("relationship + singular test builders count violations") {
     val api = freshApi()
     import spark.implicits._
