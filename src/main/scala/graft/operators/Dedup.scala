@@ -216,7 +216,11 @@ object Dedup extends QueryPack {
     // Shuffled hash join for the band bucket join (uniform small
     // buckets, no sort needed); signature lookups broadcast — a sig row
     // is 16 longs, so even a 10^8-doc corpus ships ~GBs to executors
-    // only if the candidate set itself is that large.
+    // only if the candidate set itself is that large. (Measured and
+    // rejected: carrying the 16-long signature through the band join to
+    // score candidates inline — the 4×-wider shuffle rows and wide
+    // distinct cost ~30% more than the two narrow broadcast joins they
+    // replace.)
     val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
