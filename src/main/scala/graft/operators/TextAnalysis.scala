@@ -297,7 +297,33 @@ object TextAnalysis extends QueryPack {
       .limit(80)
   }
 
+  /** Document chunking: fixed-size token windows (40 tokens, stride 30
+    * → 10-token overlap) — the sharding step before embedding or
+    * pretraining tokenization. Emits one row per chunk with its
+    * position and text. Map-side only (explode of an in-row sequence):
+    * embarrassingly parallel at any corpus size, no shuffle at all
+    * until a downstream op needs one.
+    */
+  def txChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 40
+    val stride = 30
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)),
+          lit(stride))).as("start"))
+      .filter(col("start") <= size(col("w")))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_index"),
+        size(slice(col("w"), col("start"), lit(chunkLen))).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(chunkLen)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_chunk" -> txChunk _,
     "tx_langid" -> txLangid _,
     "tx_quality" -> txQuality _,
     "tx_tokens" -> txTokens _,
@@ -313,6 +339,22 @@ object TextAnalysis extends QueryPack {
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_chunk" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, w,
+               unnest(range(1, greatest(len(w), 1) + 1, 30)) AS start
+        FROM toks
+      )
+      SELECT doc_id,
+             CAST((start - 1) // 30 AS BIGINT) AS chunk_index,
+             CAST(len(list_slice(w, start, start + 39)) AS BIGINT)
+               AS n_tokens,
+             array_to_string(list_slice(w, start, start + 39), ' ')
+               AS chunk_text
+      FROM chunks
+      WHERE start <= len(w)
+      ORDER BY doc_id, chunk_index""",
     "tx_vocab" -> s"""
       WITH terms AS (SELECT unnest($sqlToks) AS term FROM documents),
       vc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),

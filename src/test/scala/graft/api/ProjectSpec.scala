@@ -26,10 +26,14 @@ class ProjectSpec extends AnyFunSuite {
     val registry = Project.load("examples/jaffle", storage)
     val models = registry.listModels.map(m => m.name -> m).toMap
     assert(models.keySet ==
-      Set("stg_orders", "customer_orders", "vip_customers"))
+      Set("stg_orders", "customer_orders", "vip_customers",
+        "order_events"))
     assert(models("customer_orders").deps == Seq("stg_orders"))
     assert(models("customer_orders").tags == Set("daily"))
     assert(models("vip_customers").deps == Seq("customer_orders"))
+    assert(models("order_events").incremental &&
+      models("order_events").meta.get("incremental_strategy")
+        .contains("append"))
     assert(registry.listSources.map(s => (s.sourceName, s.tableName))
       .toSet == Set(("warehouse", "orders"), ("warehouse", "customer")))
   }
