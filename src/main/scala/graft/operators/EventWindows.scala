@@ -115,15 +115,121 @@ object EventWindows extends QueryPack {
       .orderBy("user_id", "event_type")
   }
 
+  /** E — ordered funnel analysis: per user, did signup → view → click →
+    * purchase happen IN ORDER (each step strictly after the previous
+    * step's first occurrence)? One conditional aggregation per user
+    * (min event time per step), then step predicates — the standard
+    * funnel shape: a single shuffle on user_id, state of four
+    * timestamps per user, no joins and no per-event window.
+    */
+  def e5Funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t0: String) =
+      min(when(col("event_type") === t0, col("ts"))).as(s"t_$t0")
+    val perUser = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(firstTs("signup"), firstTs("view"), firstTs("click"),
+        firstTs("purchase"))
+    // null-safe: a user who never reached a step has a NULL step time,
+    // and NULL-comparison three-valued logic must collapse to false
+    val s1 = col("t_signup").isNotNull
+    val s2 = coalesce(s1 && col("t_view") > col("t_signup"), lit(false))
+    val s3 = coalesce(s2 && col("t_click") > col("t_view"), lit(false))
+    val s4 = coalesce(s3 && col("t_purchase") > col("t_click"),
+      lit(false))
+    perUser.select(col("user_id"),
+        s1.as("reached_signup"), s2.as("reached_view"),
+        s3.as("reached_click"), s4.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** E — weekly cohort retention: users grouped by the week of their
+    * first event; for each later week, the fraction of the cohort still
+    * active. Two aggregations (first week per user, distinct active
+    * weeks) joined on user — both shuffle on user_id and the cohort
+    * sizes broadcast, so the event table is never shuffled twice.
+    */
+  def e6Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size",
+        "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling" -> e1Tumbling _,
     "e1_tumbling_native" -> e1TumblingNative _,
     "e2_sliding" -> e2Sliding _,
     "e2_session" -> e2Session _,
     "e3_watermark" -> e3Watermark _,
-    "e4_dedup_first" -> e4DedupFirst _)
+    "e4_dedup_first" -> e4DedupFirst _,
+    "e5_funnel" -> e5Funnel _,
+    "e6_retention" -> e6Retention _)
 
   val oracles: Map[String, String] = Map(
+    "e6_retention" -> """
+      WITH cohorts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+      ),
+      active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+      ),
+      sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+      ),
+      r AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                 CAST(a.week AS DATE)) // 7 AS BIGINT) AS week_offset,
+               count(*) AS n_active
+        FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+      )
+      SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+             week_offset, n_active, cohort_size,
+             round(CAST(n_active AS DOUBLE) /
+               CAST(cohort_size AS DOUBLE), 6) AS retention
+      FROM r JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, week_offset""",
+    "e5_funnel" -> """
+      WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                 AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                 AS t_purchase
+        FROM events GROUP BY user_id
+      )
+      SELECT user_id,
+             (t_signup IS NOT NULL) AS reached_signup,
+             coalesce(t_signup IS NOT NULL AND t_view > t_signup, false)
+               AS reached_view,
+             coalesce(t_signup IS NOT NULL AND t_view > t_signup
+               AND t_click > t_view, false) AS reached_click,
+             coalesce(t_signup IS NOT NULL AND t_view > t_signup
+               AND t_click > t_view AND t_purchase > t_click, false)
+               AS reached_purchase
+      FROM per_user ORDER BY user_id""",
     "e1_tumbling" -> s"""
       SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms, event_type,
              count(*) AS n_events, ${sqlDsum("value")} AS sum_value
