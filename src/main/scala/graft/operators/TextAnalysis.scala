@@ -322,7 +322,36 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** Boilerplate profile: per document, the fraction of its distinct
+    * word 5-grams that also appear in at least one OTHER document — the
+    * corpus-level repeated-span statistic behind boilerplate/template
+    * removal (headers, footers, navigation chrome). One shingle
+    * aggregation for span document-frequencies, one shuffle join back
+    * on the shingle key, one per-doc aggregation — all linear in corpus
+    * size, no pair enumeration.
+    */
+  def txBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    // 8-byte span hash instead of the ~30-byte string for the
+    // aggregate + join keys (same pairs w.h.p.; a collision would
+    // surface as an oracle hash mismatch, as in the jaccard join)
+    val sh = Dedup.shingleSet(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
+    val spanDf = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+    sh.join(spanDf, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("boilerplate_frac",
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .select("doc_id", "n_shingles", "n_shared", "boilerplate_frac")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_boilerplate" -> txBoilerplate _,
     "tx_chunk" -> txChunk _,
     "tx_langid" -> txLangid _,
     "tx_quality" -> txQuality _,
@@ -339,6 +368,26 @@ object TextAnalysis extends QueryPack {
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_boilerplate" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS s
+          FROM toks)
+      ),
+      span_df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS boilerplate_frac
+      FROM sh JOIN span_df USING (s)
+      GROUP BY doc_id ORDER BY doc_id""",
     "tx_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
       chunks AS (
