@@ -402,11 +402,14 @@ object Dedup extends QueryPack {
     var level = 0
     while (n > singleTaskEdges && level < 10) {
       // co-locate components progressively: fold 8 partitions into one
-      // per level, then contract again
-      stars = stars
-        .repartition(math.max(1, stars.rdd.getNumPartitions / 8))
+      // per level, then contract again; release the prior level's cache
+      // once the new one is materialized
+      val prev = stars
+      stars = prev
+        .repartition(math.max(1, prev.rdd.getNumPartitions / 8))
         .mapPartitions(unionFind).cache()
       n = stars.count()
+      prev.unpersist()
       level += 1
     }
     stars.coalesce(1).mapPartitions(unionFind)
