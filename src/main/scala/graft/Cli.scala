@@ -39,8 +39,11 @@ object Cli {
         case "--vars" => // k=v[,k=v]... (repeatable; ref args.py --vars)
           vars ++= args(i + 1).split(",").iterator.filter(_.nonEmpty)
             .map { kv =>
-              val Array(k, v) = kv.split("=", 2)
-              k.trim -> v.trim
+              kv.split("=", 2) match {
+                case Array(k, v) => k.trim -> v.trim
+                case _ => throw new IllegalArgumentException(
+                  s"--vars expects k=v pairs, got: $kv")
+              }
             }
           i += 2
         case "--full-refresh" => fullRefresh = true; i += 1

@@ -37,25 +37,37 @@ final class FalApi(
       throw new IllegalStateException(s"model not materialized: $name"))
     val marker = java.nio.file.Paths.get(path, "_bucketed_table")
     if (java.nio.file.Files.exists(marker)) {
-      val tbl = java.nio.file.Files.readString(marker).trim
+      // marker: table name, plus (since round 3) the bucket count and
+      // columns the FILES were written with
+      val lines = java.nio.file.Files.readString(marker).trim
+        .split("\n").toSeq
+      val tbl = lines.head.trim
       // The default in-memory catalog forgets tables across JVM
       // restarts while the pointer + parquet data persist on disk —
-      // re-register from the model's bucket meta so a materialized
+      // re-register from the marker's recorded spec (falling back to
+      // the model's meta for pre-spec markers) so a materialized
       // bucketed model stays readable (and keeps its no-shuffle joins).
-      if (!spark.catalog.tableExists(tbl)) bucketSpec(name) match {
-        case Some((n, cols)) =>
-          val schemaDdl = spark.read.parquet(path).schema.toDDL
-          val colList = cols.map(c => s"`$c`").mkString(", ")
-          spark.sql(s"CREATE TABLE `$tbl` ($schemaDdl) USING parquet " +
-            s"CLUSTERED BY ($colList) SORTED BY ($colList) " +
-            s"INTO $n BUCKETS LOCATION '$path'")
-        case None =>
-          // bucket meta was removed since the write: data is still
-          // valid parquet, so degrade to a plain (unbucketed) read
-          ledger.record(name, Status.Success,
-            s"warn: bucketed table $tbl lost and model no longer " +
-              "declares bucket_by; reading as plain parquet")
-          return spark.read.parquet(path)
+      if (!spark.catalog.tableExists(tbl)) {
+        val spec =
+          if (lines.size >= 3)
+            Some((lines(1).trim.toInt,
+              lines(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+          else bucketSpec(name)
+        spec match {
+          case Some((n, cols)) =>
+            val schemaDdl = spark.read.parquet(path).schema.toDDL
+            val colList = cols.map(c => s"`$c`").mkString(", ")
+            spark.sql(s"CREATE TABLE `$tbl` ($schemaDdl) USING parquet " +
+              s"CLUSTERED BY ($colList) SORTED BY ($colList) " +
+              s"INTO $n BUCKETS LOCATION '$path'")
+          case None =>
+            // bucket meta was removed since the write: data is still
+            // valid parquet, so degrade to a plain (unbucketed) read
+            ledger.record(name, Status.Success,
+              s"warn: bucketed table $tbl lost and model no longer " +
+                "declares bucket_by; reading as plain parquet")
+            return spark.read.parquet(path)
+        }
       }
       spark.table(tbl)
     } else spark.read.parquet(path)
@@ -94,8 +106,12 @@ final class FalApi(
         .bucketBy(n, cols.head, cols.tail: _*)
         .sortBy(cols.head, cols.tail: _*)
         .option("path", target).saveAsTable(tbl)
+      // record the spec the FILES were written with, so a catalog-loss
+      // re-registration can never claim a different bucketing than the
+      // data has (the model's meta may change between write and read)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(target, "_bucketed_table"), tbl)
+        java.nio.file.Paths.get(target, "_bucketed_table"),
+        s"$tbl\n$n\n${cols.mkString(",")}")
     case None =>
       val partCols = registry.modelOpt(name)
         .flatMap(_.meta.get("partition_by"))

@@ -85,14 +85,24 @@ class BucketedWriteSpec extends AnyFunSuite {
 
     // simulate a JVM restart: the in-memory catalog forgets the tables
     // while the registry pointer + parquet + marker files persist
-    val tbl = Files.readString(java.nio.file.Paths.get(
-      reg.currentPath("bl_orders").get, "_bucketed_table")).trim
+    def markerTable(model: String): String =
+      Files.readString(java.nio.file.Paths.get(
+        reg.currentPath(model).get, "_bucketed_table"))
+        .trim.split("\n").head.trim
+    val tbl = markerTable("bl_orders")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    val tbl2 = Files.readString(java.nio.file.Paths.get(
-      reg.currentPath("bl_lines").get, "_bucketed_table")).trim
-    spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+    spark.sql(s"DROP TABLE IF EXISTS `${markerTable("bl_lines")}`")
+
+    // meta drifting after the write must NOT change the re-registered
+    // spec — the marker records what the files were written with
+    reg.register(ModelDef("bl_orders", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "16")))
 
     assert(api.ref("bl_orders").count() == 200) // re-registered, readable
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$tbl`").collect()
+      .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("Num Buckets 4"),
+      s"re-registered spec must match the written files:\n$desc")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       // ...and the recreated table keeps the bucket spec: still no shuffle
