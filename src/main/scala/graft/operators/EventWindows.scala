@@ -155,14 +155,20 @@ object EventWindows extends QueryPack {
     val active = ev
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
       .distinct()
-    val sizes = cohorts.groupBy("cohort_week")
-      .agg(count(lit(1)).as("cohort_size"))
+    // cohort size == n_active at offset 0 (every user is active in
+    // their own first week), so a window over the tiny per-(cohort,
+    // offset) table replaces a second cohort aggregation + join; the
+    // oracle keeps the independent sizes-join formulation, making the
+    // identity itself part of the check
+    val byCohort = Window.partitionBy("cohort_week")
     active.join(cohorts, "user_id")
       .withColumn("week_offset",
         (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_week")
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(byCohort))
       .withColumn("retention",
         round(col("n_active").cast("double") /
           col("cohort_size").cast("double"), 6))
