@@ -40,17 +40,37 @@ object Bench {
       }.sorted
       name -> times((reps - 1) / 2)
     }
-    // Millisecond precision keeps the whole line under ~2 KB: the round
-    // driver captures only the tail of the build output, and round 1's
-    // full-precision line overflowed that window ("parsed": null).
-    // Locale.ROOT: under a comma-decimal default locale "%.3f" would
-    // emit 45,975 and break the driver's JSON parse.
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+    // The round driver captures only the LAST 2000 bytes of the build
+    // output; round 3's 92-query line at %.3f ran ~2.6 KB and was
+    // front-truncated ("parsed": null). The protocol line is therefore
+    // length-budgeted: per-query entries at %.2f, added slowest-first
+    // until the line would exceed TAIL_BUDGET; any omitted (fast) query
+    // time is still inside "value" (the total always covers every
+    // query), and the complete per-query table is written to
+    // bench_detail.json alongside the repo for BASELINE.md bookkeeping.
+    // Locale.ROOT: under a comma-decimal default locale "%.2f" would
+    // emit 45,97 and break the driver's JSON parse.
+    def fmt(v: Double, p: String) = String.format(java.util.Locale.ROOT, p,
       Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val entries = results.toSeq.sortBy { case (_, t) => -t }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, "%.2f") }
+    val prefix = s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","n_queries":${results.size},"queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val budget = 1850 - prefix.length - suffix.length
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    entries.foreach { e =>
+      val add = e.length + (if (kept.isEmpty) 0 else 1)
+      if (used + add <= budget) { kept += e; used += add }
+    }
+    val detail = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "  \"" + k + "\": " + fmt(v, "%.3f") }
+      .mkString("{\n", ",\n", "\n}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }
