@@ -18,6 +18,11 @@ object GraftConf {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // coalesce to right-sized partitions instead of max parallelism —
+    // the Spark-docs production recommendation; locally it also stops
+    // 32-way shuffles of kB-sized stages burning task overhead
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     // parquet nanos (events table) read as long, converted in Tables.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
@@ -35,5 +40,7 @@ object GraftConf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
 }

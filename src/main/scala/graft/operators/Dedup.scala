@@ -195,6 +195,15 @@ object Dedup extends QueryPack {
     * within a band bucket — the standard linear-in-corpus LSH layout.
     */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // (Measured and rejected: computing the 16 min-hashes per-row with
+    // array_min(transform(bs, ...)) over the in-row shingle array to
+    // skip the explode + hash aggregate — 8× SLOWER. Higher-order
+    // lambdas run interpreted outside whole-stage codegen, and
+    // CollapseProject inlines the shared md5 transform into all 16
+    // array_min expressions, recomputing it 16×. The exploded hash
+    // aggregate keeps everything in codegen and its map-side partial
+    // agg already collapses to one 16-long row per doc before the
+    // shuffle.)
     val sh = shingled(spark, dir)
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
