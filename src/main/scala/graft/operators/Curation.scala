@@ -141,13 +141,75 @@ object Curation extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Temperature-based source resampling (α = 0.5): per-source quotas
+    * ∝ n_s^α normalized across sources — the standard mixing rule that
+    * upweights small sources relative to proportional sampling (α=1) —
+    * then a deterministic take of the lowest-id docs per source up to
+    * the quota. n^0.5 is written as sqrt(), which IEEE-754 requires to
+    * be correctly rounded, so the quota arithmetic is bitwise portable
+    * (pow(x, 0.5) would not be); floor() keeps the cutoff exact.
+    *
+    * Scale: one count per source (tiny), quotas broadcast, selection is
+    * one row_number window per source — the same shape as
+    * [[txSampleStratified]] with data-derived fractions.
+    */
+  def txSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sampleN = 200
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    // Σ√n sums as DECIMAL(28,12): double summation order differs between
+    // engines (and DuckDB's window frames aggregate pairwise), while the
+    // decimal sum of identically-rounded terms is exact and commutative
+    val tot = counts.agg(
+      sum(sqrt(col("n").cast("double")).cast(DecimalType(28, 12)))
+        .cast("double").as("z"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        floor(lit(sampleN.toDouble) * sqrt(col("n").cast("double")) /
+          col("z")).cast("long"))
+      .select("source", "n", "quota")
+    val byId = Window.partitionBy("source").orderBy("doc_id")
+    d.withColumn("rank", row_number().over(byId).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rank") <= col("quota"))
+      .select("doc_id", "source", "rank")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_budget" -> txTokenBudget _,
     "tx_mixture" -> txMixture _,
     "tx_sample_stratified" -> txSampleStratified _,
+    "tx_sample_temperature" -> txSampleTemperature _,
     "tx_length_percentiles" -> txLengthPercentiles _)
 
   val oracles: Map[String, String] = Map(
+    "tx_sample_temperature" -> """
+      WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+      ),
+      tot AS (
+        SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,12)))
+          AS DOUBLE) AS z
+        FROM counts
+      ),
+      quotas AS (
+        SELECT source,
+               CAST(floor(200.0 * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT)
+                 AS quota
+        FROM counts CROSS JOIN tot
+      ),
+      ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER
+                 (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rank
+        FROM documents
+      )
+      SELECT doc_id, source, rank
+      FROM ranked JOIN quotas USING (source)
+      WHERE rank <= quota
+      ORDER BY doc_id""",
     "tx_token_budget" -> """
       WITH scored AS (
         SELECT doc_id, lang,

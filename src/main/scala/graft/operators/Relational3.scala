@@ -149,6 +149,51 @@ object Relational3 extends QueryPack {
     * hash aggregation on the bucket id (integer key); the scalar total
     * rides along via a window over the tiny bucket table.
     */
+  /** C23 — SCD2 snapshot (dbt's snapshot materialization; the reference's
+    * jaffle project declares `snapshot-paths` at
+    * `projects/adapter/cli_tests/projects/002_jaffle_shop/
+    * dbt_project.yml:8`): track slowly-changing order status between two
+    * deterministic states of the orders table. T1 = orders before
+    * 1996-01-01 as stored; T2 widens to 1996-H1 and flips high-value
+    * open orders to 'F' (the simulated upstream change). Changed keys
+    * emit a closed row (valid_to = T2) plus a current row; unchanged
+    * keys keep their open T1 row; keys new at T2 open then — the
+    * standard timestamp/check-strategy snapshot merge.
+    *
+    * Scale: one full-outer shuffle join on the snapshot key plus a
+    * union of three projections; with the snapshot table bucketed on
+    * the key the join co-locates shuffle-free, and each refresh touches
+    * one partition of history.
+    */
+  def c23Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val t1 = o.filter(col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("s1"))
+    val t2 = o.filter(col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0,
+          lit("F")).otherwise(col("o_orderstatus")).as("s2"))
+    val j = t1.join(t2, col("k1") === col("k2"), "full_outer").cache()
+    val d1 = to_date(lit("1996-01-01"))
+    val d2 = to_date(lit("1996-07-01"))
+    val nullD = lit(null).cast("date")
+    val unchanged = j.filter(col("k1").isNotNull && col("s2") === col("s1"))
+      .select(col("k1").as("order_key"), col("s1").as("status"),
+        d1.as("valid_from"), nullD.as("valid_to"))
+    val closed = j.filter(col("k1").isNotNull && col("s2") =!= col("s1"))
+      .select(col("k1").as("order_key"), col("s1").as("status"),
+        d1.as("valid_from"), d2.as("valid_to"))
+    val current = j.filter(col("k1").isNotNull && col("s2") =!= col("s1"))
+      .select(col("k1").as("order_key"), col("s2").as("status"),
+        d2.as("valid_from"), nullD.as("valid_to"))
+    val inserted = j.filter(col("k1").isNull)
+      .select(col("k2").as("order_key"), col("s2").as("status"),
+        d2.as("valid_from"), nullD.as("valid_to"))
+    unchanged.unionByName(closed).unionByName(current).unionByName(inserted)
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("order_key", "valid_from")
+  }
+
   def qHistogram(spark: SparkSession, dir: String): DataFrame = {
     val width = 50000L
     val h = t(spark, dir, "orders")
@@ -164,6 +209,7 @@ object Relational3 extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_snapshot" -> c23Snapshot _,
     "q_union_byname" -> qUnionByName _,
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
@@ -173,6 +219,36 @@ object Relational3 extends QueryPack {
     "q_histogram" -> qHistogram _)
 
   val oracles: Map[String, String] = Map(
+    "c23_snapshot" -> """
+      WITH t1 AS (
+        SELECT o_orderkey AS k1, o_orderstatus AS s1 FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      ),
+      t2 AS (
+        SELECT o_orderkey AS k2,
+               CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000.0
+                    THEN 'F' ELSE o_orderstatus END AS s2
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      ),
+      j AS (SELECT k1, s1, k2, s2 FROM t1 FULL OUTER JOIN t2 ON k1 = k2),
+      scd AS (
+        SELECT k1 AS order_key, s1 AS status, DATE '1996-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM j WHERE k1 IS NOT NULL AND s2 = s1
+        UNION ALL
+        SELECT k1, s1, DATE '1996-01-01', DATE '1996-07-01'
+        FROM j WHERE k1 IS NOT NULL AND s2 != s1
+        UNION ALL
+        SELECT k1, s2, DATE '1996-07-01', CAST(NULL AS DATE)
+        FROM j WHERE k1 IS NOT NULL AND s2 != s1
+        UNION ALL
+        SELECT k2, s2, DATE '1996-07-01', CAST(NULL AS DATE)
+        FROM j WHERE k1 IS NULL
+      )
+      SELECT order_key, status, valid_from, valid_to,
+             (valid_to IS NULL) AS is_current
+      FROM scd ORDER BY order_key, valid_from""",
     "q_histogram" -> """
       WITH h AS (
         SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)

@@ -153,10 +153,78 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** E6d — product-quantization ANN (the memory-bound 100 TB path: PQ
+    * codes are ~8 bytes/vector vs 256 for the raw floats, so a shard's
+    * index fits executor RAM): the 64-dim space splits into 8 subspaces
+    * of 8 dims; each subspace quantizes to the nearest of 8 centroids
+    * (the same deterministically-sampled vectors as the IVF cells, so
+    * assignment stays bitwise portable — no Lloyd iterations); a corpus
+    * vector is its 8 centroid codes. Queries stay unquantized and score
+    * by asymmetric distance (ADC): approx L2² = Σ_m ‖q_sub(m) −
+    * centroid(code_m)‖², looked up from a per-query table of 8×8
+    * precomputed sub-distances.
+    *
+    * Fully oracle-checked: sub-distances are sequential-fold dot
+    * products of exact double differences, the ADC sum adds the 8
+    * per-subspace terms in a fixed order (CASE-pivot then s0+…+s7 —
+    * a grouped sum over doubles would be partition-order-dependent),
+    * and every argmin tie-breaks on centroid id.
+    *
+    * Scale: encoding is one broadcast map pass (K·M sub-distances per
+    * vector, no shuffle); the ADC table is queries×64 rows and
+    * broadcasts; scoring is a map over the code table + one grouped
+    * fixed-width sum — the corpus never moves.
+    */
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+    val cents = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
+      .orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+    // per (vector, centroid, subspace m): squared L2 over the 8-dim
+    // subvector, as a sequential-fold dot product of the difference
+    val sub = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        explode(sequence(lit(0), lit(7))).as("m"), col("emb"),
+        col("cent_emb"))
+      .withColumn("d", expr(
+        "transform(sequence(1, 8), j -> element_at(emb, CAST(m * 8 + j AS INT))" +
+          " - element_at(cent_emb, CAST(m * 8 + j AS INT)))"))
+      .select(col("vec_id"), col("cent_id"), col("m"),
+        expr("graft_dot_product(d, d)").as("sd"))
+      .cache()
+    val byVecSub = Window.partitionBy("vec_id", "m")
+      .orderBy(col("sd"), col("cent_id"))
+    val codes = sub.filter(col("vec_id") >= 10)
+      .withColumn("crank", row_number().over(byVecSub))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
+        col("cent_id").as("code"))
+    val qd = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
+        col("sd"))
+    val perSub = (0 until 8).map(i =>
+      sum(when(col("m") === i, col("sd"))).as(s"s$i"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    codes.join(broadcast(qd),
+        codes("cm") === qd("m") && codes("code") === qd("cent_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("approx_dist",
+        (0 until 8).map(i => col(s"s$i")).reduce(_ + _))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "approx_dist")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> simBruteTopk _,
     "sim_lsh_topk" -> simLshTopk _,
-    "sim_ivf_topk" -> simIvfTopk _)
+    "sim_ivf_topk" -> simIvfTopk _,
+    "sim_pq_topk" -> simPqTopk _)
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" -> """
@@ -248,5 +316,56 @@ object Similarity extends QueryPack {
         FROM sc
       )
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_pq_topk" -> {
+      val perSub = (0 until 8)
+        .map(i => s"sum(CASE WHEN m = $i THEN sd END) AS s$i")
+        .mkString(",\n               ")
+      val addSub = (0 until 8).map(i => s"s$i").mkString(" + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+        WHERE vec_id >= 10 AND vec_id % 59 = 0
+        ORDER BY vec_id LIMIT 8
+      ),
+      sub AS (
+        SELECT vec_id, cent_id, m, list_dot_product(d, d) AS sd
+        FROM (
+          SELECT e.vec_id, cent_id, m,
+                 list_transform(range(1, 9),
+                   j -> e.emb[m * 8 + j] - cent_emb[m * 8 + j]) AS d
+          FROM e, cents, (SELECT unnest(range(0, 8)) AS m) ms
+        )
+      ),
+      codes AS (
+        SELECT vec_id AS neighbor_id, m AS cm, cent_id AS code
+        FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY vec_id, m ORDER BY sd, cent_id) AS crank
+          FROM sub WHERE vec_id >= 10
+        ) WHERE crank = 1
+      ),
+      qd AS (
+        SELECT vec_id AS query_id, m, cent_id, sd
+        FROM sub WHERE vec_id < 10
+      ),
+      adc AS (
+        SELECT query_id, neighbor_id,
+               $perSub
+        FROM codes JOIN qd ON cm = m AND code = cent_id
+        GROUP BY query_id, neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, $addSub AS approx_dist,
+               CAST(row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY $addSub, neighbor_id) AS BIGINT) AS rank
+        FROM adc
+      )
+      SELECT query_id, neighbor_id, rank, approx_dist FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
 }

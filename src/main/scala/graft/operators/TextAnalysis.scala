@@ -350,8 +350,86 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Per-document fluency score under the corpus's own bigram LM: the
+    * mean negative log-likelihood of the doc's bigrams with
+    * P(w2|w1) = c(w1,w2)/c(w1·) — the perplexity-style quality filter
+    * run after [[txBigramLm]] builds the count tables. Lower = more
+    * typical of the corpus; the standard contamination-resistant
+    * fluency signal for pretraining-data selection.
+    *
+    * Oracle parity: each bigram's −ln(p) is rounded to 6 places (ln is
+    * not bitwise portable across libm/JVM; round(…,6) collapses the ulp
+    * gap), then summed as DECIMAL(28,6) — exact and order-independent,
+    * where a double sum would be partition-order-dependent.
+    *
+    * Scale: one bigram explode (map-side), two hash aggregations for
+    * the LM, one shuffle join of bigrams against the LM on (w1,w2),
+    * one per-doc aggregation — all linear; the LM table shuffles rather
+    * than broadcasts because vocabulary² grows with the corpus.
+    */
+  def txPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = tokens(col("text"))
+    val bi = t(spark, dir, "documents")
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c1 = c12.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val lm = c12.join(c1, "w1")
+      .withColumn("nll", round(-log(
+        col("cnt").cast("double") / col("ctx").cast("double")), 6))
+      .select("w1", "w2", "nll")
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(28, 6))).as("sum_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_dec").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-entropy quality signal: Shannon entropy of each doc's
+    * character distribution — near-zero flags repeated-char gibberish,
+    * unusually high flags binary/garbled spans; a standard cheap
+    * pre-filter before LM scoring. Per-term −p·log2(p) rounds to 6
+    * places (log2 portability) and sums as DECIMAL(28,6) (order
+    * independence), as in [[txPerplexity]].
+    *
+    * Scale: one char explode + two hash aggregations keyed by doc —
+    * linear, and the (doc, char) key space is at most
+    * corpus-chars wide.
+    */
+  def txEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cc = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substr(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    cc.join(cc.groupBy("doc_id").agg(sum(col("cnt")).as("n")), "doc_id")
+      .withColumn("term", round(-(p * log2(p)), 6))
+      .groupBy("doc_id")
+      .agg(min(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("term").cast(DecimalType(28, 6))).cast("double")
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_boilerplate" -> txBoilerplate _,
+    "tx_perplexity" -> txPerplexity _,
+    "tx_entropy" -> txEntropy _,
     "tx_chunk" -> txChunk _,
     "tx_langid" -> txLangid _,
     "tx_quality" -> txQuality _,
@@ -368,6 +446,42 @@ object TextAnalysis extends QueryPack {
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_perplexity" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      bi0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                 i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        FROM toks
+      ),
+      bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0),
+      c12 AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(cnt) AS ctx FROM c12 GROUP BY 1),
+      lm AS (
+        SELECT w1, w2,
+               round(-ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)), 6)
+                 AS nll
+        FROM c12 JOIN c1 USING (w1)
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 6) AS avg_nll
+      FROM bi JOIN lm USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id""",
+    "tx_entropy" -> """
+      WITH chars AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+      ),
+      cc AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+      n AS (SELECT doc_id, sum(cnt) AS n FROM cc GROUP BY 1)
+      SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             CAST(sum(CAST(round(-((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS entropy
+      FROM cc JOIN n USING (doc_id)
+      GROUP BY doc_id ORDER BY doc_id""",
     "tx_boilerplate" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
       sh AS (

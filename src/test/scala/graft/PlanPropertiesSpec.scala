@@ -78,8 +78,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
     * the vocabulary share (1-row corpus-total broadcast).
     */
   private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
-    "sim_ivf_topk", "tx_tfidf", "c7_join_theta", "q_range_join",
-    "tx_token_budget", "tx_vocab")
+    "sim_ivf_topk", "sim_pq_topk", "tx_tfidf", "c7_join_theta",
+    "q_range_join", "tx_token_budget", "tx_vocab",
+    "tx_sample_temperature")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
