@@ -236,6 +236,67 @@ final class FalApi(
     WriteResult(name, rows, "insert_overwrite")
   }
 
+  /** C23 — snapshot materialization (dbt's SCD2 snapshot; the
+    * reference's jaffle project declares `snapshot-paths` at
+    * `projects/adapter/cli_tests/projects/002_jaffle_shop/
+    * dbt_project.yml:8`): maintain a type-2 history of `df` keyed by
+    * `keys`, comparing `checkCols` (dbt's check strategy). The first
+    * write opens every row at `asOf`; each refresh closes changed
+    * current rows (`dbt_valid_to = asOf`) and opens rows for new keys
+    * and new versions. Keys absent from the refresh stay open (dbt's
+    * default hard-delete behavior).
+    *
+    * Scale: one full-outer shuffle join keyed on the snapshot key per
+    * refresh — the closed history never re-joins, so refresh cost
+    * tracks the CURRENT set, not accumulated history; bucketing the
+    * snapshot model on the key makes the join co-located.
+    */
+  def writeToModelSnapshot(df: DataFrame, name: String, keys: Seq[String],
+      checkCols: Seq[String], asOf: java.sql.Timestamp): WriteResult = {
+    require(allowWrites, "write_to_model is not allowed in hooks")
+    val vf = lit(asOf)
+    val nullTs = lit(null).cast("timestamp")
+    val dataCols = df.columns.toSeq
+    val out = registry.currentPath(name) match {
+      case None =>
+        df.withColumn("dbt_valid_from", vf)
+          .withColumn("dbt_valid_to", nullTs)
+      case Some(cur) =>
+        val snap = spark.read.parquet(cur)
+        val hist = snap.filter(col("dbt_valid_to").isNotNull)
+        val current = snap.filter(col("dbt_valid_to").isNull)
+        val n = df.select(dataCols.map(c => col(c).as(s"__n_$c")): _*)
+        val j = current.join(n,
+          keys.map(k => col(k) === col(s"__n_$k")).reduce(_ && _),
+          "full_outer")
+        val changed = checkCols.map(c => !(col(c) <=> col(s"__n_$c")))
+          .reduce(_ || _)
+        val leftKey = col(keys.head)
+        val rightKey = col(s"__n_${keys.head}")
+        val keepOpen = j
+          .filter(leftKey.isNotNull && (rightKey.isNull || !changed))
+          .select(snap.columns.toSeq.map(col): _*)
+        val closed = j
+          .filter(leftKey.isNotNull && rightKey.isNotNull && changed)
+          .select(dataCols.map(col) :+ col("dbt_valid_from"): _*)
+          .withColumn("dbt_valid_to", vf)
+        val opened = j
+          .filter(rightKey.isNotNull && (leftKey.isNull || changed))
+          .select(dataCols.map(c => col(s"__n_$c").as(c)): _*)
+          .withColumn("dbt_valid_from", vf)
+          .withColumn("dbt_valid_to", nullTs)
+        hist.unionByName(keepOpen).unionByName(closed).unionByName(opened)
+    }
+    val target = registry.nextVersionDir(name)
+    materialize(out, name, target)
+    registry.swapPointer(name, target)
+    val rows = spark.read.parquet(target).count()
+    ledger.record(name, Status.Success,
+      s"write snapshot rows=$rows${fileSkew(target)}")
+    registry.setStatus(name, Status.Success)
+    WriteResult(name, rows, "snapshot")
+  }
+
   /** Feature-store listing (ref `Feature`, `A/fal/dbt/feature_store/
     * feature.py:6-17`; discovery `project.py:642-673`): models whose
     * meta declares `feature_store.entity_column` expose every other

@@ -122,6 +122,17 @@ object Runner {
           case other => throw new IllegalArgumentException(
             s"unknown incremental_strategy: $other")
         }
+      } else if (m.meta.get("materialized").contains("snapshot")) {
+        // C23 — snapshot materialization: every run is an SCD2 refresh
+        // keyed by unique_key, comparing check_cols (dbt check strategy);
+        // snapshot_at meta pins the refresh timestamp for reproducible
+        // runs (defaults to wall clock, as dbt does)
+        a.writeToModelSnapshot(out, name,
+          m.meta("unique_key").split(",").toSeq.map(_.trim),
+          m.meta("check_cols").split(",").toSeq.map(_.trim),
+          new java.sql.Timestamp(
+            m.meta.get("snapshot_at").map(java.sql.Timestamp.valueOf(_)
+              .getTime).getOrElse(System.currentTimeMillis())))
       } else a.writeToModel(out, name)
       // C22 — run the model's declared tests; clean run promotes the
       // status to "tested" (ref project.py:176-188), any violation

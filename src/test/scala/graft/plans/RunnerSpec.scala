@@ -43,6 +43,34 @@ class RunnerSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)))
   }
 
+  test("snapshot materialization refreshes SCD2 history on re-run") {
+    val api = freshApi()
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-snap")
+    Seq((1L, "open"), (2L, "open")).toDF("id", "status")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("snap_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}"),
+      meta = Map("materialized" -> "snapshot", "unique_key" -> "id",
+        "check_cols" -> "status", "snapshot_at" -> "2024-01-01 00:00:00")))
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    assert(api.ref("snap_model").count() == 2)
+
+    Seq((1L, "closed"), (2L, "open")).toDF("id", "status")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(ModelDef("snap_model",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}"),
+      meta = Map("materialized" -> "snapshot", "unique_key" -> "id",
+        "check_cols" -> "status", "snapshot_at" -> "2024-02-01 00:00:00")))
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    val hist = api.ref("snap_model").orderBy("id", "dbt_valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp]("dbt_valid_to") == null))
+    assert(hist.toSeq == Seq((1L, "open", false), (1L, "closed", true),
+      (2L, "open", true)))
+  }
+
   test("passing tests promote status to tested") {
     val api = freshApi()
     import spark.implicits._
