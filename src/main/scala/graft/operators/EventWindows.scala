@@ -177,7 +177,35 @@ object EventWindows extends QueryPack {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** B13 — source freshness as a query (ref: `FreshnessNodeOutput`
+    * attachment, `A/fal/dbt/integration/parse.py:161-173`; the CLI
+    * fixture `cli_tests/projects/010_source_freshness/`): per event
+    * stream, the lag between its newest loaded_at (= max event ts) and
+    * the pipeline clock, classified by dbt-style warn/error thresholds.
+    * The clock is pinned to 1997-01-01 UTC so the check is
+    * deterministic; the driver-facing API variant
+    * (FalApi.sourceFreshnessSeconds) uses the wall clock.
+    *
+    * Millisecond epochs floor identically from the parquet ns values in
+    * both engines (ns div 1e6), so the lag arithmetic is exact. Scale:
+    * one partial max per source — the cheapest possible scan shape.
+    */
+  def b13Freshness(spark: SparkSession, dir: String): DataFrame = {
+    val nowMs = 852076800000L // 1997-01-01T00:00:00Z
+    val dayMs = 86400000L
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(max(unix_millis(col("ts"))).as("loaded_at_ms"))
+      .withColumn("lag_ms", lit(nowMs) - col("loaded_at_ms"))
+      .withColumn("status",
+        when(col("lag_ms") <= 30 * dayMs, "pass")
+          .when(col("lag_ms") <= 90 * dayMs, "warn")
+          .otherwise("error"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_freshness" -> b13Freshness _,
     "e1_tumbling" -> e1Tumbling _,
     "e1_tumbling_native" -> e1TumblingNative _,
     "e2_sliding" -> e2Sliding _,
@@ -188,6 +216,19 @@ object EventWindows extends QueryPack {
     "e6_retention" -> e6Retention _)
 
   val oracles: Map[String, String] = Map(
+    "b13_freshness" -> """
+      WITH f AS (
+        SELECT event_type, epoch_ms(max(ts)) AS loaded_at_ms
+        FROM events GROUP BY event_type
+      )
+      SELECT event_type, loaded_at_ms,
+             852076800000 - loaded_at_ms AS lag_ms,
+             CASE WHEN 852076800000 - loaded_at_ms <= 2592000000
+                  THEN 'pass'
+                  WHEN 852076800000 - loaded_at_ms <= 7776000000
+                  THEN 'warn'
+                  ELSE 'error' END AS status
+      FROM f ORDER BY event_type""",
     "e6_retention" -> """
       WITH cohorts AS (
         SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

@@ -194,6 +194,23 @@ object Relational3 extends QueryPack {
       .orderBy("order_key", "valid_from")
   }
 
+  /** C23b — point-in-time lookup over the SCD2 history: the status of
+    * every order as of 1996-03-01, i.e. the row whose validity interval
+    * covers the probe date. This is the read side of the snapshot
+    * materialization — the query every feature-backfill and
+    * time-travel join runs against an SCD2 table. With the history
+    * partitioned on valid_from date ranges the probe prunes to the
+    * covering partitions.
+    */
+  def c23Pit(spark: SparkSession, dir: String): DataFrame = {
+    val pit = to_date(lit("1996-03-01"))
+    c23Snapshot(spark, dir)
+      .filter(col("valid_from") <= pit &&
+        (col("valid_to").isNull || col("valid_to") > pit))
+      .select(col("order_key"), col("status").as("status_asof"))
+      .orderBy("order_key")
+  }
+
   def qHistogram(spark: SparkSession, dir: String): DataFrame = {
     val width = 50000L
     val h = t(spark, dir, "orders")
@@ -210,6 +227,7 @@ object Relational3 extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c23_snapshot" -> c23Snapshot _,
+    "c23_pit" -> c23Pit _,
     "q_union_byname" -> qUnionByName _,
     "q_stats_moments" -> qStatsMoments _,
     "q_stats_corr" -> qStatsCorr _,
@@ -249,6 +267,38 @@ object Relational3 extends QueryPack {
       SELECT order_key, status, valid_from, valid_to,
              (valid_to IS NULL) AS is_current
       FROM scd ORDER BY order_key, valid_from""",
+    "c23_pit" -> """
+      WITH t1 AS (
+        SELECT o_orderkey AS k1, o_orderstatus AS s1 FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      ),
+      t2 AS (
+        SELECT o_orderkey AS k2,
+               CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000.0
+                    THEN 'F' ELSE o_orderstatus END AS s2
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      ),
+      j AS (SELECT k1, s1, k2, s2 FROM t1 FULL OUTER JOIN t2 ON k1 = k2),
+      scd AS (
+        SELECT k1 AS order_key, s1 AS status, DATE '1996-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM j WHERE k1 IS NOT NULL AND s2 = s1
+        UNION ALL
+        SELECT k1, s1, DATE '1996-01-01', DATE '1996-07-01'
+        FROM j WHERE k1 IS NOT NULL AND s2 != s1
+        UNION ALL
+        SELECT k1, s2, DATE '1996-07-01', CAST(NULL AS DATE)
+        FROM j WHERE k1 IS NOT NULL AND s2 != s1
+        UNION ALL
+        SELECT k2, s2, DATE '1996-07-01', CAST(NULL AS DATE)
+        FROM j WHERE k1 IS NULL
+      )
+      SELECT order_key, status AS status_asof
+      FROM scd
+      WHERE valid_from <= DATE '1996-03-01'
+        AND (valid_to IS NULL OR valid_to > DATE '1996-03-01')
+      ORDER BY order_key""",
     "q_histogram" -> """
       WITH h AS (
         SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
