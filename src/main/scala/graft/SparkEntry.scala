@@ -15,7 +15,7 @@ object SparkEntry {
   /** Every implemented operator pack. Order is presentation-only. */
   def packs: Seq[QueryPack] = Seq(Relational, Relational2, Relational3,
     Joins2, Analytics, EventWindows, TextAnalysis, Curation, Dedup,
-    Similarity, Multimodal)
+    Similarity, Multimodal, Sketches)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.

@@ -177,14 +177,48 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Weighted reservoir sample (A-Res, Efraimidis–Spirakis): each doc
+    * gets priority u^(1/w) — u a deterministic md5-derived uniform in
+    * (0,1), w = n_chars — and the sample is the global top-100 by
+    * priority. Long documents are proportionally likelier to be drawn,
+    * and the whole draw is one top-k (TakeOrderedAndProject: per-
+    * partition heaps + a driver merge of 100-row heads — no global
+    * sort, the property that makes A-Res THE distributed weighted
+    * sampler). Ranking uses ln(u)/w (monotone in u^(1/w)) rounded to 6
+    * decimals with a doc_id tiebreak, the repo's standard recipe for
+    * cross-engine float ordering.
+    */
+  def txSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val u = "(CAST(conv(substr(md5(CAST(doc_id AS STRING)),1,8),16,10) " +
+      "AS BIGINT) + 0.5) / 4294967296.0"
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("priority",
+        round(expr(s"ln($u)") / col("n_chars").cast("double"), 6))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_budget" -> txTokenBudget _,
     "tx_mixture" -> txMixture _,
     "tx_sample_stratified" -> txSampleStratified _,
     "tx_sample_temperature" -> txSampleTemperature _,
+    "tx_sample_weighted" -> txSampleWeighted _,
     "tx_length_percentiles" -> txLengthPercentiles _)
 
   val oracles: Map[String, String] = Map(
+    "tx_sample_weighted" -> """
+      SELECT doc_id, source, n_chars, priority FROM (
+        SELECT doc_id, source, n_chars,
+               round(ln((CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 6) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id LIMIT 100
+      ) ORDER BY doc_id""",
     "tx_sample_temperature" -> """
       WITH counts AS (
         SELECT source, count(*) AS n FROM documents GROUP BY source

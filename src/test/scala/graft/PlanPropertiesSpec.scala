@@ -75,12 +75,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
     * side is O(queries) or O(1) rows), the theta join (pure inequality
     * predicate has no hash key by definition), the prefix-sum bucket
     * offsets (triangular join over the tiny bucket-total table), and
-    * the vocabulary share (1-row corpus-total broadcast).
+    * the vocabulary share (1-row corpus-total broadcast), and the bloom
+    * bit-set (1-row array broadcast probed map-side).
     */
   private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
     "sim_ivf_topk", "sim_pq_topk", "tx_tfidf", "c7_join_theta",
     "q_range_join", "tx_token_budget", "tx_vocab",
-    "tx_sample_temperature")
+    "tx_sample_temperature", "q_bloom_join")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
