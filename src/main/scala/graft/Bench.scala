@@ -24,16 +24,21 @@ object Bench {
     SparkEntry.queries.valuesIterator.foreach { fn =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
+      // several queries .cache() intermediates; drop each one's blocks
+      // immediately — 100+ retained caches otherwise eat executor
+      // memory and the GC/eviction pressure lands on whichever queries
+      // run late in the loop (measured: dd_contamination 1.0 s alone vs
+      // 5.6 s late in a retain-everything pass)
+      spark.sharedState.cacheManager.clearCache()
     }
-    spark.sharedState.cacheManager.clearCache()
     // SPARK_GRAFT_BENCH_REPS>1 → median-of-N per query (stable numbers
     // for tuning); default 1 keeps the driver's single-shot timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
-        // clear per-rep so queries with internal .cache() don't report
-        // artificially-warm medians
-        if (reps > 1) spark.sharedState.cacheManager.clearCache()
+        // clear per-run: a query's own .cache() must not leak into the
+        // next measurement (cold-cache per query, steady-state JIT)
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

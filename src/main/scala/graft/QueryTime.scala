@@ -9,7 +9,8 @@ object QueryTime {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
-    val spark = GraftConf.builder("local[4]", 4).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftConf.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.tune(spark)
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)")

@@ -183,24 +183,33 @@ object Similarity extends QueryPack {
       .orderBy("vec_id").limit(8)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     // per (vector, centroid, subspace m): squared L2 over the 8-dim
-    // subvector, as a sequential-fold dot product of the difference
+    // subvector via ‖v‖²+‖c‖²−2v·c on codegen'd slice + dot-product
+    // expressions. (Measured and rejected: a transform() lambda of
+    // per-dim differences folded by dot(d,d) — the interpreted
+    // higher-order function allocates an 8-double array per row, and
+    // at local[32] the allocation+GC churn made the FIRST run 25 s vs
+    // 5 s at local[4]; the norm identity keeps every term inside
+    // whole-stage codegen. The oracle computes the identical identity,
+    // so sd stays bitwise-portable.)
     val sub = e.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         explode(sequence(lit(0), lit(7))).as("m"), col("emb"),
         col("cent_emb"))
-      .withColumn("d", expr(
-        "transform(sequence(1, 8), j -> element_at(emb, CAST(m * 8 + j AS INT))" +
-          " - element_at(cent_emb, CAST(m * 8 + j AS INT)))"))
+      .withColumn("vs", expr("slice(emb, m * 8 + 1, 8)"))
+      .withColumn("cs", expr("slice(cent_emb, m * 8 + 1, 8)"))
       .select(col("vec_id"), col("cent_id"), col("m"),
-        expr("graft_dot_product(d, d)").as("sd"))
+        (expr("graft_dot_product(vs, vs)") +
+          expr("graft_dot_product(cs, cs)") -
+          lit(2.0) * expr("graft_dot_product(vs, cs)")).as("sd"))
       .cache()
-    val byVecSub = Window.partitionBy("vec_id", "m")
-      .orderBy(col("sd"), col("cent_id"))
+    // argmin per (vector, subspace) as a lexicographic struct-min hash
+    // aggregate — same (sd, cent_id) tie-break as a row_number window
+    // without the per-partition sort
     val codes = sub.filter(col("vec_id") >= 10)
-      .withColumn("crank", row_number().over(byVecSub))
-      .filter(col("crank") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("sd"), col("cent_id"))).as("mc"))
       .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
-        col("cent_id").as("code"))
+        col("mc.cent_id").as("code"))
     val qd = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
         col("sd"))
@@ -332,11 +341,13 @@ object Similarity extends QueryPack {
         ORDER BY vec_id LIMIT 8
       ),
       sub AS (
-        SELECT vec_id, cent_id, m, list_dot_product(d, d) AS sd
+        SELECT vec_id, cent_id, m,
+               list_dot_product(vs, vs) + list_dot_product(cs, cs)
+                 - 2.0 * list_dot_product(vs, cs) AS sd
         FROM (
           SELECT e.vec_id, cent_id, m,
-                 list_transform(range(1, 9),
-                   j -> e.emb[m * 8 + j] - cent_emb[m * 8 + j]) AS d
+                 e.emb[m * 8 + 1 : m * 8 + 8] AS vs,
+                 cent_emb[m * 8 + 1 : m * 8 + 8] AS cs
           FROM e, cents, (SELECT unnest(range(0, 8)) AS m) ms
         )
       ),
