@@ -297,6 +297,48 @@ final class FalApi(
     WriteResult(name, rows, "snapshot")
   }
 
+  /** Maintenance — small-file compaction (the OPTIMIZE/rewrite op every
+    * long-lived table store needs): rewrite the model's current version
+    * into files sized near `targetBytes`, then swap the pointer. Many
+    * small files are the chronic failure mode of incremental/append
+    * pipelines at scale — each parquet footer is a driver-side listing
+    * + open cost, and tiny row groups defeat column-chunk skipping.
+    * The rewrite preserves content (same rows, fresh layout) and routes
+    * through [[materialize]], so declared bucketing/partitioning
+    * survives; plain models coalesce to ceil(bytes/targetBytes) files.
+    *
+    * Scale: one read + one write of the model, no shuffle for plain
+    * models (coalesce narrows), and concurrent readers keep the old
+    * version until the pointer swap — same atomicity story as
+    * [[writeToModel]].
+    */
+  def compactModel(name: String,
+      targetBytes: Long = 128L << 20): WriteResult = {
+    require(allowWrites, "compact_model is not allowed in hooks")
+    val cur = registry.currentPath(name).getOrElse(
+      throw new IllegalStateException(s"model not materialized: $name"))
+    import scala.jdk.CollectionConverters._
+    val bytes = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(cur))) { walk =>
+      walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(cur)
+    val target = registry.nextVersionDir(name)
+    // bucketed/partitioned models re-materialize through their declared
+    // layout (bucket count fixes the file count); plain models coalesce
+    val compacted =
+      if (bucketSpec(name).isDefined) df else df.coalesce(nFiles)
+    materialize(compacted, name, target)
+    registry.swapPointer(name, target)
+    val rows = spark.read.parquet(target).count()
+    ledger.record(name, Status.Success,
+      s"compact rows=$rows files<=$nFiles${fileSkew(target)}")
+    WriteResult(name, rows, "compact")
+  }
+
   /** Feature-store listing (ref `Feature`, `A/fal/dbt/feature_store/
     * feature.py:6-17`; discovery `project.py:642-673`): models whose
     * meta declares `feature_store.entity_column` expose every other

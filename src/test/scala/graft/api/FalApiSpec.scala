@@ -111,6 +111,34 @@ class FalApiSpec extends AnyFunSuite {
     assert(lag >= 120 && lag < 600, s"lag was $lag")
   }
 
+  test("compactModel rewrites many small files into few, same rows") {
+    val api = freshApi()
+    // force a many-small-files layout: 8 partitions of a tiny table
+    api.writeToModel(df(1 to 80: _*).repartition(8), "shards")
+    val before = api.registry.currentPath("shards").get
+    def parquetFiles(dir: String) =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parquetFiles(before) == 8)
+    val res = api.compactModel("shards")
+    assert(res.rowsAffected == 80)
+    val after = api.registry.currentPath("shards").get
+    assert(after != before, "compaction must produce a new version")
+    assert(parquetFiles(after) == 1)
+    assert(api.ref("shards").agg(sum("my_int")).head().getLong(0)
+      == (1 to 80).sum.toLong)
+    // concurrent readers of the old version keep their snapshot
+    assert(spark.read.parquet(before).count() == 80)
+  }
+
+  test("compactModel is blocked in hooks") {
+    val api = freshApi()
+    api.writeToModel(df(1), "h")
+    intercept[IllegalArgumentException] {
+      api.forHook.compactModel("h")
+    }
+  }
+
   test("ledger records writes as JSON") {
     val api = freshApi()
     api.writeToModel(df(1), "logged")
