@@ -339,6 +339,37 @@ final class FalApi(
     WriteResult(name, rows, "compact")
   }
 
+  /** Maintenance — version retention (VACUUM): delete all but the
+    * newest `keep` version directories of a model. Overwrite/compact
+    * leave every prior version on disk for snapshot-isolated readers;
+    * without retention a frequently-refreshed model's storage grows
+    * without bound. The current version is always kept regardless of
+    * `keep`. Returns the number of versions removed.
+    *
+    * Scale: pure driver-side directory walk — no Spark job; the
+    * deleted bytes are the win (at 100 TB a daily-refreshed model
+    * holds its full size per retained version).
+    */
+  def vacuumModel(name: String, keep: Int = 2): Int = {
+    require(allowWrites, "vacuum_model is not allowed in hooks")
+    require(keep >= 1, "keep must be >= 1")
+    val versions = registry.listVersions(name)
+    val current = registry.currentPath(name)
+    val victims = versions.dropRight(keep)
+      .filterNot(v => current.contains(v))
+    victims.foreach { v =>
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+        java.nio.file.Paths.get(v))) { walk =>
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    ledger.record(name, Status.Success,
+      s"vacuum removed=${victims.size} kept=${versions.size - victims.size}")
+    victims.size
+  }
+
   /** Feature-store listing (ref `Feature`, `A/fal/dbt/feature_store/
     * feature.py:6-17`; discovery `project.py:642-673`): models whose
     * meta declares `feature_store.entity_column` expose every other

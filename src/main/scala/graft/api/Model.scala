@@ -24,6 +24,11 @@ object ModelKind {
       fn: (org.apache.spark.sql.SparkSession, FalApi) =>
         org.apache.spark.sql.DataFrame)
       extends ModelKind
+  /** A dbt seed — a checked-in CSV loaded as a relation (the reference's
+    * jaffle project boots from three of these: `002_jaffle_shop/
+    * dbt_project.yml:6` `seed-paths: ["data"]` + `data/raw_*.csv`).
+    */
+  final case class Seed(csvPath: String) extends ModelKind
 }
 
 /** A named transformation producing one relation (ref: `DbtModel`).

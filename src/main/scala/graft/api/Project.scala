@@ -66,6 +66,20 @@ object Project {
         .foreach(registry.registerTest)
     }
 
+    // seeds/<name>.csv → a seed model (dbt's `seed-paths`; the
+    // reference's jaffle fixture ships raw_customers/orders/payments
+    // this way). Seeds have no deps — they root the DAG.
+    val seedsDir = Paths.get(projectDir, "seeds")
+    if (Files.isDirectory(seedsDir)) {
+      Files.list(seedsDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".csv")).toSeq
+        .sortBy(_.getFileName.toString)
+        .foreach { f =>
+          val name = f.getFileName.toString.stripSuffix(".csv")
+          registry.register(ModelDef(name, ModelKind.Seed(f.toString)))
+        }
+    }
+
     val sourcesFile = Paths.get(projectDir, "sources.conf")
     if (Files.exists(sourcesFile)) {
       Files.readAllLines(sourcesFile).asScala

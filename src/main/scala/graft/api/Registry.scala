@@ -96,6 +96,17 @@ final class Registry(val root: String) {
     dir.resolve(s"v$next").toString
   }
 
+  /** All version directories for a model, oldest first. */
+  def listVersions(name: String): Seq[String] = {
+    val dir = modelDir(name)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
+      .toSeq.sortBy(_.drop(1).toInt)
+      .map(dir.resolve(_).toString)
+  }
+
   /** Atomically point `name` at `versionDir` (must be under the model's
     * dir). Pointer swap is temp-write + ATOMIC_MOVE — readers see either
     * the old or the new version, never a partial write.

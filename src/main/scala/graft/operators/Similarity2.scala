@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 embedding-space operator: one full Lloyd iteration of
+  * k-means (E-step assignment + M-step centroid recompute) — the
+  * clustering primitive behind semantic dedup, IVF index training and
+  * topic bucketing. [[Similarity]]'s IVF/PQ queries *consume* sampled
+  * centroids; this operator is the step that would refine them.
+  *
+  * Oracle-checked exactly: distances are sequential-fold dot products
+  * (bitwise equal to DuckDB's list_dot_product), the argmin tie-breaks
+  * on centroid id, and the per-dimension means go through
+  * round-then-decimal sums so reduction order cannot matter.
+  */
+object Similarity2 extends QueryPack {
+
+  /** E6 (extension) — one k-means Lloyd iteration over the embeddings:
+    * assign every vector to its nearest (squared-L2, via the
+    * ‖v‖²+‖c‖²−2v·c identity — keeps every term inside whole-stage
+    * codegen, see simPqTopk's note) of the 8 deterministically sampled
+    * seed centroids, then recompute each cluster's centroid as the
+    * per-dimension mean. The first 8 dimensions are emitted.
+    *
+    * Scale: assignment is a broadcast nested loop (K·N dot products,
+    * map-only over the corpus); the M-step is one hash aggregation on
+    * (cluster, dim) with map-side combine — at 100 TB this is exactly
+    * the distributed k-means iteration (the corpus never moves; only
+    * K·dim partial sums shuffle).
+    */
+  def simKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+    val cents = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
+      .orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_dot_product(emb, emb) + " +
+          "graft_dot_product(cent_emb, cent_emb) - " +
+          "2.0D * graft_dot_product(emb, cent_emb)"))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("cent_id").as("cluster"), col("emb"))
+    assigned
+      .select(col("cluster"),
+        explode(sequence(lit(0), lit(7))).as("dim"), col("emb"))
+      .select(col("cluster"), col("dim").cast("long").as("dim"),
+        element_at(col("emb"), col("dim") + 1).as("v"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("v"), 9).cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_v"))
+      .select(col("cluster"), col("dim"), col("n"),
+        round(col("mean_v"), 6).as("new_centroid"))
+      .orderBy("cluster", "dim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_step" -> simKmeansStep _)
+
+  val oracles: Map[String, String] = Map(
+    "sim_kmeans_step" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+        WHERE vec_id >= 10 AND vec_id % 59 = 0
+        ORDER BY vec_id LIMIT 8
+      ),
+      scored AS (
+        SELECT e.vec_id, e.emb, cent_id,
+               list_dot_product(emb, emb) +
+                 list_dot_product(cent_emb, cent_emb) -
+                 2.0 * list_dot_product(emb, cent_emb) AS d2
+        FROM e, cents
+      ),
+      assigned AS (
+        SELECT cent_id AS cluster, emb FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY vec_id ORDER BY d2 ASC, cent_id) AS crank
+          FROM scored
+        ) WHERE crank = 1
+      ),
+      dims AS (
+        SELECT cluster, CAST(dim AS BIGINT) AS dim, emb[dim + 1] AS v
+        FROM assigned, unnest(range(0, 8)) AS t(dim)
+      )
+      SELECT cluster, dim, count(*) AS n,
+             round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,12)))
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS new_centroid
+      FROM dims GROUP BY cluster, dim ORDER BY cluster, dim""")
+}

@@ -46,6 +46,8 @@ object NodeGraph {
       val kind = kinds.getOrElse(m.name, m.kind match {
         case _: graft.api.ModelKind.Sql => NodeKind.DbtModel
         case _: graft.api.ModelKind.Scala => NodeKind.FalModel
+        // a seed is a side-effect-free root — chunkable like SQL (B4)
+        case _: graft.api.ModelKind.Seed => NodeKind.DbtModel
       })
       modelId(m.name) -> NodeProps(kind,
         preHook = preHooks.getOrElse(m.name, Nil),

@@ -108,6 +108,11 @@ object Runner {
         case ModelKind.Sql(sql) => a.executeSql(renderIncremental(
           substituteVars(sql, vars), isIncremental, name, a))
         case ModelKind.Scala(fn) => fn(a.spark, a)
+        // seeds re-load their CSV each run (dbt semantics: `dbt seed`
+        // refreshes from the checked-in file); header + inferSchema
+        // give typed columns, as dbt's agate-based type inference does
+        case ModelKind.Seed(csv) => a.spark.read
+          .option("header", "true").option("inferSchema", "true").csv(csv)
       }
       // C20 — strategy from meta (ref: strategy list
       // `A/dbt/fal/adapters/python/impl.py:256-291`); full refresh when

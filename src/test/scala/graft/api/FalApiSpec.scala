@@ -131,6 +131,19 @@ class FalApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(before).count() == 80)
   }
 
+  test("vacuumModel drops old versions, keeps current") {
+    val api = freshApi()
+    (1 to 5).foreach(i => api.writeToModel(df(i), "vac"))
+    assert(api.registry.listVersions("vac").size == 5)
+    val removed = api.vacuumModel("vac", keep = 2)
+    assert(removed == 3)
+    val left = api.registry.listVersions("vac")
+    assert(left.size == 2)
+    assert(left.contains(api.registry.currentPath("vac").get))
+    assert(api.ref("vac").head().getLong(0) == 5L)
+    intercept[IllegalArgumentException] { api.forHook.vacuumModel("vac") }
+  }
+
   test("compactModel is blocked in hooks") {
     val api = freshApi()
     api.writeToModel(df(1), "h")

@@ -27,8 +27,10 @@ class ProjectSpec extends AnyFunSuite {
     val models = registry.listModels.map(m => m.name -> m).toMap
     assert(models.keySet ==
       Set("stg_orders", "customer_orders", "vip_customers",
-        "order_events"))
+        "order_events", "payment_methods", "payment_fees"))
     assert(models("customer_orders").deps == Seq("stg_orders"))
+    assert(models("payment_methods").kind.isInstanceOf[ModelKind.Seed])
+    assert(models("payment_fees").deps == Seq("payment_methods"))
     assert(models("customer_orders").tags == Set("daily"))
     assert(models("vip_customers").deps == Seq("customer_orders"))
     assert(models("order_events").incremental &&
@@ -49,6 +51,23 @@ class ProjectSpec extends AnyFunSuite {
     assert(Runner.run(api, Runner.RunConfig(
       select = Seq("+customer_orders"))) == 0)
     assert(registry.status("customer_orders") == Status.Tested)
+  }
+
+  test("seed roots the DAG and materializes typed rows") {
+    val storage = Files.createTempDirectory("graft-proj-seed").toString
+    val registry = Project.load("examples/jaffle", storage)
+    val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+    assert(Runner.run(api, Runner.RunConfig(
+      select = Seq("+payment_fees"))) == 0)
+    assert(api.registry.relationExists("payment_methods"))
+    val fees = api.ref("payment_fees")
+    assert(fees.count() == 4)
+    // inferSchema typed the seed column as integer, not string
+    assert(fees.schema("fee_bps").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // int / decimal-literal division yields decimal in Spark SQL
+    assert(fees.filter(org.apache.spark.sql.functions.col("method") ===
+      "credit_card").head().getDecimal(2).doubleValue == 0.025)
   }
 
   test("executeSql on an unmaterialized ref fails with a clear error") {
