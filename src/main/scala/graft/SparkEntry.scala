@@ -16,7 +16,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(Relational, Relational2, Relational3,
     Relational4, Joins2, Analytics, EventWindows, TextAnalysis,
     TextAnalysis2, Curation, Dedup, Similarity, Similarity2, Multimodal,
-    Sketches)
+    Sketches, Graph)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational data — the iterative-algorithm
+  * shape (next to [[Dedup]]'s union-find contraction) that data
+  * pipelines run for entity resolution and influence scoring. The
+  * graph is the supplier↔part bipartite graph of distinct lineitem
+  * pairs, symmetrized so every node has degree ≥ 1.
+  *
+  * Oracle-checked exactly: a FIXED number of power iterations (the
+  * oracle unrolls the same three), per-edge contributions as identical
+  * double divisions, and round-then-decimal sums so the reduction
+  * order of incoming contributions cannot matter.
+  */
+object Graph extends QueryPack {
+
+  /** Order-independent exact sum of small doubles (see TextAnalysis2). */
+  private def lsum(c: Column): Column =
+    sum(round(c, 9).cast("decimal(28,12)")).cast("double")
+
+  private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .unionAll(li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")))
+  }
+
+  /** G1 — PageRank, 3 power iterations, damping 0.85: rank flows along
+    * edges proportional to 1/degree. Iterations are unrolled (both
+    * here and in the oracle) so the result is a pure dataflow.
+    *
+    * Scale: each iteration is one shuffle join (edges ⋈ ranks on the
+    * source key) + one hash aggregation on the destination key — the
+    * canonical distributed PageRank step. Pre-partitioning edges and
+    * ranks on the join key makes every later iteration co-located; the
+    * edge table never changes, so at 100 TB it would be bucketed once.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nTotal = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    var ranks = deg.crossJoin(nTotal)
+      .select(col("node"), col("deg"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg").cast("double")).as("c"))
+        .groupBy(col("dst")).agg(lsum(col("c")).as("s"))
+      ranks = deg
+        .join(contribs, deg("node") === contribs("dst"))
+        .crossJoin(nTotal)
+        .select(col("node"), col("deg"),
+          (lit(0.15) / col("n_nodes").cast("double") +
+            lit(0.85) * col("s")).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank") * 1000.0, 6).as("rank_x1000"))
+      .orderBy("node")
+  }
+
+  /** G2 — degree distribution: how many nodes have each degree. The
+    * one-pass graph profile that sizes skew mitigation (a power-law
+    * tail means the top hubs need salting in the join above).
+    */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    edgesOf(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> qPagerank _,
+    "q_degree_dist" -> qDegreeDist _)
+
+  private val sqlEdges = """
+      li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li
+        UNION ALL
+        SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM li
+      )"""
+
+  private def sqlLsum(e: String) =
+    s"CAST(SUM(CAST(round($e, 9) AS DECIMAL(28,12))) AS DOUBLE)"
+
+  private def sqlIter(prev: String, out: String) = s"""
+      c_$out AS (
+        SELECT e.dst,
+               ${sqlLsum(s"r.rank / CAST(r.deg AS DOUBLE)")} AS s
+        FROM edges e JOIN $prev r ON e.src = r.node
+        GROUP BY e.dst
+      ),
+      $out AS (
+        SELECT d.node, d.deg,
+               CAST(0.15 AS DOUBLE) / CAST(n.n_nodes AS DOUBLE) +
+                 CAST(0.85 AS DOUBLE) * c.s AS rank
+        FROM deg d JOIN c_$out c ON d.node = c.dst CROSS JOIN n
+      )"""
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> s"""
+      WITH $sqlEdges,
+      deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+      n AS (SELECT count(*) AS n_nodes FROM deg),
+      r0 AS (
+        SELECT node, deg,
+               CAST(1.0 AS DOUBLE) / CAST(n.n_nodes AS DOUBLE) AS rank
+        FROM deg CROSS JOIN n
+      ),
+      ${sqlIter("r0", "r1")},
+      ${sqlIter("r1", "r2")},
+      ${sqlIter("r2", "r3")}
+      SELECT node, round(rank * CAST(1000.0 AS DOUBLE), 6) AS rank_x1000
+      FROM r3 ORDER BY node""",
+    "q_degree_dist" -> s"""
+      WITH $sqlEdges,
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+      SELECT deg, count(*) AS n_nodes FROM deg
+      GROUP BY deg ORDER BY deg""")
+}
