@@ -145,9 +145,44 @@ object Analytics extends QueryPack {
       .orderBy(col("n_name"))
   }
 
+  /** D3 — CUSUM change-point detection over the daily order-revenue
+    * series (the drift detector next to [[d3Anomaly]]'s rolling
+    * z-score): S_t = Σ_{i≤t}(x_i − μ), reported as a share of total
+    * revenue; a day where |S_t / total| crosses 1% marks a level
+    * shift. Deviations are rounded then summed in exact decimals, so
+    * the running statistic is order-independent and the oracle replays
+    * it bitwise (a raw double window-sum would depend on DuckDB's
+    * segment-tree association order).
+    *
+    * Scale: one hash aggregation to the daily grain, then windows over
+    * the tiny day-series — the corpus-size pass is the aggregation
+    * only.
+    */
+  def d3Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val cum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(dsum(col("o_totalprice")).as("daily"))
+    daily
+      .withColumn("tot",
+        sum(col("daily").cast("decimal(28,4)")).over(all).cast("double"))
+      .withColumn("n", count(lit(1)).over(all).cast("double"))
+      .withColumn("dev", col("daily") - col("tot") / col("n"))
+      .withColumn("cusum",
+        sum(round(col("dev"), 4).cast("decimal(28,8)")).over(cum)
+          .cast("double"))
+      .select(col("d"), col("daily"),
+        round(col("cusum") / col("tot"), 6).as("cusum_share"),
+        (abs(col("cusum") / col("tot")) > 0.01).as("is_shift"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_forecast" -> d3Forecast _,
     "d3_anomaly" -> d3Anomaly _,
+    "d3_changepoint" -> d3Changepoint _,
     "d3_sentiment" -> d3Sentiment _,
     "q5_analytic" -> q5Analytic _)
 
@@ -177,6 +212,32 @@ object Analytics extends QueryPack {
       SELECT day, n_orders, forecast_orders, revenue, forecast_revenue
       FROM forecast WHERE forecast_orders IS NOT NULL
       ORDER BY day""",
+    "d3_changepoint" -> s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ${sqlDsum("o_totalprice")} AS daily
+        FROM orders GROUP BY 1
+      ),
+      st AS (
+        SELECT d, daily,
+               CAST(SUM(CAST(daily AS DECIMAL(28,4))) OVER () AS DOUBLE)
+                 AS tot,
+               CAST(COUNT(*) OVER () AS DOUBLE) AS n
+        FROM daily
+      ),
+      dv AS (
+        SELECT d, daily, tot, (daily - tot / n) AS dev FROM st
+      ),
+      cu AS (
+        SELECT d, daily, tot,
+               CAST(SUM(CAST(round(dev, 4) AS DECIMAL(28,8)))
+                 OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE) AS cusum
+        FROM dv
+      )
+      SELECT d, daily, round(cusum / tot, 6) AS cusum_share,
+             (abs(cusum / tot) > 0.01) AS is_shift
+      FROM cu ORDER BY d""",
     "d3_anomaly" -> """
       WITH stats AS (
         SELECT event_id, event_type, value,

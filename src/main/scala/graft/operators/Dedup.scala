@@ -248,6 +248,57 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** E5c2 — INCREMENTAL near-dup: probe a new ingest batch against the
+    * standing LSH index instead of re-pairing the whole corpus — the
+    * shape every continually-fed corpus needs (daily crawl vs the
+    * accumulated index). The "new batch" is docs with doc_id % 10 = 9
+    * (scale-invariant split); everything else is the index. Bands
+    * join probe-side against index-side only, so candidate volume is
+    * O(batch), not O(corpus²); in production the index signatures are
+    * precomputed and bucket-partitioned on the band key, making the
+    * probe a co-located join that never reshuffles the index.
+    *
+    * Same portable hash family as ddMinhashLsh → fully oracle-checked.
+    */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
+          .as("b"))
+    val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
+      expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
+    }
+    val sigs = sh.groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .cache()
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (1 to 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+          .as("bk"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val probe = banded.filter(col("doc_id") % 10 === 9)
+    val index = banded.filter(col("doc_id") % 10 =!= 9)
+    val cands = probe.as("a").join(index.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_doc"),
+        col("b.doc_id").as("index_doc"))
+      .distinct()
+    val sigA = sigs.toDF("new_doc" +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigs.toDF("index_doc" +: (1 to 16).map(i => s"b$i"): _*)
+    val nMatch = (1 to 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(broadcast(sigA), "new_doc").join(broadcast(sigB), "index_doc")
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("new_doc", "index_doc", "n_match", "est_jaccard")
+      .orderBy("new_doc", "index_doc")
+  }
+
   /** E5d — SimHash near-dup: 60-bit signature from per-token md5-prefix
     * hash bit votes (one-pass SimHashAgg, portable hash — see
     * graft.functions.SimHashAgg); candidates share one of two 30-bit
@@ -448,6 +499,7 @@ object Dedup extends QueryPack {
     "dd_exact_keep" -> ddExactKeep _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh" -> ddMinhashLsh _,
+    "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
     "dd_embedding_neardup" -> ddEmbeddingNeardup _)
 
@@ -572,6 +624,50 @@ object Dedup extends QueryPack {
       FROM scored
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
       ORDER BY doc_a, doc_b"""
+    },
+    "dd_incremental" -> {
+      val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
+        s"min((b * $a + $c) % $M61) AS s${i + 1}"
+      }.mkString(",\n               ")
+      val bands = (0 until 4).map { bnd =>
+        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val match16 = (1 to 16)
+        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n               ")
+      s"""
+      WITH $sqlShingled,
+      hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
+        FROM sh
+      ),
+      sig AS (
+        SELECT doc_id,
+               $mins
+        FROM hx GROUP BY doc_id
+      ),
+      banded AS (
+        $bands
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk
+         AND a.doc_id % 10 = 9 AND b.doc_id % 10 != 9
+      ),
+      scored AS (
+        SELECT new_doc, index_doc,
+               CAST($match16 AS BIGINT) AS n_match
+        FROM cand JOIN sig sa ON new_doc = sa.doc_id
+                  JOIN sig sb ON index_doc = sb.doc_id
+      )
+      SELECT new_doc, index_doc, n_match,
+             CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
+      FROM scored
+      WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
+      ORDER BY new_doc, index_doc"""
     },
     "dd_simhash" -> s"""
       WITH $sqlCorpus,
