@@ -70,7 +70,21 @@ final class FalApi(
         }
       }
       spark.table(tbl)
-    } else spark.read.parquet(path)
+    } else readVersion(path)
+  }
+
+  /** Plain (non-bucketed) version read. Reads through the schema
+    * recorded at write time when present: partition-column type
+    * inference over directory names would otherwise retype values on
+    * every read (string '01' → int 1 — lossy for zero-padded or
+    * mixed-format keys).
+    */
+  private def readVersion(path: String): DataFrame = {
+    val schemaFile = java.nio.file.Paths.get(path, "_schema.ddl")
+    if (java.nio.file.Files.exists(schemaFile))
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        java.nio.file.Files.readString(schemaFile))).parquet(path)
+    else spark.read.parquet(path)
   }
 
   /** Bucketing config from the model's meta (`bucket_by` = comma-joined
@@ -120,6 +134,11 @@ final class FalApi(
       if (partCols.nonEmpty)
         df.write.mode("overwrite").partitionBy(partCols: _*).parquet(target)
       else df.write.mode("overwrite").parquet(target)
+      // record the written schema: a later maintenance read must not
+      // re-infer partition-column types from directory names (string
+      // '01' would silently become int 1 on rewrite)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(target, "_schema.ddl"), df.schema.toDDL)
   }
 
   /** Output-layout skew report from the written files' sizes — free
@@ -318,24 +337,33 @@ final class FalApi(
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
     import scala.jdk.CollectionConverters._
-    val bytes = scala.util.Using.resource(
-      java.nio.file.Files.walk(java.nio.file.Paths.get(cur))) { walk =>
-      walk.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size(_)).sum
-    }
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(cur)
+    // readVersion: the rewrite must not re-infer partition-column types
+    // (string '01' would come back — and be rewritten — as int 1)
+    val df = readVersion(cur)
     val target = registry.nextVersionDir(name)
-    // bucketed/partitioned models re-materialize through their declared
-    // layout (bucket count fixes the file count); plain models coalesce
-    val compacted =
-      if (bucketSpec(name).isDefined) df else df.coalesce(nFiles)
-    materialize(compacted, name, target)
+    // bucketed models re-materialize through their declared layout (the
+    // bucket count fixes the file count — no byte scan needed); plain
+    // models coalesce to ceil(bytes / targetBytes) files
+    val detail = bucketSpec(name) match {
+      case Some((n, _)) =>
+        materialize(df, name, target)
+        s"buckets=$n"
+      case None =>
+        val bytes = scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(cur))) { walk =>
+          walk.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size(_)).sum
+        }
+        val nFiles =
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        materialize(df.coalesce(nFiles), name, target)
+        s"files<=$nFiles"
+    }
     registry.swapPointer(name, target)
     val rows = spark.read.parquet(target).count()
     ledger.record(name, Status.Success,
-      s"compact rows=$rows files<=$nFiles${fileSkew(target)}")
+      s"compact rows=$rows $detail${fileSkew(target)}")
     WriteResult(name, rows, "compact")
   }
 
@@ -359,6 +387,15 @@ final class FalApi(
       .filterNot(v => current.contains(v))
     victims.foreach { v =>
       import scala.jdk.CollectionConverters._
+      // a bucketed version registered a catalog table pointing at this
+      // directory — drop it too, or the catalog accumulates entries
+      // whose LOCATION no longer exists
+      val marker = java.nio.file.Paths.get(v, "_bucketed_table")
+      if (java.nio.file.Files.exists(marker)) {
+        val tbl = java.nio.file.Files.readString(marker).trim
+          .split("\n").head.trim
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      }
       scala.util.Using.resource(java.nio.file.Files.walk(
         java.nio.file.Paths.get(v))) { walk =>
         walk.iterator().asScala.toSeq.reverse

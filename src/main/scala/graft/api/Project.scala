@@ -47,9 +47,10 @@ object Project {
     val modelsDir = Paths.get(projectDir, "models")
     require(Files.isDirectory(modelsDir), s"no models/ dir in $projectDir")
 
-    val sqlFiles = Files.list(modelsDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".sql")).toSeq
-      .sortBy(_.getFileName.toString)
+    val sqlFiles = scala.util.Using.resource(Files.list(modelsDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".sql")).toSeq
+    }.sortBy(_.getFileName.toString)
     sqlFiles.foreach { f =>
       val name = f.getFileName.toString.stripSuffix(".sql")
       val sql = Files.readString(f)
@@ -71,11 +72,16 @@ object Project {
     // this way). Seeds have no deps — they root the DAG.
     val seedsDir = Paths.get(projectDir, "seeds")
     if (Files.isDirectory(seedsDir)) {
-      Files.list(seedsDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".csv")).toSeq
-        .sortBy(_.getFileName.toString)
+      scala.util.Using.resource(Files.list(seedsDir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".csv")).toSeq
+      }.sortBy(_.getFileName.toString)
         .foreach { f =>
           val name = f.getFileName.toString.stripSuffix(".csv")
+          // dbt fails compilation on duplicate resource names; a silent
+          // registry overwrite would drop the SQL model (deps, tests)
+          require(registry.modelOpt(name).isEmpty,
+            s"duplicate resource name: seed $name collides with model $name")
           registry.register(ModelDef(name, ModelKind.Seed(f.toString)))
         }
     }

@@ -86,11 +86,13 @@ final class Registry(val root: String) {
     val dir = modelDir(name)
     Files.createDirectories(dir)
     val existing = if (Files.exists(dir)) {
-      Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("v"))
-        .flatMap(v => v.drop(1).toIntOption)
-        .toSeq
+      scala.util.Using.resource(Files.list(dir)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("v"))
+          .flatMap(v => v.drop(1).toIntOption)
+          .toSeq
+      }
     } else Seq.empty
     val next = if (existing.isEmpty) 1 else existing.max + 1
     dir.resolve(s"v$next").toString
@@ -100,11 +102,12 @@ final class Registry(val root: String) {
   def listVersions(name: String): Seq[String] = {
     val dir = modelDir(name)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
-      .toSeq.sortBy(_.drop(1).toInt)
-      .map(dir.resolve(_).toString)
+    else scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
+        .toSeq
+    }.sortBy(_.drop(1).toInt).map(dir.resolve(_).toString)
   }
 
   /** Atomically point `name` at `versionDir` (must be under the model's

@@ -194,16 +194,19 @@ object Dedup extends QueryPack {
     * (doc, band, key) rows, and candidate generation is quadratic only
     * within a band bucket — the standard linear-in-corpus LSH layout.
     */
-  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // (Measured and rejected: computing the 16 min-hashes per-row with
-    // array_min(transform(bs, ...)) over the in-row shingle array to
-    // skip the explode + hash aggregate — 8× SLOWER. Higher-order
-    // lambdas run interpreted outside whole-stage codegen, and
-    // CollapseProject inlines the shared md5 transform into all 16
-    // array_min expressions, recomputing it 16×. The exploded hash
-    // aggregate keeps everything in codegen and its map-side partial
-    // agg already collapses to one 16-long row per doc before the
-    // shuffle.)
+  /** Shared MinHash signature table (doc_id, s1..s16), cached.
+    *
+    * (Measured and rejected: computing the 16 min-hashes per-row with
+    * array_min(transform(bs, ...)) over the in-row shingle array to
+    * skip the explode + hash aggregate — 8× SLOWER. Higher-order
+    * lambdas run interpreted outside whole-stage codegen, and
+    * CollapseProject inlines the shared md5 transform into all 16
+    * array_min expressions, recomputing it 16×. The exploded hash
+    * aggregate keeps everything in codegen and its map-side partial
+    * agg already collapses to one 16-long row per doc before the
+    * shuffle.)
+    */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
@@ -211,41 +214,55 @@ object Dedup extends QueryPack {
     val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
       expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
     }
-    val sigs = sh.groupBy("doc_id")
-      .agg(minExprs.head, minExprs.tail: _*)
-      .cache()
+    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).cache()
+  }
+
+  /** 4-band × 4-row banding of a signature table → (doc_id, band, bk). */
+  private def bandedOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (1 to 4).map(r => col(s"s${bnd * 4 + r}")): _*)
           .as("bk"))
     }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
-    // Shuffled hash join for the band bucket join (uniform small
-    // buckets, no sort needed); signature lookups broadcast — a sig row
-    // is 16 longs, so even a 10^8-doc corpus ships ~GBs to executors
-    // only if the candidate set itself is that large. (Measured and
-    // rejected: carrying the 16-long signature through the band join to
-    // score candidates inline — the 4×-wider shuffle rows and wide
-    // distinct cost ~30% more than the two narrow broadcast joins they
-    // replace.)
+  }
+
+  /** Score candidate pairs by matching-signature fraction, keep ≥ 0.5.
+    *
+    * Signature lookups broadcast — a sig row is 16 longs, so even a
+    * 10^8-doc corpus ships ~GBs to executors only if the candidate set
+    * itself is that large. (Measured and rejected: carrying the
+    * 16-long signature through the band join to score candidates
+    * inline — the 4×-wider shuffle rows and wide distinct cost ~30%
+    * more than the two narrow broadcast joins they replace.)
+    */
+  private def scoreCandidates(cands: DataFrame, sigs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val sigA = sigs.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigs.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
+    val nMatch = (1 to 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(broadcast(sigA), aCol).join(broadcast(sigB), bCol)
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(aCol, bCol, "n_match", "est_jaccard")
+      .orderBy(aCol, bCol)
+  }
+
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val banded = bandedOf(sigs)
+    // Shuffled hash join for the band bucket self-join (uniform small
+    // buckets, no sort needed)
     val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sigA = sigs.toDF("doc_a" +: (1 to 16).map(i => s"a$i"): _*)
-    val sigB = sigs.toDF("doc_b" +: (1 to 16).map(i => s"b$i"): _*)
-    val nMatch = (1 to 16)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    cands.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
-      .withColumn("n_match", nMatch)
-      .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
-      .filter(col("est_jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "n_match", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
+    scoreCandidates(cands, sigs, "doc_a", "doc_b")
   }
 
   /** E5c2 — INCREMENTAL near-dup: probe a new ingest batch against the
@@ -261,24 +278,8 @@ object Dedup extends QueryPack {
     * Same portable hash family as ddMinhashLsh → fully oracle-checked.
     */
   def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
-          .as("b"))
-    val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
-      expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
-    }
-    val sigs = sh.groupBy("doc_id")
-      .agg(minExprs.head, minExprs.tail: _*)
-      .cache()
-    val bandStructs = (0 until 4).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws(",", (1 to 4).map(r => col(s"s${bnd * 4 + r}")): _*)
-          .as("bk"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val sigs = minhashSigs(spark, dir)
+    val banded = bandedOf(sigs)
     val probe = banded.filter(col("doc_id") % 10 === 9)
     val index = banded.filter(col("doc_id") % 10 =!= 9)
     val cands = probe.as("a").join(index.as("b").hint("shuffle_hash"),
@@ -286,17 +287,7 @@ object Dedup extends QueryPack {
       .select(col("a.doc_id").as("new_doc"),
         col("b.doc_id").as("index_doc"))
       .distinct()
-    val sigA = sigs.toDF("new_doc" +: (1 to 16).map(i => s"a$i"): _*)
-    val sigB = sigs.toDF("index_doc" +: (1 to 16).map(i => s"b$i"): _*)
-    val nMatch = (1 to 16)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    cands.join(broadcast(sigA), "new_doc").join(broadcast(sigB), "index_doc")
-      .withColumn("n_match", nMatch)
-      .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
-      .filter(col("est_jaccard") >= 0.5)
-      .select("new_doc", "index_doc", "n_match", "est_jaccard")
-      .orderBy("new_doc", "index_doc")
+    scoreCandidates(cands, sigs, "new_doc", "index_doc")
   }
 
   /** E5d — SimHash near-dup: 60-bit signature from per-token md5-prefix
@@ -503,6 +494,39 @@ object Dedup extends QueryPack {
     "dd_simhash" -> ddSimhash _,
     "dd_embedding_neardup" -> ddEmbeddingNeardup _)
 
+  /** Shared DuckDB CTEs (sh → hx → sig → banded) replaying the MinHash
+    * signature + banding pipeline of [[minhashSigs]]/[[bandedOf]] — one
+    * definition per engine, consumed by both LSH oracles.
+    */
+  private lazy val sqlLshCtes: String = {
+    val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
+      s"min((b * $a + $c) % $M61) AS s${i + 1}"
+    }.mkString(",\n               ")
+    val bands = (0 until 4).map { bnd =>
+      val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""$sqlShingled,
+      hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
+        FROM sh
+      ),
+      sig AS (
+        SELECT doc_id,
+               $mins
+        FROM hx GROUP BY doc_id
+      ),
+      banded AS (
+        $bands
+      )"""
+  }
+
+  /** DuckDB twin of [[scoreCandidates]]'s 16-way signature match. */
+  private lazy val sqlMatch16: String = (1 to 16)
+    .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+    .mkString(" +\n               ")
+
   val oracles: Map[String, String] = Map(
     "dd_exact" -> s"""
       WITH $sqlCorpus
@@ -582,32 +606,8 @@ object Dedup extends QueryPack {
       FROM shs t JOIN shs e ON t.s = e.s
       WHERE t.source != 'src3' AND e.source = 'src3'
       GROUP BY t.doc_id ORDER BY t.doc_id""",
-    "dd_minhash_lsh" -> {
-      val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
-        s"min((b * $a + $c) % $M61) AS s${i + 1}"
-      }.mkString(",\n               ")
-      val bands = (0 until 4).map { bnd =>
-        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
-      }.mkString("\n        UNION ALL\n        ")
-      val match16 = (1 to 16)
-        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
-        .mkString(" +\n               ")
-      s"""
-      WITH $sqlShingled,
-      hx AS (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
-        FROM sh
-      ),
-      sig AS (
-        SELECT doc_id,
-               $mins
-        FROM hx GROUP BY doc_id
-      ),
-      banded AS (
-        $bands
-      ),
+    "dd_minhash_lsh" -> s"""
+      WITH $sqlLshCtes,
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
@@ -615,7 +615,7 @@ object Dedup extends QueryPack {
       ),
       scored AS (
         SELECT doc_a, doc_b,
-               CAST($match16 AS BIGINT) AS n_match
+               CAST($sqlMatch16 AS BIGINT) AS n_match
         FROM cand JOIN sig sa ON doc_a = sa.doc_id
                   JOIN sig sb ON doc_b = sb.doc_id
       )
@@ -623,34 +623,9 @@ object Dedup extends QueryPack {
              CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
       FROM scored
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
-      ORDER BY doc_a, doc_b"""
-    },
-    "dd_incremental" -> {
-      val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
-        s"min((b * $a + $c) % $M61) AS s${i + 1}"
-      }.mkString(",\n               ")
-      val bands = (0 until 4).map { bnd =>
-        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
-      }.mkString("\n        UNION ALL\n        ")
-      val match16 = (1 to 16)
-        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
-        .mkString(" +\n               ")
-      s"""
-      WITH $sqlShingled,
-      hx AS (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
-        FROM sh
-      ),
-      sig AS (
-        SELECT doc_id,
-               $mins
-        FROM hx GROUP BY doc_id
-      ),
-      banded AS (
-        $bands
-      ),
+      ORDER BY doc_a, doc_b""",
+    "dd_incremental" -> s"""
+      WITH $sqlLshCtes,
       cand AS (
         SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
         FROM banded a JOIN banded b
@@ -659,7 +634,7 @@ object Dedup extends QueryPack {
       ),
       scored AS (
         SELECT new_doc, index_doc,
-               CAST($match16 AS BIGINT) AS n_match
+               CAST($sqlMatch16 AS BIGINT) AS n_match
         FROM cand JOIN sig sa ON new_doc = sa.doc_id
                   JOIN sig sb ON index_doc = sb.doc_id
       )
@@ -667,8 +642,7 @@ object Dedup extends QueryPack {
              CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
       FROM scored
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
-      ORDER BY new_doc, index_doc"""
-    },
+      ORDER BY new_doc, index_doc""",
     "dd_simhash" -> s"""
       WITH $sqlCorpus,
       tok AS (

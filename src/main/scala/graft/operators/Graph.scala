@@ -16,10 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph extends QueryPack {
 
-  /** Order-independent exact sum of small doubles (see TextAnalysis2). */
-  private def lsum(c: Column): Column =
-    sum(round(c, 9).cast("decimal(28,12)")).cast("double")
-
   /** Long-encoded node ids (supplier → 2k, part → 2k+1): integer join
     * and shuffle keys cost ~half the string-keyed form (measured 3.3 s
     * → 2.0 s for the 3-iteration PageRank at sf0.1).
@@ -96,9 +92,6 @@ object Graph extends QueryPack {
         UNION ALL
         SELECT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM li
       )"""
-
-  private def sqlLsum(e: String) =
-    s"CAST(SUM(CAST(round($e, 9) AS DECIMAL(28,12))) AS DOUBLE)"
 
   private def sqlIter(prev: String, out: String) = s"""
       c_$out AS (

@@ -81,13 +81,10 @@ object Relational4 extends QueryPack {
         dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
-        round((d(col("n")) * col("sxy") - col("sx") * col("sy")) /
-          (d(col("n")) * col("sxx") - col("sx") * col("sx")), 6)
-          .as("slope"),
-        round((col("sy") - col("sx") *
-          ((d(col("n")) * col("sxy") - col("sx") * col("sy")) /
-            (d(col("n")) * col("sxx") - col("sx") * col("sx")))) /
-          d(col("n")), 6).as("intercept"),
+        round(olsSlope(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy")), 6).as("slope"),
+        round(olsIntercept(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy")), 6).as("intercept"),
         round(
           ((d(col("n")) * col("sxy") - col("sx") * col("sy")) *
             (d(col("n")) * col("sxy") - col("sx") * col("sy"))) /
@@ -115,13 +112,66 @@ object Relational4 extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** C12/C16 (completion) — gap-fill with last-observation-carried-
+    * forward: a 60-day spine left-joined to the sparse URGENT-only
+    * daily revenue series, missing days filled by the latest prior
+    * observation (`last(..., ignoreNulls)` over a running frame —
+    * DuckDB's `last_value(x IGNORE NULLS)`). The standard
+    * time-series repair before resampling/feature extraction.
+    *
+    * Scale: the spine generates from one broadcast scalar; the join
+    * shuffles only the daily aggregate (≤ one row per day); the LOCF
+    * window orders the tiny day series. For multi-entity series the
+    * window gains a partitionBy(entity) and stays bounded per key.
+    */
+  def qLocf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val bounds = broadcast(
+      o.agg(min(col("o_orderdate").cast("date")).as("d0")))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), date_add(col("d0"), 59))).as("d"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(urgent, Seq("d"), "left")
+      .select(col("d"), col("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(w)
+          .as("revenue_filled"),
+        col("revenue").isNull.as("is_gap"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_locf" -> qLocf _,
     "c7_join_full" -> c7JoinFull _,
     "c24_nulls" -> c24Nulls _,
     "q_regression" -> qRegression _,
     "q_argminmax" -> qArgminmax _)
 
   val oracles: Map[String, String] = Map(
+    "q_locf" -> s"""
+      WITH RECURSIVE urgent AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+      ),
+      spine(d, stop) AS (
+        SELECT CAST(min(o_orderdate) AS DATE),
+               CAST(min(o_orderdate) AS DATE) + 59
+        FROM orders
+        UNION ALL
+        SELECT d + 1, stop FROM spine WHERE d < stop
+      )
+      SELECT s.d, u.revenue,
+             last_value(u.revenue IGNORE NULLS) OVER
+               (ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS revenue_filled,
+             (u.revenue IS NULL) AS is_gap
+      FROM spine s LEFT JOIN urgent u ON s.d = u.d
+      ORDER BY s.d""",
     "c7_join_full" -> s"""
       WITH per_cust AS (
         SELECT o_custkey, count(*) AS n_orders,
@@ -164,12 +214,10 @@ object Relational4 extends QueryPack {
         FROM lineitem GROUP BY l_returnflag
       )
       SELECT l_returnflag, n,
-             round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-                   (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
-             round((sy - sx *
-                   ((CAST(n AS DOUBLE) * sxy - sx * sy) /
-                    (CAST(n AS DOUBLE) * sxx - sx * sx))) /
-                   CAST(n AS DOUBLE), 6) AS intercept,
+             round(${sqlOlsSlope("n", "sx", "sy", "sxx", "sxy")}, 6)
+               AS slope,
+             round(${sqlOlsIntercept("n", "sx", "sy", "sxx", "sxy")}, 6)
+               AS intercept,
              round(((CAST(n AS DOUBLE) * sxy - sx * sy) *
                     (CAST(n AS DOUBLE) * sxy - sx * sy)) /
                    ((CAST(n AS DOUBLE) * sxx - sx * sx) *

@@ -54,8 +54,7 @@ object Similarity2 extends QueryPack {
         element_at(col("emb"), col("dim") + 1).as("v"))
       .groupBy("cluster", "dim")
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("v"), 9).cast("decimal(28,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean_v"))
+        (lsum(col("v")) / count(lit(1)).cast("double")).as("mean_v"))
       .select(col("cluster"), col("dim"), col("n"),
         round(col("mean_v"), 6).as("new_centroid"))
       .orderBy("cluster", "dim")
@@ -65,7 +64,7 @@ object Similarity2 extends QueryPack {
     "sim_kmeans_step" -> simKmeansStep _)
 
   val oracles: Map[String, String] = Map(
-    "sim_kmeans_step" -> """
+    "sim_kmeans_step" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ),
@@ -93,8 +92,7 @@ object Similarity2 extends QueryPack {
         FROM assigned, unnest(range(0, 8)) AS t(dim)
       )
       SELECT cluster, dim, count(*) AS n,
-             round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,12)))
-                     AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             round(${sqlLsum("v")} / CAST(count(*) AS DOUBLE), 6)
                AS new_centroid
       FROM dims GROUP BY cluster, dim ORDER BY cluster, dim""")
 }

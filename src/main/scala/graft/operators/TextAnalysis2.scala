@@ -18,13 +18,6 @@ object TextAnalysis2 extends QueryPack {
 
   import TextAnalysis.tokens
 
-  /** Order-independent exact sum for log-scale terms: round the double
-    * to 9 decimals (engines agree to ~1e-15 there), sum exactly in a
-    * wide decimal, come back to double.
-    */
-  private def lsum(c: Column): Column =
-    sum(round(c, 9).cast("decimal(28,12)")).cast("double")
-
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
@@ -51,13 +44,10 @@ object TextAnalysis2 extends QueryPack {
         lsum(col("y")).as("sy"), lsum(col("x") * col("x")).as("sxx"),
         lsum(col("x") * col("y")).as("sxy"))
       .select(col("n").as("n_terms"),
-        round((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
-          (col("n").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
-          .as("zipf_slope"),
-        round((col("sy") - col("sx") *
-          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
-            (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))) /
-          col("n").cast("double"), 6).as("zipf_intercept"))
+        round(olsSlope(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy")), 6).as("zipf_slope"),
+        round(olsIntercept(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy")), 6).as("zipf_intercept"))
   }
 
   /** E7 (extension) — pointwise mutual information of adjacent word
@@ -168,9 +158,6 @@ object TextAnalysis2 extends QueryPack {
     "tx_c4_filters" -> txC4Filters _,
     "tx_hapax" -> txHapax _)
 
-  private val sqlLsum = (e: String) =>
-    s"CAST(SUM(CAST(round($e, 9) AS DECIMAL(28,12))) AS DOUBLE)"
-
   val oracles: Map[String, String] = Map(
     "tx_zipf_slope" -> s"""
       WITH terms AS (SELECT unnest($sqlToks) AS term FROM documents),
@@ -188,12 +175,10 @@ object TextAnalysis2 extends QueryPack {
         FROM ranked
       )
       SELECT n AS n_terms,
-             round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-                   (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
-             round((sy - sx *
-                   ((CAST(n AS DOUBLE) * sxy - sx * sy) /
-                    (CAST(n AS DOUBLE) * sxx - sx * sx))) /
-                   CAST(n AS DOUBLE), 6) AS zipf_intercept
+             round(${sqlOlsSlope("n", "sx", "sy", "sxx", "sxy")}, 6)
+               AS zipf_slope,
+             round(${sqlOlsIntercept("n", "sx", "sy", "sxx", "sxy")}, 6)
+               AS zipf_intercept
       FROM s""",
     "tx_pmi" -> s"""
       WITH toks AS (SELECT $sqlToks AS w FROM documents),

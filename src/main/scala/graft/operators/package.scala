@@ -45,6 +45,46 @@ package object operators {
     */
   def asLong(c: Column): Column = c.cast(LongType)
 
+  /** Order-independent exact sum for unit-scale doubles (log terms,
+    * deviations, embedding components): round to 9 decimals — engines
+    * agree there to ~1e-15 — then sum exactly in a wide decimal.
+    * [[dsum]]'s DECIMAL(18,4) is for money-scale exact inputs; this is
+    * the variant for computed doubles that need finer scale.
+    */
+  def lsum(c: Column): Column =
+    sum(round(c, 9).cast("decimal(28,12)")).cast(DoubleType)
+
+  /** DuckDB twin of [[lsum]]. */
+  def sqlLsum(expr: String): String =
+    s"CAST(SUM(CAST(round($expr, 9) AS DECIMAL(28,12))) AS DOUBLE)"
+
+  /** Least-squares slope from sufficient statistics (n, Σx, Σy, Σxx,
+    * Σxy) — shared so the regression algebra exists once per engine.
+    */
+  def olsSlope(n: Column, sx: Column, sy: Column, sxx: Column,
+      sxy: Column): Column =
+    (n.cast(DoubleType) * sxy - sx * sy) /
+      (n.cast(DoubleType) * sxx - sx * sx)
+
+  /** Least-squares intercept (uses [[olsSlope]] inline, mirroring the
+    * SQL twin's textual expansion).
+    */
+  def olsIntercept(n: Column, sx: Column, sy: Column, sxx: Column,
+      sxy: Column): Column =
+    (sy - sx * olsSlope(n, sx, sy, sxx, sxy)) / n.cast(DoubleType)
+
+  /** DuckDB twin of [[olsSlope]] over column names. */
+  def sqlOlsSlope(n: String, sx: String, sy: String, sxx: String,
+      sxy: String): String =
+    s"(CAST($n AS DOUBLE) * $sxy - $sx * $sy) / " +
+      s"(CAST($n AS DOUBLE) * $sxx - $sx * $sx)"
+
+  /** DuckDB twin of [[olsIntercept]]. */
+  def sqlOlsIntercept(n: String, sx: String, sy: String, sxx: String,
+      sxy: String): String =
+    s"($sy - $sx * ${sqlOlsSlope(n, sx, sy, sxx, sxy)}) / " +
+      s"CAST($n AS DOUBLE)"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 

@@ -144,6 +144,23 @@ class FalApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { api.forHook.vacuumModel("vac") }
   }
 
+  test("compactModel keeps partition-column types (no '01' -> 1 retype)") {
+    import org.apache.spark.sql.functions.col
+    val api = freshApi()
+    api.registry.register(ModelDef("pm", ModelKind.Sql("unused"),
+      meta = Map("partition_by" -> "bucket")))
+    import spark.implicits._
+    val src = (1L to 40L).map(i => (i, f"0${i % 3 + 1}%s")).toDF("id", "bucket")
+    api.writeToModel(src, "pm")
+    api.compactModel("pm")
+    val out = api.ref("pm")
+    // without the recorded schema, partition inference would read the
+    // zero-padded string values back as ints and drop the leading zero
+    assert(out.schema("bucket").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.filter(col("bucket") === "01").count() > 0)
+  }
+
   test("compactModel is blocked in hooks") {
     val api = freshApi()
     api.writeToModel(df(1), "h")
