@@ -366,8 +366,12 @@ object TextAnalysis extends QueryPack {
     * the LM, one shuffle join of bigrams against the LM on (w1,w2),
     * one per-doc aggregation — all linear; the LM table shuffles rather
     * than broadcasts because vocabulary² grows with the corpus.
+    *
+    * Shared by [[txPerplexity]] (per-doc listing) and the CCNet-style
+    * bucketing in TextAnalysis2.
     */
-  def txPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def perplexityPerDoc(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val w = tokens(col("text"))
     val bi = t(spark, dir, "documents")
@@ -393,8 +397,10 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_dec").cast("double") /
           col("n_bigrams").cast("double"), 6).as("avg_nll"))
-      .orderBy("doc_id")
   }
+
+  def txPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityPerDoc(spark, dir).orderBy("doc_id")
 
   /** Character-entropy quality signal: Shannon entropy of each doc's
     * character distribution — near-zero flags repeated-char gibberish,
@@ -445,9 +451,12 @@ object TextAnalysis extends QueryPack {
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
-  val oracles: Map[String, String] = Map(
-    "tx_perplexity" -> s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+  /** Shared DuckDB CTEs replaying [[perplexityPerDoc]] — terminal CTE
+    * `ppl(doc_id, n_bigrams, avg_nll)`. Consumed by the tx_perplexity
+    * oracle here and tx_ccnet_buckets' in TextAnalysis2.
+    */
+  private[operators] val sqlPerplexityCtes: String = s"""toks AS (
+        SELECT doc_id, $sqlToks AS w FROM documents),
       bi0 AS (
         SELECT doc_id,
                unnest(list_transform(range(1, len(w)),
@@ -462,12 +471,19 @@ object TextAnalysis extends QueryPack {
                round(-ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)), 6)
                  AS nll
         FROM c12 JOIN c1 USING (w1)
-      )
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) /
-               CAST(count(*) AS DOUBLE), 6) AS avg_nll
-      FROM bi JOIN lm USING (w1, w2)
-      GROUP BY doc_id ORDER BY doc_id""",
+      ),
+      ppl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE), 6) AS avg_nll
+        FROM bi JOIN lm USING (w1, w2)
+        GROUP BY doc_id
+      )"""
+
+  val oracles: Map[String, String] = Map(
+    "tx_perplexity" -> s"""
+      WITH $sqlPerplexityCtes
+      SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",
     "tx_entropy" -> """
       WITH chars AS (
         SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch

@@ -152,13 +152,54 @@ object TextAnalysis2 extends QueryPack {
       .orderBy("source")
   }
 
+  /** E7/E9 — CCNet-style perplexity bucketing: rank every document by
+    * its bigram-LM fluency score and cut the corpus into head / middle
+    * / tail terciles — the partition CCNet feeds to downstream mixing
+    * (keep head, subsample middle, drop tail). Per-bucket diagnostics
+    * let the mixing policy be tuned from one table.
+    *
+    * Scale: the per-doc scores come from the shared linear perplexity
+    * pipeline; the ntile ranks one row per document (score table ≪
+    * corpus); a production variant replaces ntile with fixed score
+    * thresholds learned once, making bucketing map-only.
+    */
+  def txCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byPpl = Window.orderBy(col("avg_nll"), col("doc_id"))
+    TextAnalysis.perplexityPerDoc(spark, dir)
+      .withColumn("bucket", ntile(3).over(byPpl).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(sum(col("avg_nll").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_nll"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_ccnet_buckets" -> txCcnetBuckets _,
     "tx_zipf_slope" -> txZipfSlope _,
     "tx_pmi" -> txPmi _,
     "tx_c4_filters" -> txC4Filters _,
     "tx_hapax" -> txHapax _)
 
   val oracles: Map[String, String] = Map(
+    "tx_ccnet_buckets" -> s"""
+      WITH ${TextAnalysis.sqlPerplexityCtes},
+      ranked AS (
+        SELECT *, CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id)
+                  AS BIGINT) AS bucket
+        FROM ppl
+      )
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(avg_nll AS DECIMAL(28,6))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 6) AS mean_nll,
+             min(avg_nll) AS min_nll,
+             max(avg_nll) AS max_nll
+      FROM ranked GROUP BY bucket ORDER BY bucket""",
     "tx_zipf_slope" -> s"""
       WITH terms AS (SELECT unnest($sqlToks) AS term FROM documents),
       vc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
