@@ -81,26 +81,34 @@ object Curation2 extends QueryPack {
     */
   def txDsir(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
-    val toks = t(spark, dir, "documents")
+    // One explode + ONE wide shuffle: the per-(doc, bucket) counts are
+    // the only pass over the token stream — the distribution table,
+    // its totals, and the λ table all derive from this (≤ docs×256
+    // row) aggregate, so the corpus is scanned and shuffled once.
+    // lang is functionally dependent on doc_id; grouping by it too
+    // keeps it available without a join back to documents.
+    val perDocB = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("lang"),
         expr("CAST(conv(substr(md5(w),1,4),16,10) AS BIGINT) % 256")
           .as("b"))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
       .cache()
-    val totals = toks.agg(
-      count(lit(1)).as("tot_r"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_t"))
-    val dist = toks.groupBy("b")
-      .agg(count(lit(1)).as("raw_cnt"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+    val dist = perDocB.groupBy("b")
+      .agg(sum(col("cnt")).as("raw_cnt"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L))
+          .as("tgt_cnt"))
+    val totals = dist.agg(sum(col("raw_cnt")).as("tot_r"),
+      sum(col("tgt_cnt")).as("tot_t"))
     val lam = dist.crossJoin(broadcast(totals))
       .select(col("b"),
         round(
           log((col("tgt_cnt") + 1.0) / (col("tot_t") + nBuckets * 1.0)) -
             log((col("raw_cnt") + 1.0) / (col("tot_r") + nBuckets * 1.0)),
           9).as("lam"))
-    toks.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    perDocB
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")
       .agg(round(lsum(col("cnt").cast("double") * col("lam")), 6)

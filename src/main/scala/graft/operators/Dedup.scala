@@ -125,30 +125,37 @@ object Dedup extends QueryPack {
     * oracle-checked — this is the ground truth the MinHash estimate
     * approximates.
     */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Join on the 8-byte shingle hash instead of the ~30-byte string —
-    // same pairs w.h.p. (64-bit collisions are ~1e-9 at this corpus
-    // size), smaller shuffle keys. The oracle joins raw strings, so a
-    // collision would surface as a hash mismatch.
+  /** Shared-shingle overlap table: (doc_a, doc_b, n_common, n_a, n_b)
+    * for every candidate pair with at least one common 5-gram — the
+    * inverted-index join that [[ddNgramJaccard]] and [[ddContainment]]
+    * divide into different similarity scores.
+    *
+    * Joins on the 8-byte shingle hash instead of the ~30-byte string —
+    * same pairs w.h.p. (64-bit collisions are ~1e-9 at this corpus
+    * size), smaller shuffle keys. The oracle joins raw strings, so a
+    * collision would surface as a hash mismatch.
+    *
+    * Plain inverted-index join: candidates come only from shared
+    * shingles, so join volume tracks shingle selectivity (measured on
+    * this corpus: 97% of postings are on shared shingles, max 10 docs
+    * per shingle — a frequency pre-filter would save ~3%). (Measured
+    * and rejected here: a PPJoin prefix filter — the global-order
+    * row_number sort cost more than the ~2× candidate reduction
+    * saved; and postings-list pair generation via collect_list +
+    * higher-order explode — one fewer shuffled side but ~10% slower
+    * than the cache-fed shuffled-hash self-join. Revisit both only if
+    * shingle frequency skew makes single postings lists quadratic.)
+    * Shuffled hash join instead of sort-merge: the postings list is
+    * large but each partition's build side fits comfortably in memory,
+    * and skipping the two O(n log n) sorts is a ~25% win here. Count
+    * joins broadcast (one row per doc — small at any corpus size the
+    * pair table itself is tractable at).
+    */
+  private def shingleOverlap(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Plain inverted-index join: candidates come only from shared
-    // shingles, so join volume tracks shingle selectivity (measured on
-    // this corpus: 97% of postings are on shared shingles, max 10 docs
-    // per shingle — a frequency pre-filter would save ~3%). (Measured
-    // and rejected here: a PPJoin prefix filter — the global-order
-    // row_number sort cost more than the ~2× candidate reduction
-    // saved; and postings-list pair generation via collect_list +
-    // higher-order explode — one fewer shuffled side but ~10% slower
-    // than the cache-fed shuffled-hash self-join. Revisit both only if
-    // shingle frequency skew makes single postings lists quadratic.)
-    // Shuffled hash join instead of sort-merge: the postings list is
-    // large but each partition's build side fits comfortably in memory,
-    // and skipping the two O(n log n) sorts is a ~25% win here. Count
-    // joins broadcast (one row per doc — small at any corpus size the
-    // pair table itself is tractable at).
     val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -159,13 +166,33 @@ object Dedup extends QueryPack {
         col("doc_a") === counts("doc_id")).drop("doc_id")
       .join(broadcast(counts.withColumnRenamed("n", "n_b")),
         col("doc_b") === counts("doc_id")).drop("doc_id")
+  }
+
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    shingleOverlap(spark, dir)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** E5b' — containment (asymmetric overlap) near-dup: score =
+    * |∩| / |side|, flagging near-SUPERSET pairs that symmetric Jaccard
+    * under-counts — the signal that catches a document embedded
+    * verbatim inside a longer one (quote inflation, boilerplate
+    * wrapping, the corpus's truncated copies). Same inverted-index
+    * plan as [[ddNgramJaccard]]; only the division differs.
+    */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    shingleOverlap(spark, dir)
+      .withColumn("cont_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.9)
+      .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
+      .orderBy("doc_a", "doc_b")
 
   /** 16 affine hash params (A odd < 2^28, B < 2^30) from a fixed
     * xorshift64 seed — shared between the Spark expressions and the
@@ -489,6 +516,7 @@ object Dedup extends QueryPack {
     "dd_exact" -> ddExact _,
     "dd_exact_keep" -> ddExactKeep _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_containment" -> ddContainment _,
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
@@ -557,6 +585,24 @@ object Dedup extends QueryPack {
       JOIN cnt cb ON doc_b = cb.doc_id
       WHERE CAST(n_common AS DOUBLE) /
             CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b""",
+    "dd_containment" -> s"""
+      WITH $sqlShingled,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE) AS cont_a,
+             CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) AS cont_b
+      FROM pairs
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE greatest(CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE),
+                     CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE))
+            >= 0.9
       ORDER BY doc_a, doc_b""",
     "dd_cluster" -> s"""
       WITH RECURSIVE $sqlShingled,

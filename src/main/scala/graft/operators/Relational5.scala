@@ -61,9 +61,47 @@ object Relational5 extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** C8 (completion) — ordered string aggregation (LISTAGG /
+    * string_agg): nation names per region, comma-joined in lexical
+    * order. Deterministic by sorting the collected array before the
+    * join (collect_list order is partition-arrival order — never
+    * expose it unsorted).
+    */
+  def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  /** C14 (completion) — multiset set ops (INTERSECT ALL / EXCEPT ALL):
+    * customer keys of completed vs open orders WITH multiplicities —
+    * a customer with 3 'F' and 2 'O' orders contributes 2 rows to the
+    * intersection and 1 to the except. Spark's intersectAll/exceptAll
+    * plan as one aggregation per side + a join on counts — no
+    * quadratic step, shuffles keyed on the row value.
+    */
+  def c14SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .orderBy("op", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> qSkyline _,
-    "q_mode" -> qMode _)
+    "q_mode" -> qMode _,
+    "q_listagg" -> qListagg _,
+    "c14_setops_all" -> c14SetopsAll _)
 
   val oracles: Map[String, String] = Map(
     "q_skyline" -> """
@@ -85,5 +123,23 @@ object Relational5 extends QueryPack {
           ORDER BY n DESC, o_orderpriority) AS rn
         FROM counts
       ) WHERE rn = 1
-      ORDER BY o_orderstatus""")
+      ORDER BY o_orderstatus""",
+    "q_listagg" -> """
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+    "c14_setops_all" -> """
+      WITH a AS (SELECT o_custkey AS k FROM orders
+                 WHERE o_orderstatus = 'F'),
+           b AS (SELECT o_custkey AS k FROM orders
+                 WHERE o_orderstatus = 'O')
+      SELECT k, 'intersect_all' AS op FROM (
+        SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      UNION ALL
+      SELECT k, 'except_all' AS op FROM (
+        SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      ORDER BY op, k""")
 }
