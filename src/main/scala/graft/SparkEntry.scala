@@ -14,9 +14,10 @@ object SparkEntry {
 
   /** Every implemented operator pack. Order is presentation-only. */
   def packs: Seq[QueryPack] = Seq(Relational, Relational2, Relational3,
-    Relational4, Relational5, Joins2, Analytics, EventWindows,
-    EventWindows2, TextAnalysis, TextAnalysis2, Curation, Curation2,
-    Dedup, Similarity, Similarity2, Multimodal, Sketches, Graph)
+    Relational4, Relational5, Relational6, Joins2, Analytics,
+    EventWindows, EventWindows2, EventWindows3, TextAnalysis,
+    TextAnalysis2, TextAnalysis3, Curation, Curation2, Dedup,
+    Similarity, Similarity2, Multimodal, Sketches, Graph)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.

@@ -510,8 +510,35 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Cluster resolution — the stage after clustering: per near-dup
+    * cluster, keep the "best" member (longest text, doc_id tie-break)
+    * and record the cluster's size and volume. One broadcast-keyed join
+    * of the label map onto documents, then a cluster-keyed window +
+    * aggregation — the keep-one-per-cluster shape every fuzzy-dedup
+    * pipeline ends with.
+    */
+  def ddResolve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = ddCluster(spark, dir).select("doc_id", "cluster_rep")
+      .join(t(spark, dir, "documents").select("doc_id", "n_chars"),
+        Seq("doc_id"))
+    val byCluster = Window.partitionBy("cluster_rep")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = scored
+      .withColumn("rn", row_number().over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("canonical_doc"))
+    scored.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+      .join(canon, Seq("cluster_rep"))
+      .select("cluster_rep", "canonical_doc", "n_members", "total_chars")
+      .orderBy("cluster_rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ddCluster _,
+    "dd_resolve" -> ddResolve _,
     "dd_contamination" -> ddContamination _,
     "dd_exact" -> ddExact _,
     "dd_exact_keep" -> ddExactKeep _,
@@ -554,6 +581,39 @@ object Dedup extends QueryPack {
   private lazy val sqlMatch16: String = (1 to 16)
     .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
     .mkString(" +\n               ")
+
+  /** The dd_cluster oracle body (no ORDER BY): Jaccard-threshold pairs
+    * → symmetric edges → recursive reachability → min-reachable-id
+    * labels. Shared verbatim by the dd_cluster and dd_resolve oracles
+    * so both engines' cluster definitions can never drift apart.
+    */
+  private lazy val sqlClusterCore = s"""
+      WITH RECURSIVE $sqlShingled,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ) p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT src AS doc_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src"""
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> s"""
@@ -605,32 +665,28 @@ object Dedup extends QueryPack {
             >= 0.9
       ORDER BY doc_a, doc_b""",
     "dd_cluster" -> s"""
-      WITH RECURSIVE $sqlShingled,
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      jp AS (
-        SELECT doc_a, doc_b FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ) p
-        JOIN cnt ca ON p.doc_a = ca.doc_id
-        JOIN cnt cb ON p.doc_b = cb.doc_id
-        WHERE CAST(n_common AS DOUBLE) /
-              CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5
+      $sqlClusterCore ORDER BY doc_id""",
+    "dd_resolve" -> s"""
+      WITH scored AS (
+        SELECT c.cluster_rep, c.doc_id, d.n_chars
+        FROM ($sqlClusterCore) c
+        JOIN documents d ON c.doc_id = d.doc_id
       ),
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM jp
-        UNION ALL
-        SELECT doc_b, doc_a FROM jp
-      ),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM corpus
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      canon AS (
+        SELECT cluster_rep, doc_id AS canonical_doc FROM (
+          SELECT cluster_rep, doc_id,
+                 row_number() OVER (PARTITION BY cluster_rep
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM scored
+        ) WHERE rn = 1
       )
-      SELECT src AS doc_id, min(node) AS cluster_rep,
-             (src = min(node)) AS is_kept
-      FROM reach GROUP BY src ORDER BY doc_id""",
+      SELECT a.cluster_rep, canonical_doc, n_members, total_chars
+      FROM (
+        SELECT cluster_rep, count(*) AS n_members,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM scored GROUP BY cluster_rep
+      ) a JOIN canon ON a.cluster_rep = canon.cluster_rep
+      ORDER BY a.cluster_rep""",
     "dd_contamination" -> s"""
       WITH toksrc AS (
         SELECT doc_id, source,

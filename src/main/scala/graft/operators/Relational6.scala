@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 relational completions: recursive traversal (the WITH
+  * RECURSIVE surface the reference's warehouses answer — DuckDB/Postgres
+  * recursive CTEs — re-expressed as iterative frontier expansion, the
+  * only shape that distributes), gaps-and-islands, and RFM segmentation.
+  */
+object Relational6 extends QueryPack {
+
+  /** Recursive BFS / transitive closure: nodes within 3 hops of the
+    * seed suppliers over the supplier—part bipartite graph (distinct
+    * lineitem pairs), with the minimal hop distance per node — the
+    * iterative twin of the oracle's `WITH RECURSIVE` (Spark has no
+    * recursive CTE; unrolled frontier expansion IS the distributed
+    * idiom, cf. the label-propagation notes on dd_cluster).
+    *
+    * Scale: the edge table is cached pre-partitioned on the source so
+    * every expansion reuses the layout (q_pagerank's pattern); each hop
+    * shuffles only the frontier (≪ edges), and visited-set dedup is a
+    * keyed anti-join — no driver-side state, depth bounds the loop.
+    */
+  def qRecursiveBfs(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = t(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).cache()
+    val seed = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") <= 3)
+      .select((col("s_suppkey") * 2).as("node"))
+    var reached = seed.withColumn("dist", lit(0))
+    var frontier = seed
+    for (d <- 1 to 3) {
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .cache()
+      reached = reached.union(next.withColumn("dist", lit(d)))
+      frontier = next
+    }
+    reached.select(
+      when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
+        .as("kind"),
+      expr("node div 2").as("key"),
+      col("dist").cast("long").as("dist"))
+      .orderBy("dist", "kind", "key")
+  }
+
+  /** Gaps-and-islands: maximal runs of consecutive busy days (≥ 7
+    * orders/day). The date-minus-row_number trick groups consecutive
+    * dates into one island key; the unpartitioned window runs over the
+    * daily aggregate, whose size is calendar-bounded (≤ a few thousand
+    * rows at ANY corpus scale), so the global sort is scale-safe here —
+    * unlike a global window over a fact table (cf. tx_token_budget).
+    */
+  def qIslands(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 7)
+    val grp = date_sub(col("day"),
+      row_number().over(Window.orderBy("day")))
+    daily.withColumn("grp", grp)
+      .groupBy("grp")
+      .agg(min(col("day")).as("island_start"),
+        max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("total_orders"))
+      .drop("grp")
+      .orderBy("island_start")
+  }
+
+  /** RFM segmentation: per-customer Recency/Frequency/Monetary quartile
+    * scores (ntile(4), deterministic custkey tie-break) and the
+    * concatenated segment label. The windows rank the per-customer
+    * aggregate (|customers| ≪ |orders| rows; one row per entity, the
+    * tx_ccnet_buckets posture) — a 100 TB deployment swaps ntile for
+    * fixed cut-points broadcast from a one-pass quantile sketch.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        datediff(lit("1998-12-31").cast("date"),
+          max(col("o_orderdate").cast("date"))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val r = ntile(4).over(
+      Window.orderBy(col("recency_days"), col("o_custkey")))
+    val f = ntile(4).over(
+      Window.orderBy(col("frequency").desc, col("o_custkey")))
+    val m = ntile(4).over(
+      Window.orderBy(col("monetary").desc, col("o_custkey")))
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
+        m.cast("long").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_bfs" -> qRecursiveBfs _,
+    "q_islands" -> qIslands _,
+    "q_rfm" -> qRfm _)
+
+  val oracles: Map[String, String] = Map(
+    "q_recursive_bfs" -> """
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
+        FROM lineitem),
+      ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      bfs(node, dist) AS (
+        SELECT s_suppkey * 2, 0 FROM supplier WHERE s_suppkey <= 3
+        UNION
+        SELECT ee.v, bfs.dist + 1
+        FROM bfs JOIN ee ON bfs.node = ee.u
+        WHERE bfs.dist < 3)
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+               AS kind,
+             node // 2 AS key,
+             CAST(min(dist) AS BIGINT) AS dist
+      FROM bfs GROUP BY node
+      ORDER BY dist, kind, key""",
+    "q_islands" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        FROM orders GROUP BY 1 HAVING count(*) >= 7),
+      r AS (SELECT day, n,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM daily)
+      SELECT min(day) AS island_start, max(day) AS island_end,
+             count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_orders
+      FROM r GROUP BY day - CAST(rn AS INTEGER)
+      ORDER BY island_start""",
+    "q_rfm" -> s"""
+      WITH per AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                 DATE '1998-12-31') AS BIGINT) AS recency_days,
+               count(*) AS frequency,
+               ${sqlDsum("o_totalprice")} AS monetary
+        FROM orders GROUP BY o_custkey),
+      scored AS (
+        SELECT *,
+               CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+                 AS BIGINT) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                 AS BIGINT) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                 AS BIGINT) AS m_score
+        FROM per)
+      SELECT o_custkey, recency_days, frequency, monetary,
+             r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+               CAST(m_score AS VARCHAR) AS segment
+      FROM scored ORDER BY o_custkey""")
+}

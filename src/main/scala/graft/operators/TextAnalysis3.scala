@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokens
+
+/** Round-4 text-pipeline completions: tokenizer-fertility budgeting and
+  * the Gopher document-quality rules (Rae et al. 2021, §A1.1) — the two
+  * corpus gates that run before any training-data mixture is fixed.
+  */
+object TextAnalysis3 extends QueryPack {
+
+  /** Tokenizer fertility by (lang, source): subword tokens per
+    * whitespace word (the BPE-ish segmentation tx_tokens established)
+    * and chars per word — what a token-budget planner multiplies corpus
+    * word counts by. Integer sums (exact, associative) → one double
+    * division per group; a single map-side-combined aggregation.
+    */
+  def txFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_words"),
+        sum(col("bpe")).as("total_subwords"),
+        round(sum(col("bpe")).cast("double") /
+          sum(col("ws")).cast("double"), 6).as("fertility"),
+        round(sum(col("ch")).cast("double") /
+          sum(col("ws")).cast("double"), 6).as("chars_per_word"))
+      .orderBy("lang", "source")
+
+  /** Gopher rules — canonical stopword list from the paper. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality gate: word count in [50, 100k], mean word
+    * length in [3, 10], ≥ 80% of words contain an alphabetic char, and
+    * ≥ 2 canonical stopwords. All per-row array arithmetic (no shuffle
+    * at all until the output sort); integer sums keep the means exact
+    * until one rounded double division.
+    */
+  def txGopherRules(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (a, b) => a + b).as("sum_len"),
+        size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(col("w"),
+          x => x.isin(gopherStops.map(s => s: Any): _*))).cast("long")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("sum_len").cast("double") /
+          col("n_words").cast("double"), 6).as("mean_word_len"),
+        round(col("n_alpha").cast("double") /
+          col("n_words").cast("double"), 6).as("frac_alpha"),
+        col("n_stop"))
+      .withColumn("passes",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha") >= 0.8 && col("n_stop") >= 2)
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_fertility" -> txFertility _,
+    "tx_gopher_rules" -> txGopherRules _)
+
+  private val sqlToks =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+  val oracles: Map[String, String] = Map(
+    "tx_fertility" -> s"""
+      WITH d AS (
+        SELECT lang, source,
+               CAST(len($sqlToks) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+               CAST(length(text) AS BIGINT) AS ch
+        FROM documents)
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS total_words,
+             CAST(sum(bpe) AS BIGINT) AS total_subwords,
+             round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+               AS fertility,
+             round(CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+               AS chars_per_word
+      FROM d GROUP BY lang, source ORDER BY lang, source""",
+    "tx_gopher_rules" -> {
+      val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_aggregate(list_transform(w, x -> length(x)),
+                 'sum') AS BIGINT) AS sum_len,
+               CAST(len(list_filter(w,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(list_filter(w, x -> x IN ($stops))) AS BIGINT)
+                 AS n_stop
+        FROM d)
+      SELECT doc_id, n_words,
+             round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS mean_word_len,
+             round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS frac_alpha,
+             n_stop,
+             (n_words >= 50 AND n_words <= 100000
+              AND round(CAST(sum_len AS DOUBLE) /
+                    CAST(n_words AS DOUBLE), 6) >= 3.0
+              AND round(CAST(sum_len AS DOUBLE) /
+                    CAST(n_words AS DOUBLE), 6) <= 10.0
+              AND round(CAST(n_alpha AS DOUBLE) /
+                    CAST(n_words AS DOUBLE), 6) >= 0.8
+              AND n_stop >= 2) AS passes
+      FROM m ORDER BY doc_id"""
+    })
+}

@@ -81,7 +81,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
   private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
     "sim_ivf_topk", "sim_pq_topk", "sim_kmeans_step", "tx_tfidf",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
-    "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join")
+    "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join",
+    "tx_dsir") // dsir: 1-row smoothing-totals broadcast into the λ table
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
