@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 curation additions: exact-substring duplication profiling
@@ -117,11 +118,67 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E9 (completion) — deterministic shard + sequence packing: the
+    * dataloader-prep stage of a pretraining pipeline. Every document
+    * hashes to one of 8 shards (md5 — the SQL-portable family), is
+    * ordered within its shard by the same hash (a deterministic global
+    * shuffle), and packing is concat-then-chunk: documents concatenate
+    * in shard order and sequences cut every 2048 tokens, so a doc's
+    * sequence id is its start offset div 2048.
+    *
+    * Scale: one narrow pass for hash/token counts, then a single keyed
+    * window per shard (the running token total). Shards are the unit
+    * of parallel writing — more shards, same plan, no global sort.
+    */
+  def txPack(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard",
+        expr("CAST(conv(substr(h,1,4),16,10) AS BIGINT) % 8"))
+    val byShard = Window.partitionBy("shard")
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(
+          byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        col("start_tok"),
+        expr(s"start_tok div $seqLen").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> ddSubstring _,
+    "tx_pack" -> txPack _,
     "tx_dsir" -> txDsir _)
 
   val oracles: Map[String, String] = Map(
+    "tx_pack" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x != '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_tok,
+               CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 8 AS shard,
+               h
+        FROM d),
+      packed AS (
+        SELECT doc_id, shard, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY shard
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_tok
+        FROM s)
+      SELECT doc_id, shard, n_tok,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(start_tok AS BIGINT) // 2048 AS seq_id
+      FROM packed ORDER BY doc_id""",
     "dd_substring" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
