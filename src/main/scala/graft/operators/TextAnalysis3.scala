@@ -69,14 +69,80 @@ object TextAnalysis3 extends QueryPack {
           col("frac_alpha") >= 0.8 && col("n_stop") >= 2)
       .orderBy("doc_id")
 
+  /** Hashed-bag-of-words linear classifier weights in exact integer
+    * milli-units: w_i ∈ [−1000, 1000]. A Knuth-multiplicative spread of
+    * the bucket index stands in for trained weights — the OPERATOR is
+    * the inference plan; swapping real fastText weights changes only
+    * this table.
+    */
+  private val clsBuckets = 64
+  private val clsWeights: IndexedSeq[Long] =
+    (0 until clsBuckets).map(i => (i * 2654435761L) % 2001L - 1000L)
+
+  /** Linear quality-classifier inference (the fastText-style filter a
+    * C4/CCNet pipeline scores every document with): margin = mean
+    * hashed-unigram weight + bias; keep = margin > 0.
+    *
+    * Scale: the weight table broadcasts as a 64-element literal array
+    * and scoring is entirely in-row (md5-bucket each token, element_at
+    * into the array, integer fold) — a narrow map over the corpus with
+    * NO shuffle except the output sort. Float parity: weights are
+    * integer milli-units summed exactly; one double division + bias at
+    * the end, and no transcendental calls (margin, not sigmoid, is
+    * emitted — monotone-equivalent for thresholding).
+    */
+  def txClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val wArr = array(clsWeights.map(lit): _*)
+    val bucket = (x: org.apache.spark.sql.Column) =>
+      conv(substring(md5(x), 1, 4), 16, 10).cast("long") % clsBuckets
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("w"),
+            x => element_at(wArr, (bucket(x) + 1).cast("int"))),
+          lit(0L), (a, b) => a + b).as("score_milli"))
+      .withColumn("margin",
+        round(col("score_milli").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0) - 0.05, 6))
+      .withColumn("keep", col("margin") > 0.0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_fertility" -> txFertility _,
-    "tx_gopher_rules" -> txGopherRules _)
+    "tx_gopher_rules" -> txGopherRules _,
+    "tx_classifier" -> txClassifier _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
   val oracles: Map[String, String] = Map(
+    "tx_classifier" -> {
+      val arr = clsWeights.mkString("[", ", ", "]")
+      s"""
+      WITH d AS (
+        SELECT doc_id, $sqlToks AS w FROM documents
+      ),
+      scored AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_aggregate(list_transform(w,
+                 x -> ($arr)[CAST(
+                   CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
+                     % $clsBuckets AS INTEGER) + 1]),
+                 'sum') AS BIGINT) AS score_milli
+        FROM d WHERE len(w) > 0)
+      SELECT doc_id, n_tokens, score_milli,
+             round(CAST(score_milli AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05, 6) AS margin,
+             (round(CAST(score_milli AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05, 6) > 0.0)
+               AS keep
+      FROM scored ORDER BY doc_id"""
+    },
     "tx_fertility" -> s"""
       WITH d AS (
         SELECT lang, source,
