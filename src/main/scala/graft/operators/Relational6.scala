@@ -106,12 +106,35 @@ object Relational6 extends QueryPack {
       .orderBy("o_custkey")
   }
 
+  /** C7 (completion) — null-aware anti join (`NOT IN <subquery>`):
+    * distinct plan semantics from `left_anti`/NOT EXISTS — one NULL in
+    * the subquery empties the result, so Spark plans a null-aware anti
+    * join (a single-key NAAJ broadcast) instead of a hash anti join.
+    * The subquery column here is null-free, so the result matches the
+    * anti join and both engines' NOT IN return rows — the PLAN, not
+    * the output, is what this query pins down.
+    */
+  def c7JoinNotin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_bfs" -> qRecursiveBfs _,
     "q_islands" -> qIslands _,
-    "q_rfm" -> qRfm _)
+    "q_rfm" -> qRfm _,
+    "c7_join_notin" -> c7JoinNotin _)
 
   val oracles: Map[String, String] = Map(
+    "c7_join_notin" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""",
     "q_recursive_bfs" -> """
       WITH RECURSIVE e AS (
         SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
