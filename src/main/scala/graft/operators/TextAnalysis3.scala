@@ -104,9 +104,14 @@ object TextAnalysis3 extends QueryPack {
           transform(col("w"),
             x => element_at(wArr, (bucket(x) + 1).cast("int"))),
           lit(0L), (a, b) => a + b).as("score_milli"))
+      // NOT rounded: the division and subtraction are single IEEE ops,
+      // identical bit-for-bit in both engines; round(·, 6) would land
+      // exact-rational scores on half-way points where the engines'
+      // rounding modes differ (observed at sf0.1: 2/5000 rows off by
+      // 1e-6).
       .withColumn("margin",
-        round(col("score_milli").cast("double") /
-          (col("n_tokens").cast("double") * 1000.0) - 0.05, 6))
+        col("score_milli").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0) - 0.05)
       .withColumn("keep", col("margin") > 0.0)
       .orderBy("doc_id")
   }
@@ -136,10 +141,10 @@ object TextAnalysis3 extends QueryPack {
                  'sum') AS BIGINT) AS score_milli
         FROM d WHERE len(w) > 0)
       SELECT doc_id, n_tokens, score_milli,
-             round(CAST(score_milli AS DOUBLE) /
-               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05, 6) AS margin,
-             (round(CAST(score_milli AS DOUBLE) /
-               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05, 6) > 0.0)
+             CAST(score_milli AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05 AS margin,
+             (CAST(score_milli AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * 1000.0) - 0.05 > 0.0)
                AS keep
       FROM scored ORDER BY doc_id"""
     },
