@@ -123,13 +123,115 @@ object Relational6 extends QueryPack {
       ORDER BY c_custkey""")
   }
 
+  /** Chi-square independence test over the status × priority
+    * contingency table: Σ (observed − expected)² / expected, expected
+    * from the broadcast marginals. One keyed aggregation builds the
+    * cell counts (|statuses|·|priorities| rows); marginals and the
+    * grand total are tiny aggregates of it; the statistic folds the
+    * cell table through the order-independent decimal sum. The fact
+    * table is scanned exactly once at any scale.
+    */
+  def qChisq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+      .cache()
+    val rowTot = cells.groupBy("o_orderstatus")
+      .agg(sum(col("o")).as("row_n"))
+    val colTot = cells.groupBy("o_orderpriority")
+      .agg(sum(col("o")).as("col_n"))
+    val grand = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("o_orderstatus")).as("n_rows_d"),
+      countDistinct(col("o_orderpriority")).as("n_cols_d"))
+    cells
+      .join(broadcast(rowTot), Seq("o_orderstatus"))
+      .join(broadcast(colTot), Seq("o_orderpriority"))
+      .crossJoin(broadcast(grand))
+      .withColumn("e",
+        col("row_n").cast("double") * col("col_n").cast("double") /
+          col("n").cast("double"))
+      .agg(
+        // (o−e)·(o−e), not pow(·,2): libm pow is not guaranteed
+        // bit-exact across engines; the product is one IEEE multiply
+        lsum((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e")).as("chi2"),
+        max((col("n_rows_d") - 1) * (col("n_cols_d") - 1)).as("dof"))
+  }
+
+  /** Distributed sequence-gap detection (the dual of q_islands): order
+    * keys that never appear in lineitem (orders with no line items
+    * leave holes in the referenced-key sequence), reported as runs.
+    * Scale-safe two-phase form — keys bucket by `div 4096`, gaps
+    * interior to a bucket come from a bucket-keyed lead window, gaps
+    * that straddle buckets from a lag over the tiny per-bucket
+    * (min, max) summary — so no global window ever sees the key table
+    * (the oracle keeps the textbook single lag-over-everything spec).
+    */
+  def qGaps(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096L
+    val keys = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k")).distinct()
+      .withColumn("b", expr(s"k div $B"))
+    val inBucket = Window.partitionBy("b").orderBy("k")
+    val interior = keys
+      .withColumn("nxt", lead(col("k"), 1).over(inBucket))
+      .filter(col("nxt") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val buckets = keys.groupBy("b")
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    val wB = Window.orderBy("b") // per-bucket summary: |keys|/4096 rows
+    val boundary = buckets
+      .withColumn("prev_max", lag(col("max_k"), 1).over(wB))
+      .filter(col("prev_max").isNotNull && col("min_k") - col("prev_max") > 1)
+      .select((col("prev_max") + 1).as("gap_start"),
+        (col("min_k") - 1).as("gap_end"))
+    interior.unionByName(boundary)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+      .orderBy("gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_bfs" -> qRecursiveBfs _,
     "q_islands" -> qIslands _,
     "q_rfm" -> qRfm _,
-    "c7_join_notin" -> c7JoinNotin _)
+    "c7_join_notin" -> c7JoinNotin _,
+    "q_chisq" -> qChisq _,
+    "q_gaps" -> qGaps _)
 
   val oracles: Map[String, String] = Map(
+    "q_chisq" -> s"""
+      WITH cells AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS o
+        FROM orders GROUP BY 1, 2),
+      rt AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS row_n
+             FROM cells GROUP BY 1),
+      ct AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS col_n
+             FROM cells GROUP BY 1),
+      g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT o_orderstatus) AS n_rows_d,
+                   count(DISTINCT o_orderpriority) AS n_cols_d
+            FROM cells),
+      e AS (
+        SELECT cells.o,
+               CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) /
+                 CAST(n AS DOUBLE) AS e,
+               n_rows_d, n_cols_d
+        FROM cells
+        JOIN rt USING (o_orderstatus)
+        JOIN ct USING (o_orderpriority)
+        CROSS JOIN g)
+      SELECT ${sqlLsum(
+        "(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e")} AS chi2,
+             CAST(max((n_rows_d - 1) * (n_cols_d - 1)) AS BIGINT) AS dof
+      FROM e""",
+    "q_gaps" -> """
+      SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end,
+             k - prev_k - 1 AS gap_len
+      FROM (
+        SELECT k, lag(k) OVER (ORDER BY k) AS prev_k
+        FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem))
+      WHERE prev_k IS NOT NULL AND k - prev_k > 1
+      ORDER BY gap_start""",
     "c7_join_notin" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE c_custkey NOT IN

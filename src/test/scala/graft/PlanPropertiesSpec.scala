@@ -82,7 +82,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "sim_ivf_topk", "sim_pq_topk", "sim_kmeans_step", "tx_tfidf",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join",
-    "tx_dsir") // dsir: 1-row smoothing-totals broadcast into the λ table
+    "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
+    "q_chisq") // chisq: 1-row grand-total broadcast into the cell table
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
