@@ -167,19 +167,24 @@ object Relational6 extends QueryPack {
     * (min, max) summary — so no global window ever sees the key table
     * (the oracle keeps the textbook single lag-over-everything spec).
     */
-  def qGaps(spark: SparkSession, dir: String): DataFrame = {
-    val B = 4096L
-    val keys = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k")).distinct()
-      .withColumn("b", expr(s"k div $B"))
+  def qGaps(spark: SparkSession, dir: String): DataFrame =
+    gapRuns(t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k")).distinct(), 4096L)
+
+  /** The two-phase gap algorithm over a distinct key column `k` —
+    * package-visible so the property spec can drive it with random key
+    * sets (the bucket-boundary handling is the part worth fuzzing).
+    */
+  private[graft] def gapRuns(keys: DataFrame, bucket: Long): DataFrame = {
+    val bucketed = keys.withColumn("b", expr(s"k div $bucket"))
     val inBucket = Window.partitionBy("b").orderBy("k")
-    val interior = keys
+    val interior = bucketed
       .withColumn("nxt", lead(col("k"), 1).over(inBucket))
       .filter(col("nxt") - col("k") > 1)
       .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
-    val buckets = keys.groupBy("b")
+    val buckets = bucketed.groupBy("b")
       .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-    val wB = Window.orderBy("b") // per-bucket summary: |keys|/4096 rows
+    val wB = Window.orderBy("b") // per-bucket summary: |keys|/bucket rows
     val boundary = buckets
       .withColumn("prev_max", lag(col("max_k"), 1).over(wB))
       .filter(col("prev_max").isNotNull && col("min_k") - col("prev_max") > 1)
