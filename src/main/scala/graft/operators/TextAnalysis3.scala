@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis.tokens
@@ -116,15 +117,111 @@ object TextAnalysis3 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Exact interpolated median of `valueCol` per `key` via the rank
+    * formula (idx = 1 + 0.5·(n−1)) — the txLengthPercentiles parity
+    * idiom, reused for both median passes of the MAD query. Returns
+    * (key, med) with one keyed window + one keyed aggregation.
+    */
+  private def medianBy(df: DataFrame, key: String, valueCol: String,
+      out: String): DataFrame = {
+    val rn = row_number().over(
+      Window.partitionBy(key).orderBy(valueCol))
+    val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val idx = lit(1.0) + lit(0.5) * (col("n") - 1).cast("double")
+    df.withColumn("rn", rn)
+      .join(broadcast(counts), key)
+      .groupBy(key)
+      .agg(
+        max(when(col("rn") === floor(idx).cast("long"), col(valueCol)))
+          .as("vlo"),
+        max(when(col("rn") === floor(idx).cast("long") + 1, col(valueCol)))
+          .as("vhi"),
+        max(idx - floor(idx)).as("frac"))
+      .select(col(key),
+        (col("vlo").cast("double") +
+          (coalesce(col("vhi"), col("vlo")).cast("double") -
+            col("vlo").cast("double")) * col("frac")).as(out))
+  }
+
+  /** Robust outlier gate: per-language median and MAD (median absolute
+    * deviation) of document length, plus the count of docs farther
+    * than 3·MAD from the median — the outlier filter that survives the
+    * heavy-tailed length distributions where mean/stddev gates break.
+    *
+    * Scale: two median passes, each a language-keyed window + one
+    * aggregation (the exact-rank form); the per-language medians
+    * broadcast back. At 100 TB the exact rank medians swap for
+    * percentile_approx sketches — the gate logic is unchanged.
+    */
+  def txMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
+    val med = medianBy(d, "lang", "n_chars", "median_chars")
+    val dev = d.join(broadcast(med), "lang")
+      .withColumn("dev",
+        abs(col("n_chars").cast("double") - col("median_chars")))
+    val mad = medianBy(dev, "lang", "dev", "mad")
+    dev.join(broadcast(mad), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("median_chars")).as("median_chars"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_fertility" -> txFertility _,
     "tx_gopher_rules" -> txGopherRules _,
-    "tx_classifier" -> txClassifier _)
+    "tx_classifier" -> txClassifier _,
+    "tx_mad_outliers" -> txMadOutliers _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
+  /** DuckDB replay of [[medianBy]] for column `v` of CTE `src`,
+    * producing CTEs `<p>c/<p>r/<p>m/<p>med(key, <out>)`.
+    */
+  private def sqlMedianCtes(p: String, src: String, v: String,
+      out: String): String = {
+    val idx = "1.0 + 0.5 * CAST(n - 1 AS DOUBLE)"
+    s"""${p}c AS (SELECT lang, count(*) AS n FROM $src GROUP BY lang),
+      ${p}r AS (SELECT lang, $v,
+                row_number() OVER (PARTITION BY lang ORDER BY $v) AS rn
+              FROM $src),
+      ${p}m AS (
+        SELECT ${p}r.lang,
+               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT)
+                 THEN $v END) AS vlo,
+               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1
+                 THEN $v END) AS vhi,
+               max($idx - floor($idx)) AS frac
+        FROM ${p}r JOIN ${p}c ON ${p}r.lang = ${p}c.lang
+        GROUP BY ${p}r.lang),
+      ${p}med AS (
+        SELECT lang,
+               CAST(vlo AS DOUBLE) +
+                 (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+                  CAST(vlo AS DOUBLE)) * frac AS $out
+        FROM ${p}m)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_mad_outliers" -> s"""
+      WITH d AS (SELECT lang, n_chars FROM documents),
+      ${sqlMedianCtes("a", "d", "n_chars", "median_chars")},
+      dev AS (
+        SELECT d.lang, n_chars, median_chars,
+               abs(CAST(n_chars AS DOUBLE) - median_chars) AS dev
+        FROM d JOIN amed ON d.lang = amed.lang),
+      ${sqlMedianCtes("b", "dev", "dev", "mad")}
+      SELECT dev.lang, count(*) AS n_docs,
+             max(median_chars) AS median_chars,
+             max(mad) AS mad,
+             CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev JOIN bmed ON dev.lang = bmed.lang
+      GROUP BY dev.lang ORDER BY dev.lang""",
     "tx_classifier" -> {
       val arr = clsWeights.mkString("[", ", ", "]")
       s"""
