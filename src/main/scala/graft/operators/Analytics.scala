@@ -179,14 +179,72 @@ object Analytics extends QueryPack {
       .orderBy("d")
   }
 
+  /** D3 — seasonal decomposition (STL-lite): daily order counts split
+    * into trend (centered 7-day moving average), weekday seasonal
+    * (mean detrended value per weekday), and residual. The decomposed
+    * series is what anomaly/forecast steps consume downstream of the
+    * reference's time-series examples.
+    *
+    * Scale: the windows run over the daily aggregate (calendar-bounded
+    * rows at any corpus size — the q_islands posture); the 7-row
+    * seasonal table broadcasts back. Float parity: the trend is an
+    * exact-integer window sum over counts divided once; seasonal means
+    * go through [[lsum]].
+    */
+  def d3Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("trend",
+        sum(col("n_orders")).over(w7).cast("double") /
+          count(col("n_orders")).over(w7).cast("double"))
+      .withColumn("detrended",
+        col("n_orders").cast("double") - col("trend"))
+      .withColumn("wd", weekday(col("day")))
+    val seasonal = detrended.groupBy("wd")
+      .agg((lsum(col("detrended")) /
+        count(lit(1)).cast("double")).as("seasonal"))
+    detrended.join(broadcast(seasonal), "wd")
+      .select(col("day"), col("n_orders"), col("trend"),
+        col("seasonal"),
+        (col("detrended") - col("seasonal")).as("residual"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_forecast" -> d3Forecast _,
     "d3_anomaly" -> d3Anomaly _,
     "d3_changepoint" -> d3Changepoint _,
+    "d3_seasonal" -> d3Seasonal _,
     "d3_sentiment" -> d3Sentiment _,
     "q5_analytic" -> q5Analytic _)
 
   val oracles: Map[String, String] = Map(
+    "d3_seasonal" -> s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      det AS (
+        SELECT day, n_orders,
+               CAST(sum(n_orders) OVER w7 AS DOUBLE) /
+                 CAST(count(n_orders) OVER w7 AS DOUBLE) AS trend,
+               CAST(n_orders AS DOUBLE) -
+                 CAST(sum(n_orders) OVER w7 AS DOUBLE) /
+                 CAST(count(n_orders) OVER w7 AS DOUBLE) AS detrended,
+               isodow(day) - 1 AS wd
+        FROM daily
+        WINDOW w7 AS (ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      seas AS (
+        SELECT wd, ${sqlLsum("detrended")} / CAST(count(*) AS DOUBLE)
+                 AS seasonal
+        FROM det GROUP BY wd)
+      SELECT day, n_orders, trend, seasonal,
+             detrended - seasonal AS residual
+      FROM det JOIN seas ON det.wd = seas.wd
+      ORDER BY day""",
     "d3_forecast" -> s"""
       WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
