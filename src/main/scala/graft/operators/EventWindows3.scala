@@ -55,11 +55,59 @@ object EventWindows3 extends QueryPack {
       .limit(20)
   }
 
+  /** Last-touch attribution with a time cap: each purchase credits the
+    * user's most recent click if it happened within the hour, else
+    * counts as organic; results roll up to (day, channel) conversions
+    * and revenue. One user-keyed ignore-nulls window (the as-of idiom)
+    * + one keyed aggregation — no self-join of the event stream.
+    */
+  def e11Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastClickMs = last(
+      when(col("event_type") === "click", unix_millis(col("ts"))),
+      ignoreNulls = true).over(w)
+    t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_ms", lastClickMs)
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_click_ms").isNotNull &&
+          unix_millis(col("ts")) - col("last_click_ms") <= 3600000L,
+          lit("click")).otherwise(lit("organic")))
+      .groupBy(col("ts").cast("date").as("day"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("revenue"))
+      .orderBy("day", "channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_transitions" -> e9Transitions _,
-    "e10_paths" -> e10Paths _)
+    "e10_paths" -> e10Paths _,
+    "e11_attribution" -> e11Attribution _)
 
   val oracles: Map[String, String] = Map(
+    "e11_attribution" -> s"""
+      WITH touched AS (
+        SELECT event_type, ts, value,
+               last_value(CASE WHEN event_type = 'click'
+                 THEN epoch_ms(ts) END IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ms
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      attributed AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN last_click_ms IS NOT NULL
+                     AND epoch_ms(ts) - last_click_ms <= 3600000
+                    THEN 'click' ELSE 'organic' END AS channel,
+               value
+        FROM touched WHERE event_type = 'purchase')
+      SELECT day, channel, count(*) AS n_purchases,
+             ${sqlDsum("value")} AS revenue
+      FROM attributed GROUP BY day, channel
+      ORDER BY day, channel""",
     "e9_transitions" -> """
       WITH pairs AS (
         SELECT lag(event_type) OVER (PARTITION BY user_id
