@@ -213,15 +213,81 @@ object Analytics extends QueryPack {
       .orderBy("day")
   }
 
+  /** Rolling 30-day correlation between daily order count and daily
+    * revenue — the co-movement signal a metrics pipeline watches for
+    * decoupling. Frame sums are exact decimals over the
+    * calendar-bounded daily aggregate; the correlation folds them with
+    * division/multiplication/sqrt only (sqrt is IEEE
+    * correctly-rounded in both engines, unlike exp/pow), so the series
+    * hash-matches. Emitted only where the frame is full (30 days).
+    */
+  def qMovingCorr(spark: SparkSession, dir: String): DataFrame = {
+    // Revenue as integer THOUSANDS of dollars (exact decimal sum,
+    // divided and rounded once): every frame sum below is then exact
+    // int64 arithmetic small enough that even syy stays under 2^53,
+    // so the double conversions are value-preserving and the final
+    // float math is engine-identical. (Cents kept syy exact only in
+    // decimal(38,0), whose decimal→double conversion rounds
+    // differently across engines at ~1e21; raw float products diverge
+    // a step earlier, at the double→decimal cast.) Correlation is
+    // scale-invariant, so the unit choice only defines the metric's
+    // rounding granularity.
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")) / 1000, 0)
+          .cast("long").as("yk"))
+    val w30 = Window.orderBy("day").rowsBetween(-29, 0)
+    def s(c: org.apache.spark.sql.Column) = sum(c).over(w30)
+    val n = count(lit(1)).over(w30)
+    daily
+      .select(col("day"), n.as("nw"),
+        s(col("x")).cast("double").as("sx"),
+        s(col("yk")).cast("double").as("sy"),
+        s(col("x") * col("x")).cast("double").as("sxx"),
+        s(col("yk") * col("yk")).cast("double").as("syy"),
+        s(col("x") * col("yk")).cast("double").as("sxy"))
+      .filter(col("nw") === 30)
+      .select(col("day"),
+        ((lit(30.0) * col("sxy") - col("sx") * col("sy")) /
+          sqrt((lit(30.0) * col("sxx") - col("sx") * col("sx")) *
+            (lit(30.0) * col("syy") - col("sy") * col("sy"))))
+          .as("corr30"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_forecast" -> d3Forecast _,
     "d3_anomaly" -> d3Anomaly _,
     "d3_changepoint" -> d3Changepoint _,
     "d3_seasonal" -> d3Seasonal _,
     "d3_sentiment" -> d3Sentiment _,
+    "q_moving_corr" -> qMovingCorr _,
     "q5_analytic" -> q5Analytic _)
 
   val oracles: Map[String, String] = Map(
+    "q_moving_corr" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000,
+                 0) AS BIGINT) AS yk
+        FROM orders GROUP BY 1),
+      sums AS (
+        SELECT day,
+               count(*) OVER w30 AS nw,
+               CAST(sum(x) OVER w30 AS DOUBLE) AS sx,
+               CAST(sum(yk) OVER w30 AS DOUBLE) AS sy,
+               CAST(sum(x * x) OVER w30 AS DOUBLE) AS sxx,
+               CAST(sum(yk * yk) OVER w30 AS DOUBLE) AS syy,
+               CAST(sum(x * yk) OVER w30 AS DOUBLE) AS sxy
+        FROM daily
+        WINDOW w30 AS (ORDER BY day
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      SELECT day,
+             (30.0 * sxy - sx * sy) /
+               sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy))
+               AS corr30
+      FROM sums WHERE nw = 30 ORDER BY day""",
     "d3_seasonal" -> s"""
       WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
