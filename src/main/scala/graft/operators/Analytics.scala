@@ -81,10 +81,17 @@ object Analytics extends QueryPack {
           .cast("double").as("n"))
       .filter(col("n") >= 30)
       .withColumn("mean_prev", col("s1") / col("n"))
-      .withColumn("std_prev",
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+      // variance clamped at 0 INSIDE the sqrt and required > 0 in the
+      // filter: a constant-valued frame makes s2 − s1²/n a tiny
+      // negative in float, where DuckDB's sqrt RAISES (sometimes even
+      // for filtered-out lanes, vectorization-dependent) while Spark
+      // yields NaN — both sides now share the clamp + v>0 gate so the
+      // emitted rows are identical and the oracle can never error.
+      .withColumn("v",
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      .withColumn("std_prev", sqrt(greatest(col("v"), lit(0.0))))
       .withColumn("z", (col("value") - col("mean_prev")) / col("std_prev"))
-      .filter(abs(col("z")) > 3.0)
+      .filter(col("v") > 0.0 && abs(col("z")) > 3.0)
       .select("event_id", "event_type", "value", "mean_prev", "z")
       .orderBy("event_id")
   }
@@ -378,11 +385,13 @@ object Analytics extends QueryPack {
       scored AS (
         SELECT event_id, event_type, value,
                s1 / n AS mean_prev,
-               (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS z
+               (s2 - s1 * s1 / n) / n AS v,
+               (value - s1 / n) /
+                 sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS z
         FROM stats WHERE n >= 30
       )
       SELECT event_id, event_type, value, mean_prev, z
-      FROM scored WHERE abs(z) > 3.0 ORDER BY event_id""",
+      FROM scored WHERE v > 0.0 AND abs(z) > 3.0 ORDER BY event_id""",
     "d3_sentiment" -> """
       WITH toks AS (
         SELECT doc_id,
