@@ -82,12 +82,82 @@ object EventWindows3 extends QueryPack {
       .orderBy("day", "channel")
   }
 
+  /** Activation latency per signup cohort: for every user, time from
+    * first signup to the first purchase at-or-after it; per daily
+    * cohort — conversion rate and the exact median latency. One
+    * user-keyed window finds the signup anchor, one keyed aggregation
+    * reduces to a per-user row, and the median runs the shared
+    * exact-rank idiom over the per-cohort user table (entity-sized,
+    * not event-sized).
+    */
+  def e13TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("signup_ms",
+        min(when(col("event_type") === "signup", unix_millis(col("ts"))))
+          .over(byUser))
+      .filter(col("signup_ms").isNotNull)
+    val perUser = ev.groupBy("user_id")
+      .agg(min(col("signup_ms")).as("signup_ms"),
+        min(when(col("event_type") === "purchase" &&
+          unix_millis(col("ts")) >= col("signup_ms"),
+          unix_millis(col("ts")))).as("purchase_ms"))
+      .withColumn("cohort",
+        date_trunc("day", timestamp_millis(col("signup_ms")))
+          .cast("date"))
+      .withColumn("latency_ms", col("purchase_ms") - col("signup_ms"))
+    val med = exactMedianBy(
+      perUser.filter(col("latency_ms").isNotNull)
+        .select(col("cohort"), col("latency_ms")),
+      "cohort", "latency_ms", "p50_latency_ms")
+    perUser.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("latency_ms").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+      .join(broadcast(med), Seq("cohort"), "left")
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_transitions" -> e9Transitions _,
     "e10_paths" -> e10Paths _,
-    "e11_attribution" -> e11Attribution _)
+    "e11_attribution" -> e11Attribution _,
+    "e13_time_to_convert" -> e13TimeToConvert _)
 
   val oracles: Map[String, String] = Map(
+    "e13_time_to_convert" -> s"""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms,
+               min(CASE WHEN event_type = 'signup'
+                 THEN epoch_ms(ts) END) OVER (PARTITION BY user_id)
+                 AS signup_ms
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+      per_user AS (
+        SELECT user_id, min(signup_ms) AS signup_ms,
+               min(CASE WHEN event_type = 'purchase'
+                    AND ms >= signup_ms THEN ms END) AS purchase_ms
+        FROM ev WHERE signup_ms IS NOT NULL GROUP BY user_id),
+      cohorts AS (
+        SELECT user_id,
+               CAST(date_trunc('day', make_timestamp(signup_ms * 1000))
+                 AS DATE) AS cohort,
+               purchase_ms - signup_ms AS latency_ms
+        FROM per_user),
+      lat AS (SELECT cohort, latency_ms FROM cohorts
+              WHERE latency_ms IS NOT NULL),
+      ${sqlMedianByCtes("m", "lat", "cohort", "latency_ms",
+        "p50_latency_ms")}
+      SELECT c.cohort, count(*) AS n_users,
+             CAST(sum(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_converted,
+             CAST(sum(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate,
+             max(p50_latency_ms) AS p50_latency_ms
+      FROM cohorts c LEFT JOIN mmed ON c.cohort = mmed.cohort
+      GROUP BY c.cohort ORDER BY c.cohort""",
     "e11_attribution" -> s"""
       WITH touched AS (
         SELECT event_type, ts, value,

@@ -117,32 +117,6 @@ object TextAnalysis3 extends QueryPack {
       .orderBy("doc_id")
   }
 
-  /** Exact interpolated median of `valueCol` per `key` via the rank
-    * formula (idx = 1 + 0.5·(n−1)) — the txLengthPercentiles parity
-    * idiom, reused for both median passes of the MAD query. Returns
-    * (key, med) with one keyed window + one keyed aggregation.
-    */
-  private def medianBy(df: DataFrame, key: String, valueCol: String,
-      out: String): DataFrame = {
-    val rn = row_number().over(
-      Window.partitionBy(key).orderBy(valueCol))
-    val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
-    val idx = lit(1.0) + lit(0.5) * (col("n") - 1).cast("double")
-    df.withColumn("rn", rn)
-      .join(broadcast(counts), key)
-      .groupBy(key)
-      .agg(
-        max(when(col("rn") === floor(idx).cast("long"), col(valueCol)))
-          .as("vlo"),
-        max(when(col("rn") === floor(idx).cast("long") + 1, col(valueCol)))
-          .as("vhi"),
-        max(idx - floor(idx)).as("frac"))
-      .select(col(key),
-        (col("vlo").cast("double") +
-          (coalesce(col("vhi"), col("vlo")).cast("double") -
-            col("vlo").cast("double")) * col("frac")).as(out))
-  }
-
   /** Robust outlier gate: per-language median and MAD (median absolute
     * deviation) of document length, plus the count of docs farther
     * than 3·MAD from the median — the outlier filter that survives the
@@ -179,32 +153,11 @@ object TextAnalysis3 extends QueryPack {
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
-  /** DuckDB replay of [[medianBy]] for column `v` of CTE `src`,
-    * producing CTEs `<p>c/<p>r/<p>m/<p>med(key, <out>)`.
-    */
+  private def medianBy(df: DataFrame, key: String, valueCol: String,
+      out: String): DataFrame = exactMedianBy(df, key, valueCol, out)
+
   private def sqlMedianCtes(p: String, src: String, v: String,
-      out: String): String = {
-    val idx = "1.0 + 0.5 * CAST(n - 1 AS DOUBLE)"
-    s"""${p}c AS (SELECT lang, count(*) AS n FROM $src GROUP BY lang),
-      ${p}r AS (SELECT lang, $v,
-                row_number() OVER (PARTITION BY lang ORDER BY $v) AS rn
-              FROM $src),
-      ${p}m AS (
-        SELECT ${p}r.lang,
-               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT)
-                 THEN $v END) AS vlo,
-               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1
-                 THEN $v END) AS vhi,
-               max($idx - floor($idx)) AS frac
-        FROM ${p}r JOIN ${p}c ON ${p}r.lang = ${p}c.lang
-        GROUP BY ${p}r.lang),
-      ${p}med AS (
-        SELECT lang,
-               CAST(vlo AS DOUBLE) +
-                 (CAST(coalesce(vhi, vlo) AS DOUBLE) -
-                  CAST(vlo AS DOUBLE)) * frac AS $out
-        FROM ${p}m)"""
-  }
+      out: String): String = sqlMedianByCtes(p, src, "lang", v, out)
 
   val oracles: Map[String, String] = Map(
     "tx_mad_outliers" -> s"""

@@ -102,4 +102,57 @@ package object operators {
     */
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  /** Exact interpolated median of `valueCol` per `key` via the rank
+    * formula (idx = 1 + 0.5·(n−1)) — one keyed window + one keyed
+    * aggregation, bitwise-portable against [[sqlMedianByCtes]].
+    */
+  def exactMedianBy(df: DataFrame, key: String, valueCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(key).orderBy(valueCol))
+    val counts = df.groupBy(key).agg(count(lit(1)).as("__n"))
+    val idx = lit(1.0) + lit(0.5) * (col("__n") - 1).cast(DoubleType)
+    df.withColumn("__rn", rn)
+      .join(broadcast(counts), key)
+      .groupBy(key)
+      .agg(
+        max(when(col("__rn") === floor(idx).cast(LongType), col(valueCol)))
+          .as("__vlo"),
+        max(when(col("__rn") === floor(idx).cast(LongType) + 1,
+          col(valueCol))).as("__vhi"),
+        max(idx - floor(idx)).as("__frac"))
+      .select(col(key),
+        (col("__vlo").cast(DoubleType) +
+          (coalesce(col("__vhi"), col("__vlo")).cast(DoubleType) -
+            col("__vlo").cast(DoubleType)) * col("__frac")).as(out))
+  }
+
+  /** DuckDB replay of [[exactMedianBy]] over column `v` of CTE `src`
+    * keyed by `key`, producing CTEs `<p>c/<p>r/<p>m/<p>med(key, out)`.
+    */
+  def sqlMedianByCtes(p: String, src: String, key: String, v: String,
+      out: String): String = {
+    val idx = "1.0 + 0.5 * CAST(n - 1 AS DOUBLE)"
+    s"""${p}c AS (SELECT $key, count(*) AS n FROM $src GROUP BY $key),
+      ${p}r AS (SELECT $key, $v,
+                row_number() OVER (PARTITION BY $key ORDER BY $v) AS rn
+              FROM $src),
+      ${p}m AS (
+        SELECT ${p}r.$key,
+               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT)
+                 THEN $v END) AS vlo,
+               max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1
+                 THEN $v END) AS vhi,
+               max($idx - floor($idx)) AS frac
+        FROM ${p}r JOIN ${p}c ON ${p}r.$key = ${p}c.$key
+        GROUP BY ${p}r.$key),
+      ${p}med AS (
+        SELECT $key,
+               CAST(vlo AS DOUBLE) +
+                 (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+                  CAST(vlo AS DOUBLE)) * frac AS $out
+        FROM ${p}m)"""
+  }
 }
