@@ -14,7 +14,9 @@ object EventWindows3 extends QueryPack {
     * within a user's stream, count (prev → next) and the conditional
     * transition probability. One keyed window (lag over user_id) + one
     * aggregation to |event_types|² rows; the probability normalizer is
-    * a partition-keyed window over that tiny aggregate.
+    * a partition-keyed window over that tiny aggregate. The probability
+    * is the RAW integer-operand quotient (no round(·, 6)): identical
+    * bits in both engines, no half-way-point hazard.
     */
   def e9Transitions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
@@ -26,9 +28,9 @@ object EventWindows3 extends QueryPack {
       .groupBy("prev_type", "event_type")
       .agg(count(lit(1)).as("n"))
     counts.withColumn("p",
-        round(col("n").cast("double") /
+        col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy("prev_type"))
-            .cast("double"), 6))
+            .cast("double"))
       .orderBy("prev_type", "event_type")
   }
 
@@ -37,7 +39,9 @@ object EventWindows3 extends QueryPack {
     * (collect_list → array_sort by (ts, event_id) → join) — state is
     * one session's events, never a global sort; the top-20 head is
     * TakeOrderedAndProject with a total (count desc, path) order so
-    * ties cannot flap.
+    * ties cannot flap. Both engines sort sessions by the identical
+    * (ts, event_id, event_type) total order — the struct sort uses all
+    * three fields, so the oracle's ORDER BY lists all three too.
     */
   def e10Paths(spark: SparkSession, dir: String): DataFrame = {
     val sessions = t(spark, dir, "events")
@@ -189,14 +193,15 @@ object EventWindows3 extends QueryPack {
         FROM pairs WHERE prev_type IS NOT NULL
         GROUP BY prev_type, event_type)
       SELECT prev_type, event_type, n,
-             round(CAST(n AS DOUBLE) /
-               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
                AS p
       FROM counts ORDER BY prev_type, event_type""",
     "e10_paths" -> """
       WITH sessions AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
-               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               string_agg(event_type, '>'
+                 ORDER BY ts, event_id, event_type) AS path
         FROM events GROUP BY user_id, CAST(ts AS DATE))
       SELECT path, count(*) AS n_sessions
       FROM sessions GROUP BY path

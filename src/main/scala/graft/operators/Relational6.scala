@@ -76,11 +76,14 @@ object Relational6 extends QueryPack {
   }
 
   /** RFM segmentation: per-customer Recency/Frequency/Monetary quartile
-    * scores (ntile(4), deterministic custkey tie-break) and the
-    * concatenated segment label. The windows rank the per-customer
-    * aggregate (|customers| ≪ |orders| rows; one row per entity, the
-    * tx_ccnet_buckets posture) — a 100 TB deployment swaps ntile for
-    * fixed cut-points broadcast from a one-pass quantile sketch.
+    * scores (ntile(4) semantics, deterministic custkey tie-break) and
+    * the concatenated segment label. Each score comes from
+    * [[withGlobalNtile]] — the two-phase prefix-sum rank over the
+    * range-partitioned per-customer aggregate — so no metric ever
+    * funnels through a single-partition window; the three passes chain
+    * (each range-parts the previous output, which the helper caches),
+    * and the result is bit-identical to the three global ntile(4)s the
+    * oracle still runs.
     */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val per = t(spark, dir, "orders")
@@ -91,16 +94,16 @@ object Relational6 extends QueryPack {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum(col("o_totalprice")).as("monetary"))
-    val r = ntile(4).over(
-      Window.orderBy(col("recency_days"), col("o_custkey")))
-    val f = ntile(4).over(
-      Window.orderBy(col("frequency").desc, col("o_custkey")))
-    val m = ntile(4).over(
-      Window.orderBy(col("monetary").desc, col("o_custkey")))
-    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
-        m.cast("long").as("m_score"))
+    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("r_score", Seq(col("recency_days"), col("o_custkey"))),
+      ("f_score", Seq(col("frequency").desc, col("o_custkey"))),
+      ("m_score", Seq(col("monetary").desc, col("o_custkey"))))
+      .foldLeft(per) { case (df, (name, order)) =>
+        withGlobalNtile(df, 4, name, order: _*)
+      }
+    scored.select(col("o_custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("o_custkey")

@@ -159,15 +159,15 @@ object TextAnalysis2 extends QueryPack {
     * let the mixing policy be tuned from one table.
     *
     * Scale: the per-doc scores come from the shared linear perplexity
-    * pipeline; the ntile ranks one row per document (score table ≪
-    * corpus); a production variant replaces ntile with fixed score
-    * thresholds learned once, making bucketing map-only.
+    * pipeline; bucketing uses [[withGlobalNtile]] — the two-phase
+    * prefix-sum rank, range-partitioned, never a single-partition
+    * window — so the corpus-sized score table shards across the
+    * cluster while the result stays bit-identical to `ntile(3)`.
     */
   def txCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val byPpl = Window.orderBy(col("avg_nll"), col("doc_id"))
-    TextAnalysis.perplexityPerDoc(spark, dir)
-      .withColumn("bucket", ntile(3).over(byPpl).cast("long"))
+    withGlobalNtile(TextAnalysis.perplexityPerDoc(spark, dir), 3,
+        "bucket", col("avg_nll"), col("doc_id"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bigrams"),

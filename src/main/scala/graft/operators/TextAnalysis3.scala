@@ -17,6 +17,10 @@ object TextAnalysis3 extends QueryPack {
     * and chars per word — what a token-budget planner multiplies corpus
     * word counts by. Integer sums (exact, associative) → one double
     * division per group; a single map-side-combined aggregation.
+    * Parity: the ratios are emitted as the RAW quotient (the
+    * tx_classifier idiom) — exact-integer operands give identical
+    * division bits in both engines, while round(·, 6) lands dyadic
+    * rationals on half-way points where the engines' rounding differs.
     */
   def txFertility(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -30,10 +34,10 @@ object TextAnalysis3 extends QueryPack {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("total_words"),
         sum(col("bpe")).as("total_subwords"),
-        round(sum(col("bpe")).cast("double") /
-          sum(col("ws")).cast("double"), 6).as("fertility"),
-        round(sum(col("ch")).cast("double") /
-          sum(col("ws")).cast("double"), 6).as("chars_per_word"))
+        (sum(col("bpe")).cast("double") /
+          sum(col("ws")).cast("double")).as("fertility"),
+        (sum(col("ch")).cast("double") /
+          sum(col("ws")).cast("double")).as("chars_per_word"))
       .orderBy("lang", "source")
 
   /** Gopher rules — canonical stopword list from the paper. */
@@ -44,7 +48,10 @@ object TextAnalysis3 extends QueryPack {
     * length in [3, 10], ≥ 80% of words contain an alphabetic char, and
     * ≥ 2 canonical stopwords. All per-row array arithmetic (no shuffle
     * at all until the output sort); integer sums keep the means exact
-    * until one rounded double division.
+    * until one double division, emitted raw (un-rounded) so the gate
+    * comparisons and the emitted ratios are bitwise identical across
+    * engines — round(·, 6) on these exact rationals hits half-way
+    * points where Spark HALF_UP and DuckDB nearbyint disagree.
     */
   def txGopherRules(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -59,10 +66,10 @@ object TextAnalysis3 extends QueryPack {
           x => x.isin(gopherStops.map(s => s: Any): _*))).cast("long")
           .as("n_stop"))
       .select(col("doc_id"), col("n_words"),
-        round(col("sum_len").cast("double") /
-          col("n_words").cast("double"), 6).as("mean_word_len"),
-        round(col("n_alpha").cast("double") /
-          col("n_words").cast("double"), 6).as("frac_alpha"),
+        (col("sum_len").cast("double") /
+          col("n_words").cast("double")).as("mean_word_len"),
+        (col("n_alpha").cast("double") /
+          col("n_words").cast("double")).as("frac_alpha"),
         col("n_stop"))
       .withColumn("passes",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
@@ -209,9 +216,9 @@ object TextAnalysis3 extends QueryPack {
       SELECT lang, source, count(*) AS n_docs,
              CAST(sum(ws) AS BIGINT) AS total_words,
              CAST(sum(bpe) AS BIGINT) AS total_subwords,
-             round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+             CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
                AS fertility,
-             round(CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+             CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
                AS chars_per_word
       FROM d GROUP BY lang, source ORDER BY lang, source""",
     "tx_gopher_rules" -> {
@@ -230,18 +237,18 @@ object TextAnalysis3 extends QueryPack {
                  AS n_stop
         FROM d)
       SELECT doc_id, n_words,
-             round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
                AS mean_word_len,
-             round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
                AS frac_alpha,
              n_stop,
              (n_words >= 50 AND n_words <= 100000
-              AND round(CAST(sum_len AS DOUBLE) /
-                    CAST(n_words AS DOUBLE), 6) >= 3.0
-              AND round(CAST(sum_len AS DOUBLE) /
-                    CAST(n_words AS DOUBLE), 6) <= 10.0
-              AND round(CAST(n_alpha AS DOUBLE) /
-                    CAST(n_words AS DOUBLE), 6) >= 0.8
+              AND CAST(sum_len AS DOUBLE) /
+                    CAST(n_words AS DOUBLE) >= 3.0
+              AND CAST(sum_len AS DOUBLE) /
+                    CAST(n_words AS DOUBLE) <= 10.0
+              AND CAST(n_alpha AS DOUBLE) /
+                    CAST(n_words AS DOUBLE) >= 0.8
               AND n_stop >= 2) AS passes
       FROM m ORDER BY doc_id"""
     })

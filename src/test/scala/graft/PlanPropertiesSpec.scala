@@ -83,7 +83,58 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join",
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
-    "q_chisq") // chisq: 1-row grand-total broadcast into the cell table
+    "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
+    // withGlobalNtile: P×P triangular pass over the P-row (P = shuffle
+    // partitions) per-partition count table — a broadcast no-op
+    "tx_ccnet_buckets", "q_rfm")
+
+  /** Queries where a zero-partition (global) window is the intended
+    * plan because its input is provably tiny at any corpus scale:
+    * calendar-bounded daily series (≤ a few thousand rows regardless
+    * of data volume: q_islands, d3_seasonal, d3_changepoint,
+    * q_moving_corr, q_locf, d3_forecast, d3_anomaly), rank-limited
+    * heads (tx_zipf_slope's top-1000 vocab slice, WindowGroupLimit-
+    * guarded), and sub-aggregate tables with a hard row bound
+    * (q_histogram's 10 buckets, q_degree_dist's distinct degrees,
+    * tx_vocab's 31 rows, c5_date_spine's 30-day spine). Entity-sized
+    * inputs (per-document, per-customer) must NOT appear here — that
+    * is the single-partition scale killer withGlobalNtile exists for.
+    */
+  private val intendedGlobalWindow = Set(
+    "q_islands", "d3_seasonal", "d3_changepoint", "d3_forecast",
+    "d3_anomaly", "q_moving_corr", "q_locf", "tx_zipf_slope",
+    "q_histogram", "q_degree_dist", "tx_vocab", "c5_date_spine",
+    // skyline: running min over the per-size aggregate — bounded by
+    // the p_size domain (~50 rows), not the table
+    "q_skyline",
+    // gaps: lag over the per-bucket (min, max) summary — a 4096×
+    // reduction of the distinct-key table (the raw keys only ever see
+    // the bucket-keyed window)
+    "q_gaps")
+
+  test("no query plans a global (unpartitioned) window over unbounded input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def emptyPartWindows(p: SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(emptyPartWindows).sum
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = emptyPartWindows(df.queryExecution.executedPlan)
+      if (n > 0 && !intendedGlobalWindow(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"global windows on unbounded inputs in: $offenders")
+  }
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
