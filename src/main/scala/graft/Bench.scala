@@ -72,9 +72,21 @@ object Bench {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + fmt(v, "%.3f") }
       .mkString("{\n", ",\n", "\n}\n")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      detail.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes("UTF-8"))
+      // Builder median runs (reps>1) ALSO write a tagged copy
+      // (SPARK_GRAFT_BENCH_TAG, e.g. "r5" → bench_detail_r5.json): the
+      // driver's single-shot run overwrites bench_detail.json, which in
+      // round 4 destroyed the median-of-3 reference table — the tagged
+      // file is the noise-controlled record BASELINE.md cites.
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").filter(_ => reps > 1)
+        .foreach { tag =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"bench_detail_$tag.json"),
+            detail.getBytes("UTF-8"))
+        }
+    } catch { case _: Throwable => () }
     println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }

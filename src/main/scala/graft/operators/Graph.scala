@@ -20,7 +20,8 @@ object Graph extends QueryPack {
     * and shuffle keys cost ~half the string-keyed form (measured 3.3 s
     * → 2.0 s for the 3-iteration PageRank at sf0.1).
     */
-  private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def edgesOf(spark: SparkSession, dir: String)
+      : DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey")).distinct()
     li.select((col("l_suppkey") * 2).as("src"),
@@ -35,16 +36,17 @@ object Graph extends QueryPack {
     *
     * Scale: each iteration is one shuffle join (edges ⋈ ranks on the
     * source key) + one hash aggregation on the destination key — the
-    * canonical distributed PageRank step. Pre-partitioning edges and
-    * ranks on the join key makes every later iteration co-located; the
-    * edge table never changes, so at 100 TB it would be bucketed once.
+    * canonical distributed PageRank step. The never-changing edge table
+    * comes from [[SharedGraph]]'s src-bucketed materialization, so the
+    * edge side of every iteration reads pre-clustered parquet with no
+    * exchange; only the node-sized rank table moves per iteration.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the edge list appears in deg + all 3 iterations — without
-    // it the lineage recomputes the lineitem scan + distinct ~7×
-    // (measured 3.5 s → 1.3 s at sf0.1); at cluster scale the edge
-    // table would be a bucketed materialization instead
-    val edges = edgesOf(spark, dir).repartition(col("src")).cache()
+    // the edge list appears in deg + all 3 iterations: read it from
+    // the shared src-bucketed materialization (one lineitem
+    // scan+distinct per process, zero edge-side exchanges per
+    // iteration) — the A-layer powering the query layer
+    val edges = SharedGraph.edges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).cache()
     val nTotal = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
@@ -127,4 +129,40 @@ object Graph extends QueryPack {
       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
       SELECT deg, count(*) AS n_nodes FROM deg
       GROUP BY deg ORDER BY deg""")
+}
+
+/** The bipartite edge list as a SHARED bucketed materialization: built
+  * once per (process, sf dir) through the A-layer — `write_to_model`
+  * with `bucket_by=src` into a scratch [[graft.api.Registry]], then
+  * `ref()`'d by every iterative graph query (q_pagerank,
+  * q_recursive_bfs). This is the cluster-scale posture both query
+  * scaladocs used to promise instead of building: the edge table never
+  * changes between iterations, so the lineitem scan + distinct is paid
+  * exactly once per process, and the bucket spec rides the catalog
+  * table so later joins/aggregations on `src` read pre-clustered
+  * parquet with no exchange on the edge side (the reference
+  * materializes shared staging models the same way — a dbt `table`
+  * model feeding many downstreams).
+  */
+private[operators] object SharedGraph {
+  import graft.api.{FalApi, ModelDef, ModelKind, Registry, RunLedger}
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[String, Registry]
+
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val registry = built.getOrElseUpdate(dir, {
+      val reg = new Registry(java.nio.file.Files
+        .createTempDirectory("graft_shared_edges").toString)
+      val buckets =
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+      reg.register(ModelDef("edges_bipartite",
+        ModelKind.Scala((s, _) => Graph.edgesOf(s, dir)),
+        meta = Map("bucket_by" -> "src", "buckets" -> buckets)))
+      new FalApi(spark, reg, new RunLedger)
+        .writeToModel(Graph.edgesOf(spark, dir), "edges_bipartite")
+      reg
+    })
+    new FalApi(spark, registry, new RunLedger).ref("edges_bipartite")
+  }
 }

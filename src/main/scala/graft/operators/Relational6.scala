@@ -18,18 +18,15 @@ object Relational6 extends QueryPack {
     * recursive CTE; unrolled frontier expansion IS the distributed
     * idiom, cf. the label-propagation notes on dd_cluster).
     *
-    * Scale: the edge table is cached pre-partitioned on the source so
-    * every expansion reuses the layout (q_pagerank's pattern); each hop
-    * shuffles only the frontier (≪ edges), and visited-set dedup is a
-    * keyed anti-join — no driver-side state, depth bounds the loop.
+    * Scale: the edge table is [[SharedGraph]]'s src-bucketed
+    * materialization (shared with q_pagerank — built once per process,
+    * read pre-clustered with no exchange); each hop shuffles only the
+    * frontier (≪ edges), and visited-set dedup is a keyed anti-join —
+    * no driver-side state, depth bounds the loop.
     */
   def qRecursiveBfs(spark: SparkSession, dir: String): DataFrame = {
-    val fwd = t(spark, dir, "lineitem")
-      .select((col("l_suppkey") * 2).as("u"),
-        (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).cache()
+    val edges = SharedGraph.edges(spark, dir)
+      .select(col("src").as("u"), col("dst").as("v"))
     val seed = t(spark, dir, "supplier")
       .filter(col("s_suppkey") <= 3)
       .select((col("s_suppkey") * 2).as("node"))
