@@ -1,21 +1,32 @@
 package graft
 
-import graft.api.{FalApi, Project, RunLedger}
-import graft.plans.Runner
+import graft.api.{FalApi, Project, Registry, RunLedger}
+import graft.plans.{NodeGraph, Runner}
 
-/** The `fal flow run` CLI analogue (ref: `cli()` →
-  * `fal_flow_run`, `/root/reference/projects/adapter/src/fal/dbt/cli/
-  * cli.py:14` / `flow_runner.py:49`):
+/** The `fal flow run` / `fal run` CLI analogue (ref: `cli()`,
+  * `/root/reference/projects/adapter/src/fal/dbt/cli/cli.py:14`, routing
+  * to `fal_flow_run` (`flow_runner.py:49`) or `fal_run`
+  * (`fal_runner.py:34`)):
   *
   * {{{
   *   sbt "runMain graft.Cli <projectDir> [--select S]... [--exclude X]...
   *        [--threads N] [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
-  *        [--full-refresh]"
+  *        [--full-refresh] [--defer --state DIR]
+  *        [--run-scripts before|after]"
   * }}}
   *
-  * Runs the project's model DAG, prints per-node statuses, writes
-  * `run_results.json` under the storage root, exits non-zero on any
-  * failure (ref `executor.py:177-178`).
+  * Default mode runs the project's model DAG, prints per-node statuses,
+  * writes `run_results.json` under the storage root, exits non-zero on
+  * any failure (ref `executor.py:177-178`). `--run-scripts` is the
+  * standalone `fal run` analogue: no model rebuilds; scripts/hooks
+  * execute over the PREVIOUS run's ledger statuses. `--defer --state
+  * DIR` resolves refs of unbuilt models from a prior run's storage
+  * root (ref `args.py:70-73`, `test_cli.py:132-147`).
+  *
+  * Scripts are SQL files under `<project>/scripts/`, attached via model
+  * meta `scripts_before=a.sql,…` / `scripts_after=…` — the Spark-native
+  * stand-in for the reference's attached Python scripts (B8/B10
+  * by-design collapse: SQL runs in-process on the session).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -28,9 +39,19 @@ object Cli {
     var chunk = false
     var vars = Map.empty[String, String]
     var fullRefresh = false
+    var deferToState = false
+    var stateDir: Option[String] = None
+    var runScriptsTiming: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
+        case "--defer" => deferToState = true; i += 1
+        case "--state" => stateDir = Some(args(i + 1)); i += 2
+        case "--run-scripts" =>
+          val t = args(i + 1)
+          require(t == "before" || t == "after",
+            s"--run-scripts expects before|after, got: $t")
+          runScriptsTiming = Some(t); i += 2
         case "--select" => select :+= args(i + 1); i += 2
         case "--exclude" => exclude :+= args(i + 1); i += 2
         case "--threads" => threads = args(i + 1).toInt; i += 2
@@ -57,12 +78,25 @@ object Cli {
     spark.sparkContext.setLogLevel("ERROR")
 
     val registry = Project.load(projectDir, storage)
-    val api = new FalApi(spark, registry, new RunLedger)
+    if (deferToState) require(stateDir.isDefined,
+      "--defer requires --state DIR (ref args.py:70-83)")
+    val api = new FalApi(spark, registry, new RunLedger,
+      defer = if (deferToState) stateDir.map(new Registry(_)) else None)
     val tags = registry.listModels.map(m => m.name -> m.tags).toMap
-    val status = Runner.run(api, Runner.RunConfig(
+    val (scripts, scriptFns) = scriptConfig(registry, projectDir)
+
+    val config = Runner.RunConfig(
       select = select, exclude = exclude, threads = threads,
-      enableChunking = chunk, tags = tags, vars = vars,
-      fullRefresh = fullRefresh))
+      enableChunking = chunk, scripts = scripts, scriptFns = scriptFns,
+      tags = tags, vars = vars, fullRefresh = fullRefresh)
+    val status = runScriptsTiming match {
+      case Some(timing) =>
+        // standalone `fal run`: scripts over the prior run's statuses
+        Runner.runScripts(api, config, before = timing == "before",
+          priorStatuses = RunLedger.loadStatuses(
+            s"$storage/run_results.json"))
+      case None => Runner.run(api, config)
+    }
 
     api.listModelIds.toSeq.sortBy(_._1).foreach { case (name, st) =>
       println(f"$name%-30s $st")
@@ -71,5 +105,33 @@ object Cli {
     println(s"RUN_STATUS=$status")
     spark.stop()
     if (status != 0) sys.exit(status)
+  }
+
+  /** Script attachments + executable fns from model meta
+    * (`scripts_before` / `scripts_after` name SQL files under
+    * `<project>/scripts/`). Factored out of `main` so project-level
+    * tests can drive the same wiring without a CLI process.
+    */
+  def scriptConfig(registry: graft.api.Registry, projectDir: String)
+      : (Seq[NodeGraph.ScriptAttachment],
+         Map[String, (FalApi, Map[String, String]) => Unit]) = {
+    val scripts = registry.listModels.flatMap { m =>
+      def files(key: String): Seq[String] = m.meta.get(key).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      files("scripts_before").map(f =>
+        NodeGraph.ScriptAttachment(m.name, f, before = true)) ++
+        files("scripts_after").map(f =>
+          NodeGraph.ScriptAttachment(m.name, f, before = false))
+    }
+    val fns = scripts.map { s =>
+      val id = if (s.before) NodeGraph.beforeScriptId(s.model, s.file)
+        else NodeGraph.afterScriptId(s.model, s.file)
+      id -> { (a: FalApi, _: Map[String, String]) =>
+        val sql = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(projectDir, "scripts", s.file))
+        a.executeSql(sql).count(); ()
+      }
+    }.toMap
+    (scripts, fns)
   }
 }

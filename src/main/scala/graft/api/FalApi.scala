@@ -19,22 +19,43 @@ import org.apache.spark.sql.functions._
   * `allowWrites=false` reproduces hook semantics — hooks may read but
   * not write models (`fal_script.py:279-296`,
   * `_not_allowed_function_maker:419-428`).
+  *
+  * `defer` is the `--defer --state DIR` surface (ref: arg parsing
+  * `cli/args.py:70-73`, end-to-end `tests/test_cli.py:132-147`): a
+  * read-only registry over a PREVIOUS run's storage root; `ref()` of a
+  * model not materialized in this run falls back to the deferred
+  * state instead of failing, so a selected subgraph can build against
+  * upstreams produced elsewhere without rebuilding them.
   */
 final class FalApi(
     val spark: SparkSession,
     val registry: Registry,
     val ledger: RunLedger,
-    allowWrites: Boolean = true) {
+    allowWrites: Boolean = true,
+    defer: Option[Registry] = None) {
 
   /** A1 — relation scan: resolve a model name, return its live data.
     * Lazy: downstream filters/projections push into the parquet scan.
     * Bucketed versions resolve through their catalog table so joins on
     * the bucket key keep the no-shuffle co-location guarantee (a plain
-    * path read would discard the bucketing metadata).
+    * path read would discard the bucketing metadata). Unmaterialized
+    * models fall back to the deferred state root when one is set.
     */
   def ref(name: String): DataFrame = {
-    val path = registry.currentPath(name).getOrElse(
-      throw new IllegalStateException(s"model not materialized: $name"))
+    val path = registry.currentPath(name)
+      .orElse(defer.flatMap(_.currentPath(name)))
+      .getOrElse(throw new IllegalStateException(
+        s"model not materialized: $name" +
+          (if (defer.isDefined) " (also absent from the deferred state)"
+           else "")))
+    readResolved(name, path)
+  }
+
+  /** Read a resolved version directory: through the bucketed catalog
+    * table when the version was written clustered, else a (chain-aware)
+    * plain parquet read.
+    */
+  private def readResolved(name: String, path: String): DataFrame = {
     val marker = java.nio.file.Paths.get(path, "_bucketed_table")
     if (java.nio.file.Files.exists(marker)) {
       // marker: table name, plus (since round 3) the bucket count and
@@ -73,18 +94,35 @@ final class FalApi(
     } else readVersion(path)
   }
 
-  /** Plain (non-bucketed) version read. Reads through the schema
-    * recorded at write time when present: partition-column type
-    * inference over directory names would otherwise retype values on
-    * every read (string '01' → int 1 — lossy for zero-padded or
-    * mixed-format keys).
+  /** The version directories an append chain is made of: each
+    * metadata-only append records its predecessor in `_prev_version`,
+    * so a version's full content = its own files plus the chain behind
+    * it. Oldest first.
+    */
+  private def chainPaths(path: String): Seq[String] = {
+    val prev = java.nio.file.Paths.get(path, "_prev_version")
+    if (java.nio.file.Files.exists(prev))
+      chainPaths(java.nio.file.Paths.get(path).getParent
+        .resolve(java.nio.file.Files.readString(prev).trim)
+        .toString) :+ path
+    else Seq(path)
+  }
+
+  /** Plain (non-bucketed) version read — the whole append chain in one
+    * multi-path scan. Reads through the schema recorded at write time
+    * when present: partition-column type inference over directory names
+    * would otherwise retype values on every read (string '01' → int 1 —
+    * lossy for zero-padded or mixed-format keys).
     */
   private def readVersion(path: String): DataFrame = {
+    val paths = chainPaths(path)
     val schemaFile = java.nio.file.Paths.get(path, "_schema.ddl")
-    if (java.nio.file.Files.exists(schemaFile))
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-        java.nio.file.Files.readString(schemaFile))).parquet(path)
-    else spark.read.parquet(path)
+    val reader =
+      if (java.nio.file.Files.exists(schemaFile))
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          java.nio.file.Files.readString(schemaFile)))
+      else spark.read
+    reader.parquet(paths: _*)
   }
 
   /** Bucketing config from the model's meta (`bucket_by` = comma-joined
@@ -172,30 +210,41 @@ final class FalApi(
     *
     * Overwrite writes a fresh version directory then atomically swaps
     * the catalog pointer (never in-place — concurrent readers keep the
-    * old version; ref `overwrite_target lib.py:286-329`). Append writes
-    * new files into a new version that unions the previous data — at
-    * scale this is a pure metadata append (no rewrite of old files) when
-    * the catalog lists both dirs; here we keep one live dir per version
-    * for a single-pointer catalog.
+    * old version; ref `overwrite_target lib.py:286-329`). Append on a
+    * plain model is METADATA-ONLY: the new version holds just the
+    * increment plus a `_prev_version` link, and reads scan the whole
+    * chain — O(increment) write cost, prior versions' files untouched
+    * (the behavior a daily 100 TB append pipeline needs; compaction
+    * collapses long chains). Models with a declared clustered layout
+    * (bucket_by / partition_by) keep the rewrite-through-layout path —
+    * an appended stray dir would silently void the bucketed-join and
+    * partition-pruning guarantees their readers rely on.
     */
   def writeToModel(df: DataFrame, name: String,
       mode: String = "overwrite"): WriteResult = {
     require(allowWrites,
       "write_to_model is not allowed in hooks (ref fal_script.py:290-296)")
     val target = registry.nextVersionDir(name)
-    val toWrite = mode match {
-      case "overwrite" => df
+    val clustered = bucketSpec(name).isDefined ||
+      registry.modelOpt(name).exists(_.meta.contains("partition_by"))
+    mode match {
+      case "overwrite" => materialize(df, name, target)
       case "append" =>
         registry.currentPath(name) match {
-          case Some(cur) => spark.read.parquet(cur).unionByName(df)
-          case None => df
+          case Some(cur) if clustered =>
+            materialize(readVersion(cur).unionByName(df), name, target)
+          case Some(cur) =>
+            materialize(df, name, target)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(target, "_prev_version"),
+              java.nio.file.Paths.get(cur).getFileName.toString)
+          case None => materialize(df, name, target)
         }
       case other => throw new IllegalArgumentException(
         s"unknown write mode: $other")
     }
-    materialize(toWrite, name, target)
     registry.swapPointer(name, target)
-    val rows = spark.read.parquet(target).count()
+    val rows = readVersion(target).count()
     val res = WriteResult(name, rows, mode)
     ledger.record(name, Status.Success,
       s"write $mode rows=$rows${fileSkew(target)}")
@@ -214,7 +263,7 @@ final class FalApi(
     require(allowWrites, "write_to_model is not allowed in hooks")
     val merged = registry.currentPath(name) match {
       case Some(cur) =>
-        spark.read.parquet(cur)
+        readVersion(cur)
           .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .unionByName(df)
       case None => df
@@ -239,7 +288,7 @@ final class FalApi(
     require(allowWrites, "write_to_model is not allowed in hooks")
     val merged = registry.currentPath(name) match {
       case Some(cur) =>
-        spark.read.parquet(cur)
+        readVersion(cur)
           .join(df.select(partitionCol).distinct(), Seq(partitionCol),
             "left_anti")
           .unionByName(df)
@@ -281,7 +330,7 @@ final class FalApi(
         df.withColumn("dbt_valid_from", vf)
           .withColumn("dbt_valid_to", nullTs)
       case Some(cur) =>
-        val snap = spark.read.parquet(cur)
+        val snap = readVersion(cur)
         val hist = snap.filter(col("dbt_valid_to").isNotNull)
         val current = snap.filter(col("dbt_valid_to").isNull)
         val n = df.select(dataCols.map(c => col(c).as(s"__n_$c")): _*)
@@ -349,12 +398,16 @@ final class FalApi(
         materialize(df, name, target)
         s"buckets=$n"
       case None =>
-        val bytes = scala.util.Using.resource(
-          java.nio.file.Files.walk(java.nio.file.Paths.get(cur))) { walk =>
-          walk.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(java.nio.file.Files.size(_)).sum
-        }
+        // sum the whole append chain: compaction collapses it into one
+        // fresh version, so sizing must see every live byte
+        val bytes = chainPaths(cur).map { dir =>
+          scala.util.Using.resource(
+            java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { walk =>
+            walk.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(java.nio.file.Files.size(_)).sum
+          }
+        }.sum
         val nFiles =
           math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         materialize(df.coalesce(nFiles), name, target)
@@ -383,8 +436,12 @@ final class FalApi(
     require(keep >= 1, "keep must be >= 1")
     val versions = registry.listVersions(name)
     val current = registry.currentPath(name)
+    // every member of the live append chain is part of the CURRENT
+    // data — deleting one would corrupt the relation, so the chain is
+    // as untouchable as the pointer target itself
+    val live = current.toSeq.flatMap(chainPaths).toSet
     val victims = versions.dropRight(keep)
-      .filterNot(v => current.contains(v))
+      .filterNot(v => live.contains(v))
     victims.foreach { v =>
       import scala.jdk.CollectionConverters._
       // a bucketed version registered a catalog table pointing at this
@@ -481,5 +538,63 @@ final class FalApi(
 
   /** Hook-scoped view of the API with writes blocked (B11). */
   def forHook: FalApi = new FalApi(spark, registry, ledger,
-    allowWrites = false)
+    allowWrites = false, defer = defer)
+
+  /** B13 — emit the dbt-format source-freshness artifact
+    * (`sources.json`, the `FreshnessExecutionResultArtifact` shape the
+    * reference parses at `integration/parse.py:161-173` and attaches to
+    * sources as `FreshnessNodeOutput`, `project.py:193`): one result
+    * per source that declares a `loaded_at` field, with pass/warn/error
+    * judged against the thresholds. Each result is also recorded in the
+    * run ledger.
+    */
+  def writeFreshnessArtifact(path: String,
+      warnAfterSeconds: Long = 24 * 3600,
+      errorAfterSeconds: Long = 48 * 3600): Unit = {
+    val now = java.time.Instant.now()
+    def iso(i: java.time.Instant): String =
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        i.truncatedTo(java.time.temporal.ChronoUnit.MICROS))
+    val results = registry.listSources
+      .filter(_.loadedAtField.isDefined)
+      .map { src =>
+        val secs = sourceFreshnessSeconds(src.sourceName, src.tableName)
+        val status =
+          if (secs > errorAfterSeconds) "error"
+          else if (secs > warnAfterSeconds) "warn"
+          else "pass"
+        val uid = s"source.graft.${src.sourceName}.${src.tableName}"
+        ledger.record(uid,
+          if (status == "error") Status.Failure else Status.Success,
+          s"freshness $status max_loaded_at_time_ago_in_s=$secs")
+        s"""{"unique_id":"$uid","status":"$status",""" +
+          s""""max_loaded_at":"${iso(now.minusSeconds(secs))}",""" +
+          s""""snapshotted_at":"${iso(now)}",""" +
+          s""""max_loaded_at_time_ago_in_s":$secs.0,""" +
+          s""""criteria":{"warn_after":{"count":$warnAfterSeconds,""" +
+          s""""period":"second"},"error_after":""" +
+          s"""{"count":$errorAfterSeconds,"period":"second"}}}"""
+      }
+    val body = s"""{"metadata":{"generated_at":"${iso(now)}",""" +
+      s""""dbt_schema_version":""" +
+      s""""https://schemas.getdbt.com/dbt/sources/v3.json"},""" +
+      s""""results":${results.mkString("[", ",", "]")},""" +
+      s""""elapsed_time":0.0}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    ()
+  }
+}
+
+object FalApi {
+  /** Parse a `sources.json` freshness artifact back to
+    * unique_id → status — the consuming half of the round-trip (the
+    * reference's `_map_nodes` keys `FreshnessNodeOutput`s by unique_id,
+    * `project.py:413-420`).
+    */
+  def readFreshnessStatuses(path: String): Map[String, String] = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val entry =
+      raw""""unique_id"\s*:\s*"([^"]+)"\s*,\s*"status"\s*:\s*"([^"]+)"""".r
+    entry.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+  }
 }

@@ -46,3 +46,30 @@ final class RunLedger {
     ()
   }
 }
+
+object RunLedger {
+  /** Load a previous run's `run_results.json` into node → last status —
+    * what the standalone script runner (`fal run`) seeds the registry
+    * with so scripts observe the PRIOR run's model statuses (ref:
+    * `FalDbt` parses `run_results.json` at `integration/parse.py:177-186`
+    * and scripts read `context.current_model.status` from it).
+    */
+  def loadStatuses(path: String): Map[String, String] = {
+    if (!Files.exists(Paths.get(path))) return Map.empty
+    val text = Files.readString(Paths.get(path))
+    val entry =
+      raw""""node"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"status"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String =
+      raw"\\(.)".r.replaceAllIn(s, m => m.group(1) match {
+        case "n" => "\n"
+        case "r" => "\r"
+        case "t" => "\t"
+        case c => java.util.regex.Matcher.quoteReplacement(c)
+      })
+    // later records win: the ledger is append-ordered, so the last
+    // status per node is the run's final word on it
+    entry.findAllMatchIn(text)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2)))
+      .foldLeft(Map.empty[String, String])(_ + _)
+  }
+}

@@ -199,4 +199,42 @@ object Runner {
     val scheduler = Scheduler.fromGraph(planned, taskFor, hooksFor)
     Executor.run(scheduler, api, config.threads)
   }
+
+  /** The standalone `fal run` entry point (ref: `cli.py:14` routes
+    * `fal run` to `fal_runner.fal_run`, `fal_runner.py:34-62`): execute
+    * scripts WITHOUT rebuilding any model, against the PREVIOUS run's
+    * statuses. `--before` runs each selected model's pre-hooks then its
+    * before scripts; the default (after) runs after scripts then
+    * post-hooks — the reference's exact phase order. `priorStatuses`
+    * (typically `RunLedger.loadStatuses(run_results.json)`) seeds the
+    * registry so scripts observe `current_model.status` from the prior
+    * run, exactly as the reference's `FalScript` does via the parsed
+    * run-results artifact.
+    */
+  def runScripts(api: FalApi, config: RunConfig, before: Boolean,
+      priorStatuses: Map[String, String] = Map.empty): Int = {
+    priorStatuses.foreach { case (n, s) => api.registry.setStatus(n, s) }
+    val graph = NodeGraph.build(api.registry.listModels, config.scripts,
+      preHooks = config.preHooks, postHooks = config.postHooks)
+    val selected = Selectors.plan(graph, config.select, config.exclude,
+      config.tags)
+    val models = api.registry.listModels.map(_.name)
+      .filter(n => selected.contains(NodeGraph.modelId(n)))
+    def scriptTasks(b: Boolean): Seq[Task] =
+      config.scripts.filter(s => s.before == b && models.contains(s.model))
+        .map { s =>
+          val id = if (b) NodeGraph.beforeScriptId(s.model, s.file)
+            else NodeGraph.afterScriptId(s.model, s.file)
+          HookTask(id, config.scriptFns.getOrElse(id,
+            (_, _) => throw new IllegalStateException(s"no script fn: $id")))
+        }
+    def hookTasks(hooks: Map[String, Seq[String]], phase: String): Seq[Task] =
+      models.flatMap(m => hooks.getOrElse(m, Nil).map(h =>
+        HookTask(s"hook.${NodeGraph.modelId(m)}.$phase.$h",
+          config.hookFns.getOrElse(h, (_, _) => ()))))
+    val phases =
+      if (before) Seq(hookTasks(config.preHooks, "PRE"), scriptTasks(true))
+      else Seq(scriptTasks(false), hookTasks(config.postHooks, "POST"))
+    phases.flatten.foldLeft(0)((st, t) => st | t.execute(api))
+  }
 }

@@ -109,4 +109,32 @@ class ProjectSpec extends AnyFunSuite {
         tags = registry.listModels.map(m => m.name -> m.tags).toMap))
     assert(status2 == 0)
   }
+
+  test("project SQL scripts attach from meta and run standalone (fal run)") {
+    val storage = Files.createTempDirectory("graft-proj-scripts").toString
+    val registry = Project.load("examples/jaffle", storage)
+    val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+    val (scripts, fns) = graft.Cli.scriptConfig(registry, "examples/jaffle")
+    assert(scripts.exists(s =>
+      s.model == "customer_orders" && s.file == "orders_report.sql"
+        && !s.before))
+    val tags = registry.listModels.map(m => m.name -> m.tags).toMap
+    // unselected: the whole DAG, so the AFTER script node (a
+    // descendant of its model) is in the plan
+    val config = Runner.RunConfig(
+      scripts = scripts, scriptFns = fns, tags = tags)
+    assert(Runner.run(api, config) == 0)
+    val ledgerPath = java.nio.file.Paths
+      .get(storage, "run_results.json").toString
+    api.ledger.writeJson(ledgerPath)
+    val scriptId = graft.plans.NodeGraph.afterScriptId(
+      "customer_orders", "orders_report.sql")
+    assert(api.ledger.statusOf(scriptId).contains(Status.Success))
+    // standalone re-run (the `fal run` analogue): script executes again
+    // over the prior statuses, no model rebuild
+    val v = api.registry.currentPath("customer_orders").get
+    assert(Runner.runScripts(api, config, before = false,
+      priorStatuses = RunLedger.loadStatuses(ledgerPath)) == 0)
+    assert(api.registry.currentPath("customer_orders").contains(v))
+  }
 }

