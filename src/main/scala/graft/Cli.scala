@@ -127,9 +127,13 @@ object Cli {
       val id = if (s.before) NodeGraph.beforeScriptId(s.model, s.file)
         else NodeGraph.afterScriptId(s.model, s.file)
       id -> { (a: FalApi, _: Map[String, String]) =>
-        val sql = java.nio.file.Files.readString(
+        // .sql = one statement; .ipynb = its code cells in order,
+        // magic lines stripped (graft.api.Notebook, the reference's
+        // _process_ipynb port)
+        graft.api.Notebook.statementsFromFile(
           java.nio.file.Paths.get(projectDir, "scripts", s.file))
-        a.executeSql(sql).count(); ()
+          .foreach(sql => a.executeSql(sql).count())
+        ()
       }
     }.toMap
     (scripts, fns)
