@@ -135,33 +135,40 @@ package object operators {
     * txTokenBudget/e7Concurrency idiom applied to ranks:
     *
     *  1. range-partition the rows on the order key (ascending pids
-    *     follow the key order);
-    *  2. row_number within each range partition — a window KEYED by
-    *     partition id, never global;
+    *     follow the key order) and SORT WITHIN partitions — the only
+    *     shuffle in the whole operator;
+    *  2. the within-partition ordinal falls out of
+    *     `monotonically_increasing_id`'s low 33 bits (the id is
+    *     `pid << 33 | rowIndex` in iteration order, which after the
+    *     in-partition sort IS the key order) — no window, no second
+    *     exchange of the data;
     *  3. a P-row per-partition count table (P = shuffle partitions)
     *     yields, via one broadcast triangular pass, each partition's
     *     strictly-before row total and the grand total N;
-    *  4. global rank = offset + local row number, and the ntile bucket
-    *     is pure arithmetic on (rank, N): the first N mod k buckets
-    *     take ⌈N/k⌉ rows, the rest ⌊N/k⌋ — bit-identical to
+    *  4. global rank = offset + ordinal + 1, and the ntile bucket is
+    *     pure arithmetic on (rank, N): the first N mod k buckets take
+    *     ⌈N/k⌉ rows, the rest ⌊N/k⌋ — bit-identical to
     *     `ntile(k) OVER (ORDER BY …)`, so oracles keep plain ntile.
     *
     * The order columns must form a total order (include a unique
     * tie-break) or the rank is nondeterministic. The range-parted
-    * input is cached: it is consumed twice (counts, then the rank
-    * join), and callers chain this over entity-sized score tables
-    * (one row per document/customer), not the raw corpus. At 100 TB
-    * an approximate variant swaps step 3-4 for broadcast
-    * `approx_percentile` cut-points; this exact form is what preserves
-    * ntile semantics for parity.
+    * input is cached: the id column must be assigned exactly once, and
+    * the frame is consumed twice (counts, then the rank join); callers
+    * chain this over entity-sized score tables (one row per
+    * document/customer), not the raw corpus. At 100 TB an approximate
+    * variant swaps step 3-4 for broadcast `approx_percentile`
+    * cut-points; this exact form is what preserves ntile semantics for
+    * parity.
     */
   def withGlobalNtile(df: DataFrame, k: Int, bucketCol: String,
       order: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .cache()
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val stats = counts.as("x")
@@ -171,8 +178,7 @@ package object operators {
         sum(when(col("y.__pid") < col("x.__pid"), col("y.__cnt"))
           .otherwise(0L)).as("__off"),
         sum(col("y.__cnt")).as("__n"))
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
-    val rank = col("__off") + row_number().over(w).cast(LongType)
+    val rank = col("__off") + col("__ord") + lit(1L)
     val base = floor(col("__n") / k).cast(LongType)
     val rem = col("__n") % k
     val headRows = rem * (base + lit(1L))
@@ -185,7 +191,7 @@ package object operators {
     parted.join(broadcast(stats), Seq("__pid"))
       .withColumn("__rank", rank)
       .withColumn(bucketCol, bucket)
-      .drop("__pid", "__off", "__n", "__rank")
+      .drop("__pid", "__ord", "__off", "__n", "__rank")
   }
 
   /** DuckDB replay of [[exactMedianBy]] over column `v` of CTE `src`
