@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.api.{FalApi, Registry, RunLedger}
+
+/** Streaming ingest into the model store: micro-batches append
+  * metadata-only (one increment-sized version per batch, prior files
+  * untouched), reads see the whole chain, and batch-id replays are
+  * idempotent (the foreachBatch exactly-once recipe).
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshApi(): FalApi = new FalApi(spark,
+    new Registry(Files.createTempDirectory("graft-ingest").toString),
+    new RunLedger)
+
+  test("micro-batches append as chain versions; replayed batch ids are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val api = freshApi()
+    val input = MemoryStream[Long]
+    val q = StreamIngest.toModel(input.toDF().withColumnRenamed("value", "x"),
+      api, "ingested",
+      Files.createTempDirectory("graft-ingest-ckpt").toString)
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      val v1 = api.registry.currentPath("ingested").get
+      input.addData(3L)
+      q.processAllAvailable()
+      val v2 = api.registry.currentPath("ingested").get
+      assert(v2 != v1)
+      // second batch chained onto the first: increment-only version
+      assert(Files.exists(Paths.get(v2, "_prev_version")))
+      assert(api.ref("ingested").orderBy("x")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    // restart replay: an already-committed batch id must be a no-op
+    val before = api.registry.currentPath("ingested").get
+    import spark.implicits._
+    assert(!StreamIngest.applyBatch(api, "ingested",
+      Seq(99L).toDF("x"), batchId = 1L))
+    assert(api.registry.currentPath("ingested").contains(before))
+    assert(api.ref("ingested").count() == 3)
+    // a genuinely new batch id applies
+    assert(StreamIngest.applyBatch(api, "ingested",
+      Seq(4L).toDF("x"), batchId = 2L))
+    assert(api.ref("ingested").count() == 4)
+  }
+}
