@@ -22,12 +22,17 @@ object Graph extends QueryPack {
     */
   private[operators] def edgesOf(spark: SparkSession, dir: String)
       : DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    // symmetrize in-row (explode of the 2 directions) so the distinct
+    // pair set is computed once — the unionAll form ran the scan +
+    // distinct twice
+    t(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey")).distinct()
-    li.select((col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      .unionAll(li.select((col("l_partkey") * 2 + 1).as("src"),
-        (col("l_suppkey") * 2).as("dst")))
+      .select(explode(array(
+        struct((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        struct((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_suppkey") * 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** G1 — PageRank, 3 power iterations, damping 0.85: rank flows along
