@@ -136,6 +136,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"global windows on unbounded inputs in: $offenders")
   }
 
+  test("iterative graph queries read the shared bucketed edge model") {
+    for (name <- Seq("q_pagerank", "q_recursive_bfs")) {
+      val p = plan(name)
+      assert(p.contains("graft_edges_bipartite"),
+        s"$name no longer reads the shared bucketed edge " +
+          s"materialization:\n${p.take(1500)}")
+    }
+  }
+
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
