@@ -12,7 +12,7 @@ import graft.plans.{NodeGraph, Runner}
   *   sbt "runMain graft.Cli <projectDir> [--select S]... [--exclude X]...
   *        [--threads N] [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
   *        [--full-refresh] [--defer --state DIR]
-  *        [--run-scripts before|after]"
+  *        [--run-scripts before|after] [--globals]"
   * }}}
   *
   * Default mode runs the project's model DAG, prints per-node statuses,
@@ -42,6 +42,7 @@ object Cli {
     var deferToState = false
     var stateDir: Option[String] = None
     var runScriptsTiming: Option[String] = None
+    var runGlobals = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -52,6 +53,7 @@ object Cli {
           require(t == "before" || t == "after",
             s"--run-scripts expects before|after, got: $t")
           runScriptsTiming = Some(t); i += 2
+        case "--globals" => runGlobals = true; i += 1
         case "--select" => select :+= args(i + 1); i += 2
         case "--exclude" => exclude :+= args(i + 1); i += 2
         case "--threads" => threads = args(i + 1).toInt; i += 2
@@ -84,11 +86,15 @@ object Cli {
       defer = if (deferToState) stateDir.map(new Registry(_)) else None)
     val tags = registry.listModels.map(m => m.name -> m.tags).toMap
     val (scripts, scriptFns) = scriptConfig(registry, projectDir)
+    val (gBefore, gAfter, gFns) = globalScriptConfig(projectDir)
 
     val config = Runner.RunConfig(
       select = select, exclude = exclude, threads = threads,
-      enableChunking = chunk, scripts = scripts, scriptFns = scriptFns,
-      tags = tags, vars = vars, fullRefresh = fullRefresh)
+      enableChunking = chunk, scripts = scripts,
+      scriptFns = scriptFns ++ gFns,
+      tags = tags, vars = vars, fullRefresh = fullRefresh,
+      globalScriptsBefore = gBefore, globalScriptsAfter = gAfter,
+      runGlobals = runGlobals)
     val status = runScriptsTiming match {
       case Some(timing) =>
         // standalone `fal run`: scripts over the prior run's statuses
@@ -126,16 +132,40 @@ object Cli {
     val fns = scripts.map { s =>
       val id = if (s.before) NodeGraph.beforeScriptId(s.model, s.file)
         else NodeGraph.afterScriptId(s.model, s.file)
-      id -> { (a: FalApi, _: Map[String, String]) =>
-        // .sql = one statement; .ipynb = its code cells in order,
-        // magic lines stripped (graft.api.Notebook, the reference's
-        // _process_ipynb port)
-        graft.api.Notebook.statementsFromFile(
-          java.nio.file.Paths.get(projectDir, "scripts", s.file))
-          .foreach(sql => a.executeSql(sql).count())
-        ()
-      }
+      id -> scriptRunner(projectDir, s.file)
     }.toMap
     (scripts, fns)
   }
+
+  /** Project-level GLOBAL scripts from `<project>/project.meta`
+    * (`scripts_before` / `scripts_after` — the reference's project
+    * `fal: scripts:` block): the file lists plus their executable fns
+    * keyed `script.GLOBAL.BEFORE/AFTER.<file>`.
+    */
+  def globalScriptConfig(projectDir: String)
+      : (Seq[String], Seq[String],
+         Map[String, (FalApi, Map[String, String]) => Unit]) = {
+    val meta = graft.api.Project.projectMeta(projectDir)
+    def files(key: String): Seq[String] = meta.get(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val (before, after) = (files("scripts_before"), files("scripts_after"))
+    val fns = (before.map(f => s"script.GLOBAL.BEFORE.$f" ->
+        scriptRunner(projectDir, f)) ++
+      after.map(f => s"script.GLOBAL.AFTER.$f" ->
+        scriptRunner(projectDir, f))).toMap
+    (before, after, fns)
+  }
+
+  /** Execute one script file: .sql = one statement; .ipynb = its code
+    * cells in order, magic lines stripped (graft.api.Notebook, the
+    * reference's _process_ipynb port).
+    */
+  private def scriptRunner(projectDir: String, file: String)
+      : (FalApi, Map[String, String]) => Unit =
+    (a, _) => {
+      graft.api.Notebook.statementsFromFile(
+        java.nio.file.Paths.get(projectDir, "scripts", file))
+        .foreach(sql => a.executeSql(sql).count())
+      ()
+    }
 }

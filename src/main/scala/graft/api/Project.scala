@@ -116,6 +116,16 @@ object Project {
         }
     else Nil
 
+  /** Project-level config (`<project>/project.meta`, same key=value
+    * format as model .meta files) — carries the GLOBAL script lists
+    * (`scripts_before` / `scripts_after`), the analogue of the
+    * reference's project-level `fal: scripts:` block
+    * (`project.py:549` `_global_script_paths` via
+    * `parse.get_global_script_configs`).
+    */
+  def projectMeta(projectDir: String): Map[String, String] =
+    readMeta(Paths.get(projectDir, "project.meta"))
+
   private def readMeta(p: Path): Map[String, String] =
     if (Files.exists(p))
       Files.readAllLines(p).asScala

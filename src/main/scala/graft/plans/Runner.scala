@@ -38,7 +38,19 @@ object Runner {
         * `dbt_runner.py:73-74`): rebuild incremental models from
         * scratch instead of applying their incremental strategy.
         */
-      fullRefresh: Boolean = false)
+      fullRefresh: Boolean = false,
+      /** Project-level GLOBAL scripts (ref `_global_script_paths`,
+        * `project.py:549`; run by `fal run` at `fal_runner.py:47-62`):
+        * script files not attached to any model, keyed in `scriptFns`
+        * as `script.GLOBAL.BEFORE/AFTER.<file>`.
+        */
+      globalScriptsBefore: Seq[String] = Nil,
+      globalScriptsAfter: Seq[String] = Nil,
+      /** `--globals` (ref `args.py` / `_handle_global_scripts`): run
+        * global scripts even when a selector narrows the run —
+        * without it, globals run only on unselected runs.
+        */
+      runGlobals: Boolean = false)
 
   private val varPat =
     raw"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*'([^']*)'\s*)?\)\s*\}\}".r
@@ -232,9 +244,23 @@ object Runner {
       models.flatMap(m => hooks.getOrElse(m, Nil).map(h =>
         HookTask(s"hook.${NodeGraph.modelId(m)}.$phase.$h",
           config.hookFns.getOrElse(h, (_, _) => ()))))
+    // globals run on unselected invocations, or under --globals
+    // (ref `_handle_global_scripts`, fal_runner.py:66-79)
+    val globalsOn = (config.select.isEmpty && config.exclude.isEmpty) ||
+      config.runGlobals
+    def globalTasks(files: Seq[String], phase: String): Seq[Task] =
+      if (!globalsOn) Nil
+      else files.map { f =>
+        val id = s"script.GLOBAL.$phase.$f"
+        HookTask(id, config.scriptFns.getOrElse(id, (_, _) => ()))
+      }
+    // phase order is the reference's: before → globals, pre-hooks,
+    // before scripts; after → scripts, post-hooks, globals
     val phases =
-      if (before) Seq(hookTasks(config.preHooks, "PRE"), scriptTasks(true))
-      else Seq(scriptTasks(false), hookTasks(config.postHooks, "POST"))
+      if (before) Seq(globalTasks(config.globalScriptsBefore, "BEFORE"),
+        hookTasks(config.preHooks, "PRE"), scriptTasks(true))
+      else Seq(scriptTasks(false), hookTasks(config.postHooks, "POST"),
+        globalTasks(config.globalScriptsAfter, "AFTER"))
     phases.flatten.foldLeft(0)((st, t) => st | t.execute(api))
   }
 }

@@ -131,10 +131,19 @@ class ProjectSpec extends AnyFunSuite {
       "customer_orders", "orders_report.sql")
     assert(api.ledger.statusOf(scriptId).contains(Status.Success))
     // standalone re-run (the `fal run` analogue): script executes again
-    // over the prior statuses, no model rebuild
+    // over the prior statuses, no model rebuild; the project-level
+    // GLOBAL script runs last
+    val (gBefore, gAfter, gFns) =
+      graft.Cli.globalScriptConfig("examples/jaffle")
+    assert(gBefore.isEmpty && gAfter == Seq("corpus_summary.sql"))
     val v = api.registry.currentPath("customer_orders").get
-    assert(Runner.runScripts(api, config, before = false,
+    assert(Runner.runScripts(api,
+      config.copy(globalScriptsAfter = gAfter,
+        scriptFns = fns ++ gFns),
+      before = false,
       priorStatuses = RunLedger.loadStatuses(ledgerPath)) == 0)
     assert(api.registry.currentPath("customer_orders").contains(v))
+    assert(api.ledger.statusOf("script.GLOBAL.AFTER.corpus_summary.sql")
+      .contains(Status.Success))
   }
 }

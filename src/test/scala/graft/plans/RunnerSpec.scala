@@ -273,6 +273,27 @@ class RunnerSpec extends AnyFunSuite {
     assert(Runner.runScripts(api, config.copy(select = Seq("nothing")),
       before = false, priorStatuses = prior) == 0)
     assert(seen.isEmpty)
+
+    // global scripts: run last in after mode on unselected invocations
+    // (fal_runner.py:58-62), suppressed by selection unless --globals
+    val gConfig = config.copy(
+      globalScriptsAfter = Seq("g.sql"),
+      scriptFns = config.scriptFns +
+        ("script.GLOBAL.AFTER.g.sql" ->
+          ((_: FalApi, _: Map[String, String]) => { seen += "global"; () })))
+    seen.clear()
+    assert(Runner.runScripts(api, gConfig, before = false,
+      priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Success}", "global"))
+    seen.clear()
+    assert(Runner.runScripts(api, gConfig.copy(select = Seq("a")),
+      before = false, priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Success}"))
+    seen.clear()
+    assert(Runner.runScripts(api,
+      gConfig.copy(select = Seq("a"), runGlobals = true),
+      before = false, priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Success}", "global"))
   }
 
   /** VERDICT r4 #4 (runner level, mirroring `test_cli.py:132-147`): a
