@@ -88,11 +88,16 @@ object Cli {
     val (scripts, scriptFns) = scriptConfig(registry, projectDir)
     val (gBefore, gAfter, gFns) = globalScriptConfig(projectDir)
 
+    // B12 analogue: model meta `pool=<name>` → FAIR scheduler pool for
+    // that model's jobs (the per-step resource-isolation knob)
+    val pools = registry.listModels
+      .flatMap(m => m.meta.get("pool").map(m.name -> _)).toMap
+
     val config = Runner.RunConfig(
       select = select, exclude = exclude, threads = threads,
       enableChunking = chunk, scripts = scripts,
       scriptFns = scriptFns ++ gFns,
-      tags = tags, vars = vars, fullRefresh = fullRefresh,
+      pools = pools, tags = tags, vars = vars, fullRefresh = fullRefresh,
       globalScriptsBefore = gBefore, globalScriptsAfter = gAfter,
       runGlobals = runGlobals)
     val status = runScriptsTiming match {
