@@ -512,16 +512,22 @@ object Dedup extends QueryPack {
 
   /** Cluster resolution — the stage after clustering: per near-dup
     * cluster, keep the "best" member (longest text, doc_id tie-break)
-    * and record the cluster's size and volume. One broadcast-keyed join
-    * of the label map onto documents, then a cluster-keyed window +
-    * aggregation — the keep-one-per-cluster shape every fuzzy-dedup
-    * pipeline ends with.
+    * and record the cluster's size and volume — the
+    * keep-one-per-cluster shape every fuzzy-dedup pipeline ends with.
+    *
+    * Scale: the scored assignment (doc, cluster, length) comes from a
+    * [[Shared]] materialization bucketed on `cluster_rep` — a real
+    * pipeline refs the clustering stage's output model rather than
+    * recomputing it per consumer — so both the keep-best window and
+    * the size rollup read pre-clustered parquet with NO exchange.
     */
   def ddResolve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = ddCluster(spark, dir).select("doc_id", "cluster_rep")
-      .join(t(spark, dir, "documents").select("doc_id", "n_chars"),
-        Seq("doc_id"))
+    val scored = Shared.model(spark, dir, "doc_clusters_scored",
+      "cluster_rep", (s, d) =>
+        ddCluster(s, d).select("doc_id", "cluster_rep")
+          .join(t(s, d, "documents").select("doc_id", "n_chars"),
+            Seq("doc_id")))
     val byCluster = Window.partitionBy("cluster_rep")
       .orderBy(col("n_chars").desc, col("doc_id"))
     val canon = scored

@@ -150,24 +150,6 @@ object Graph extends QueryPack {
   * model feeding many downstreams).
   */
 private[operators] object SharedGraph {
-  import graft.api.{FalApi, ModelDef, ModelKind, Registry, RunLedger}
-
-  private val built =
-    scala.collection.concurrent.TrieMap.empty[String, Registry]
-
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    val registry = built.getOrElseUpdate(dir, {
-      val reg = new Registry(java.nio.file.Files
-        .createTempDirectory("graft_shared_edges").toString)
-      val buckets =
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-      reg.register(ModelDef("edges_bipartite",
-        ModelKind.Scala((s, _) => Graph.edgesOf(s, dir)),
-        meta = Map("bucket_by" -> "src", "buckets" -> buckets)))
-      new FalApi(spark, reg, new RunLedger)
-        .writeToModel(Graph.edgesOf(spark, dir), "edges_bipartite")
-      reg
-    })
-    new FalApi(spark, registry, new RunLedger).ref("edges_bipartite")
-  }
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    Shared.model(spark, dir, "edges_bipartite", "src", Graph.edgesOf)
 }

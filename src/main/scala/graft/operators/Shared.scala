@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Process-wide shared materializations built through the A-layer —
+  * the "dbt `table` model feeding many downstreams" pattern: a
+  * deterministic intermediate is written ONCE per (process, sf dir) as
+  * a bucketed model via [[graft.api.FalApi.writeToModel]] into a
+  * scratch registry, and every consumer `ref()`s it, reading
+  * pre-clustered parquet whose bucket spec rides the catalog table (no
+  * exchange on the bucketed key downstream). This is how the query
+  * layer leans on the data-movement layer instead of each query
+  * rebuilding the same upstream cold.
+  */
+private[operators] object Shared {
+  import graft.api.{FalApi, ModelDef, ModelKind, Registry, RunLedger}
+
+  private val built = scala.collection.concurrent
+    .TrieMap.empty[(String, String), Registry]
+
+  /** `ref()` of the shared model `name` over `dir`, building it
+    * bucketed on `bucketBy` on first touch.
+    */
+  def model(spark: SparkSession, dir: String, name: String,
+      bucketBy: String,
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    val registry = built.getOrElseUpdate((dir, name), {
+      val reg = new Registry(java.nio.file.Files
+        .createTempDirectory(s"graft_shared_$name").toString)
+      val buckets =
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+      reg.register(ModelDef(name,
+        ModelKind.Scala((s, _) => build(s, dir)),
+        meta = Map("bucket_by" -> bucketBy, "buckets" -> buckets)))
+      new FalApi(spark, reg, new RunLedger)
+        .writeToModel(build(spark, dir), name)
+      reg
+    })
+    new FalApi(spark, registry, new RunLedger).ref(name)
+  }
+}

@@ -136,12 +136,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"global windows on unbounded inputs in: $offenders")
   }
 
-  test("iterative graph queries read the shared bucketed edge model") {
-    for (name <- Seq("q_pagerank", "q_recursive_bfs")) {
+  test("multi-consumer upstreams resolve through shared bucketed models") {
+    for ((name, tbl) <- Seq(
+        "q_pagerank" -> "graft_edges_bipartite",
+        "q_recursive_bfs" -> "graft_edges_bipartite",
+        "dd_resolve" -> "graft_doc_clusters_scored")) {
       val p = plan(name)
-      assert(p.contains("graft_edges_bipartite"),
-        s"$name no longer reads the shared bucketed edge " +
-          s"materialization:\n${p.take(1500)}")
+      assert(p.contains(tbl),
+        s"$name no longer reads the shared bucketed materialization " +
+          s"$tbl:\n${p.take(1500)}")
     }
   }
 
