@@ -110,17 +110,16 @@ object Relational3 extends QueryPack {
 
   /** Exact median per group via row positions (avg of the middle one or
     * two values) — interpolating quantile functions differ across
-    * engines, positional selection doesn't. One shuffle + per-partition
-    * sort; at scale the same plan as any ranked-window query.
+    * engines, positional selection doesn't. Ranks come from
+    * [[withRankBy]] (one range shuffle + broadcast prefix offsets) so
+    * no status ever funnels through a single window partition — with 3
+    * statuses over all orders, the keyed-window form is a
+    * single-partition sort of a third of the fact table at 100 TB.
     */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
-    val byPrice = Window.partitionBy("o_orderstatus")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val n = Window.partitionBy("o_orderstatus")
-    t(spark, dir, "orders")
-      .select(col("o_orderstatus"), col("o_totalprice"),
-        row_number().over(byPrice).as("rn"),
-        count(lit(1)).over(n).as("n"))
+    withRankBy(
+      t(spark, dir, "orders").select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice", "rn", "n")
       .filter(col("rn") === expr("(n + 1) div 2") ||
         col("rn") === expr("n div 2 + 1"))
       .groupBy("o_orderstatus")

@@ -103,19 +103,69 @@ package object operators {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
 
+  /** Exact per-key value ranks WITHOUT a keyed window — the
+    * two-phase prefix-sum idiom of [[withGlobalNtile]] generalized to
+    * per-key ranks (the keyed-window form holds one partition per key,
+    * which for per-document rows keyed by e.g. language is billions of
+    * rows per partition at 100 TB):
+    *
+    *  1. ONE range shuffle on (key, value) + in-partition sort — a
+    *     key's rows land in contiguous partitions in value order;
+    *  2. in-partition ordinals from `monotonically_increasing_id`'s
+    *     low 33 bits;
+    *  3. a tiny (partition, key) stats table — row count, first
+    *     ordinal — self-joined per key (broadcast hash, O(P·K) rows)
+    *     gives each (partition, key) its strictly-before row total,
+    *     the per-key total N, and the ordinal base;
+    *  4. rank = offset + (ordinal − base) + 1, map-side.
+    *
+    * Ranks among equal (key, value) rows are assignment-arbitrary but
+    * the VALUE at any rank is deterministic — exactly what rank-k
+    * selections (medians, percentiles) consume. Adds `rankCol` and
+    * `nCol` (per-key row count).
+    */
+  def withRankBy(df: DataFrame, key: String, valueCol: String,
+      rankCol: String, nCol: String): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(parts, col(key), col(valueCol))
+      .sortWithinPartitions(col(key), col(valueCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .cache()
+    val c = parted.groupBy(col("__pid"), col(key).as("__k"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mord")).as("__base"))
+    val stats = c.as("x")
+      .join(broadcast(c.as("y")), col("x.__k") === col("y.__k"))
+      .groupBy(col("x.__pid").as("__spid"), col("x.__k").as("__k"))
+      .agg(
+        sum(when(col("y.__pid") < col("x.__pid"), col("y.__cnt"))
+          .otherwise(0L)).as("__off"),
+        sum(col("y.__cnt")).as(nCol),
+        min(col("x.__base")).as("__base"))
+    parted.join(broadcast(stats),
+        parted("__pid") === stats("__spid") &&
+          parted(key) === stats("__k"))
+      .withColumn(rankCol,
+        col("__off") + (col("__mord") - col("__base")) + lit(1L))
+      .drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
+  }
+
   /** Exact interpolated median of `valueCol` per `key` via the rank
-    * formula (idx = 1 + 0.5·(n−1)) — one keyed window + one keyed
-    * aggregation, bitwise-portable against [[sqlMedianByCtes]].
+    * formula (idx = 1 + 0.5·(n−1)) over [[withRankBy]] ranks — one
+    * range shuffle, no keyed window — bitwise-portable against
+    * [[sqlMedianByCtes]] (identical selection + interpolation
+    * expressions).
     */
   def exactMedianBy(df: DataFrame, key: String, valueCol: String,
       out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(
-      Window.partitionBy(key).orderBy(valueCol))
-    val counts = df.groupBy(key).agg(count(lit(1)).as("__n"))
+    val ranked = withRankBy(df.select(col(key), col(valueCol)),
+      key, valueCol, "__rn", "__n")
     val idx = lit(1.0) + lit(0.5) * (col("__n") - 1).cast(DoubleType)
-    df.withColumn("__rn", rn)
-      .join(broadcast(counts), key)
+    ranked
+      .filter(col("__rn") === floor(idx).cast(LongType) ||
+        col("__rn") === floor(idx).cast(LongType) + 1)
       .groupBy(key)
       .agg(
         max(when(col("__rn") === floor(idx).cast(LongType), col(valueCol)))
