@@ -104,15 +104,18 @@ object Curation extends QueryPack {
     * path) rides along as a CONTRACT check: its p50 must land within 5%
     * of the exact value (oracle emits `true`).
     *
-    * Scale: rank + conditional agg is one shuffle on lang; the sketch
-    * column shows the mergeable one-pass alternative for when a global
-    * sort per group is no longer affordable.
+    * Scale: ranks come from [[withRankBy]] — one balanced range
+    * shuffle, never a one-partition-per-language window; the sketch
+    * column shows the mergeable one-pass alternative for when even
+    * exact rank selection is not worth a shuffle.
     */
   def txLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("lang").orderBy("n_chars")))
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    // per-lang ranks via the window-free prefix-rank idiom (a lang-
+    // keyed window is one partition per language — corpus-sized at
+    // 100 TB); withRankBy also carries the per-key count `n`
+    val d = withRankBy(
+      t(spark, dir, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars", "rn", "n")
     def idx(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
     def pc(p: Double, tag: String) = Seq(
       max(when(col("rn") === floor(idx(p)).cast("long"), col("n_chars")))
@@ -129,8 +132,7 @@ object Curation extends QueryPack {
         .cast("double").as("approx50"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
-    d.join(broadcast(counts), "lang")
-      .groupBy("lang")
+    d.groupBy("lang")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("lang"),
         interp("50").as("p50"),
