@@ -66,22 +66,51 @@ object Relational3 extends QueryPack {
 
   /** Window distribution functions: ntile, percent_rank, cume_dist,
     * first/last/nth value over explicit frames.
+    *
+    * Scale: `o_orderstatus` has three values, so a status-keyed window
+    * funnels a third of ALL orders through one task — the same
+    * hazard class as the global-ntile queries. Ranks come from
+    * [[withRankBy]] (one balanced range shuffle) on the unique
+    * (price, orderkey) order; every distribution function is then a
+    * pure row-local function of (rn, n), and the three full-frame
+    * values are per-status scalars broadcast back. The oracle keeps
+    * the plain SQL window formulation, making the equivalence itself
+    * part of the check.
     */
   def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
-    val byPrice = Window.partitionBy("o_orderstatus")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val full = byPrice.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    t(spark, dir, "orders")
-      .select(
-        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        ntile(4).over(byPrice).cast("long").as("price_quartile"),
-        percent_rank().over(byPrice).as("price_pct_rank"),
-        cume_dist().over(byPrice).as("price_cume_dist"),
-        first(col("o_totalprice")).over(full).as("status_min_price"),
-        last(col("o_totalprice")).over(full).as("status_max_price"),
-        nth_value(col("o_totalprice"), 2).over(full)
-          .as("status_2nd_price"))
+    val ranked = withRankBy(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .withColumn("__ord", struct(col("o_totalprice"), col("o_orderkey"))),
+      "o_orderstatus", "__ord", "__rn", "__n")
+    // full-frame first/last/nth(2) per status: min price, max price,
+    // and the rank-2 price (null when a status has a single order)
+    val frameVals = ranked.groupBy("o_orderstatus").agg(
+      min(col("o_totalprice")).as("status_min_price"),
+      max(col("o_totalprice")).as("status_max_price"),
+      max(when(col("__rn") === 2, col("o_totalprice")))
+        .as("status_2nd_price"))
+    // ntile(k): the first n%k buckets carry n DIV k + 1 rows, the rest
+    // n DIV k; greatest(·,1) keeps the (unreachable when n<k) ELSE
+    // divisor ANSI-safe. percent_rank/cume_dist are the same single
+    // double divisions both engines evaluate — bitwise portable.
+    ranked
+      .withColumn("price_quartile", expr("""
+        CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)
+             THEN (__rn - 1) DIV (__n DIV 4 + 1) + 1
+             ELSE (__n % 4)
+                  + (__rn - 1 - (__n % 4) * (__n DIV 4 + 1))
+                    DIV greatest(__n DIV 4, 1) + 1 END"""))
+      .withColumn("price_pct_rank", expr(
+        "CASE WHEN __n = 1 THEN 0.0 ELSE " +
+          "CAST(__rn - 1 AS DOUBLE) / CAST(__n - 1 AS DOUBLE) END"))
+      .withColumn("price_cume_dist",
+        expr("CAST(__rn AS DOUBLE) / CAST(__n AS DOUBLE)"))
+      .join(broadcast(frameVals), Seq("o_orderstatus"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "price_quartile", "price_pct_rank", "price_cume_dist",
+        "status_min_price", "status_max_price", "status_2nd_price")
       .orderBy("o_orderkey")
   }
 
