@@ -54,31 +54,43 @@ object Analytics extends QueryPack {
   def d3Anomaly(spark: SparkSession, dir: String): DataFrame = {
     // The 50-row frame as prefix-sum differences: a bounded sliding
     // frame makes WindowExec re-scan the frame for every row (O(50·n)
-    // decimal adds); running totals + lag(·, 50) are one O(n) pass over
-    // the same sort. Decimal arithmetic is exact, so cum(i−1)−cum(i−51)
-    // is bitwise the frame sum the oracle computes directly. decimal
+    // decimal adds); running totals are one O(n) pass over the same
+    // sort. Decimal arithmetic is exact, so cum(i−1)−cum(i−51) is
+    // bitwise the frame sum the oracle computes directly. decimal
     // (28,4) gives the prefix sums 10 orders of headroom over the
     // frame-sum bound.
-    val ord = Window.partitionBy("event_type")
-      .orderBy(col("ts"), col("event_id"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val dz = lit(0).cast("decimal(28,4)")
-    val c1 = sum(col("value").cast("decimal(28,4)")).over(cum)
-    val c2 = sum((col("value") * col("value")).cast("decimal(28,4)"))
-      .over(cum)
-    val cn = count(col("value")).over(cum)
-    t(spark, dir, "events")
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
-        c1.as("c1"), c2.as("c2"), cn.as("cn"))
+    //
+    // Scale: `event_type` has a handful of values, so a type-keyed
+    // window is one corpus-sized partition per type at 100 TB. The
+    // prefixes come from [[withRunningSums]] (balanced range shuffle +
+    // broadcast offsets); lag(·, 50) becomes a self-join on the unique
+    // (type, rank − 51) key — shuffle-balanced, never key-skewed. The
+    // preceding-row count needs no lookup at all: it is rank − 1
+    // clamped to the frame, least(rank − 1, 50).
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("__v1", col("value").cast("decimal(28,4)"))
+      .withColumn("__v2",
+        (col("value") * col("value")).cast("decimal(28,4)"))
+      .withColumn("__ord", struct(col("ts"), col("event_id")))
+    val pre = withRunningSums(ev, "event_type", "__ord", "__rn", "__n",
+      Seq("S1" -> "__v1", "S2" -> "__v2"))
+    // S(j) = inclusive prefix of the first j rows; the 50-row frame
+    // ending before rank rn is S(rn−1) − S(rn−51), with S(rn−1) row-
+    // local (own inclusive prefix minus own value) and S(rn−51)
+    // fetched by the lag join (absent rows are S(0) = 0)
+    val lagged = pre.select(col("event_type").as("__lt"),
+      col("__rn").as("__lrn"), col("S1").as("__lS1"),
+      col("S2").as("__lS2"))
+    pre
+      .join(lagged, col("event_type") === col("__lt") &&
+        (col("__rn") - 51) === col("__lrn"), "left")
       .select(col("event_id"), col("event_type"), col("value"),
-        (coalesce(col("c1"), dz) -
-          coalesce(lag(col("c1"), 50).over(ord), dz)).cast("double")
-          .as("s1"),
-        (coalesce(col("c2"), dz) -
-          coalesce(lag(col("c2"), 50).over(ord), dz)).cast("double")
-          .as("s2"),
-        (col("cn") - coalesce(lag(col("cn"), 50).over(ord), lit(0L)))
-          .cast("double").as("n"))
+        ((col("S1") - col("__v1")) - coalesce(col("__lS1"),
+          lit(0).cast("decimal(28,4)"))).cast("double").as("s1"),
+        ((col("S2") - col("__v2")) - coalesce(col("__lS2"),
+          lit(0).cast("decimal(28,4)"))).cast("double").as("s2"),
+        least(col("__rn") - 1, lit(50L)).cast("double").as("n"))
       .filter(col("n") >= 30)
       .withColumn("mean_prev", col("s1") / col("n"))
       // variance clamped at 0 INSIDE the sqrt and required > 0 in the

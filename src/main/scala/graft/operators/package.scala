@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -149,6 +150,63 @@ package object operators {
           parted(key) === stats("__k"))
       .withColumn(rankCol,
         col("__off") + (col("__mord") - col("__base")) + lit(1L))
+      .drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
+  }
+
+  /** [[withRankBy]] extended with inclusive running (prefix) sums: per
+    * `key` in `valueCol` order, adds `rankCol`, `nCol`, and for each
+    * `(outCol, inCol)` of `sumCols` the prefix sum of `inCol` up to and
+    * including the current row. The keyed-window form of a running sum
+    * holds one partition per key; here the order comes from ONE
+    * balanced range shuffle, in-partition running sums are windowed by
+    * (partition, key) — bounded by the range partition size, never by
+    * key population — and a broadcast (partition, key) stats table
+    * supplies the strictly-before offsets for ranks and sums alike.
+    * `sumCols` inputs must be exactly summable (decimal/long) so
+    * offset + in-partition prefix is bitwise the global prefix.
+    */
+  def withRunningSums(df: DataFrame, key: String, valueCol: String,
+      rankCol: String, nCol: String,
+      sumCols: Seq[(String, String)]): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(parts, col(key), col(valueCol))
+      .sortWithinPartitions(col(key), col(valueCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .cache()
+    val inPart = Window.partitionBy(col("__pid"), col(key))
+      .orderBy(col("__mord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = sumCols.foldLeft(parted) { case (d, (out, in)) =>
+      d.withColumn(out, sum(col(in)).over(inPart))
+    }
+    val cAggs = Seq(count(lit(1)).as("__cnt"),
+      min(col("__mord")).as("__base")) ++
+      sumCols.map { case (out, in) => sum(col(in)).as(s"__t_$out") }
+    val c = parted.groupBy(col("__pid"), col(key).as("__k"))
+      .agg(cAggs.head, cAggs.tail: _*)
+    val before = (x: String) =>
+      when(col("y.__pid") < col("x.__pid"), col(s"y.$x")).otherwise(lit(0L))
+    val sAggs = Seq(sum(before("__cnt")).as("__off"),
+      sum(col("y.__cnt")).as(nCol),
+      min(col("x.__base")).as("__base")) ++
+      sumCols.map { case (out, _) =>
+        sum(before(s"__t_$out")).as(s"__o_$out") }
+    val stats = c.as("x")
+      .join(broadcast(c.as("y")), col("x.__k") === col("y.__k"))
+      .groupBy(col("x.__pid").as("__spid"), col("x.__k").as("__k"))
+      .agg(sAggs.head, sAggs.tail: _*)
+    sumCols.foldLeft(
+      run.join(broadcast(stats),
+          run("__pid") === stats("__spid") && run(key) === stats("__k"))
+        .withColumn(rankCol,
+          col("__off") + (col("__mord") - col("__base")) + lit(1L))) {
+        case (d, (out, _)) =>
+          d.withColumn(out, col(s"__o_$out") + col(out))
+            .drop(s"__o_$out")
+      }
       .drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
   }
 
