@@ -67,14 +67,16 @@ object Curation extends QueryPack {
   def txMixture(spark: SparkSession, dir: String): DataFrame = {
     val quotas = Map("src0" -> 40L, "src1" -> 30L, "src2" -> 20L,
       "src3" -> 10L)
-    val bySource = Window.partitionBy("source").orderBy("doc_id")
     val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
       when(col("source") === s, q).otherwise(acc)
     }
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-      .withColumn("rank_in_source",
-        row_number().over(bySource).cast("long"))
+    // per-source positions via the window-free prefix-rank idiom (a
+    // source-keyed window over raw documents is one corpus-sized
+    // partition per source at scale); doc_id unique → exact row_number
+    withRankBy(
+      t(spark, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", "rank_in_source", "__n")
+      .drop("__n")
       .filter(col("rank_in_source") <= quotaCol)
       .orderBy("doc_id")
   }
@@ -87,10 +89,12 @@ object Curation extends QueryPack {
     * DuckDB oracle. The Bernoulli path stays covered by CurationSpec.
     */
   def txSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy("lang").orderBy("doc_id")
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(byLang))
+    // per-lang positions via the window-free prefix-rank idiom (a
+    // lang-keyed window is one partition per language — corpus-sized
+    // at 100 TB); doc_id is unique, so ranks match row_number exactly
+    withRankBy(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", "rn", "n")
       .filter(col("rn") % when(col("lang") === "en", 2).otherwise(5) === 1)
       .select("doc_id", "lang")
       .orderBy("doc_id")
@@ -151,8 +155,8 @@ object Curation extends QueryPack {
     * be correctly rounded, so the quota arithmetic is bitwise portable
     * (pow(x, 0.5) would not be); floor() keeps the cutoff exact.
     *
-    * Scale: one count per source (tiny), quotas broadcast, selection is
-    * one row_number window per source — the same shape as
+    * Scale: one count per source (tiny), quotas broadcast, selection
+    * by [[withRankBy]] positions — the same shape as
     * [[txSampleStratified]] with data-derived fractions.
     */
   def txSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
@@ -171,8 +175,9 @@ object Curation extends QueryPack {
         floor(lit(sampleN.toDouble) * sqrt(col("n").cast("double")) /
           col("z")).cast("long"))
       .select("source", "n", "quota")
-    val byId = Window.partitionBy("source").orderBy("doc_id")
-    d.withColumn("rank", row_number().over(byId).cast("long"))
+    // per-source positions via the window-free prefix-rank idiom
+    // (doc_id unique → exact row_number; see txMixture)
+    withRankBy(d, "source", "doc_id", "rank", "__n")
       .join(broadcast(quotas), "source")
       .filter(col("rank") <= col("quota"))
       .select("doc_id", "source", "rank")

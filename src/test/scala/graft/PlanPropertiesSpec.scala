@@ -102,7 +102,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     */
   private val intendedGlobalWindow = Set(
     "q_islands", "d3_seasonal", "d3_changepoint", "d3_forecast",
-    "d3_anomaly", "q_moving_corr", "q_locf", "tx_zipf_slope",
+    "q_moving_corr", "q_locf", "tx_zipf_slope",
     "q_histogram", "q_degree_dist", "tx_vocab", "c5_date_spine",
     // skyline: running min over the per-size aggregate — bounded by
     // the p_size domain (~50 rows), not the table
@@ -134,6 +134,51 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"global windows on unbounded inputs in: $offenders")
+  }
+
+  /** Windows keyed ONLY by a handful-valued attribute (event type,
+    * order status, language) put an entire key's population in one
+    * task — fine over bounded aggregates, a scale killer over raw
+    * tables (the q_window_dist / d3_anomaly class). Bounded-input
+    * uses are whitelisted with their bound; anything new must
+    * restructure via withRankBy / withRunningSums.
+    */
+  private val lowCardKeyCols =
+    Set("event_type", "o_orderstatus", "lang", "l_returnflag", "source")
+  private val intendedLowCardWindow: Set[String] = Set(
+    // q_mode: top-1 over the (status, priority) count table — 15 rows
+    "q_mode",
+    // e7_concurrency: bucket-offset window over the per-(type, hour)
+    // aggregate — types × hours rows, a calendar-bounded summary (the
+    // raw endpoints only ever see the (type, hour)-keyed window);
+    // counted twice because the loads subtree feeds both the peak
+    // aggregate and the final join
+    "e7_concurrency")
+
+  test("no query windows keyed only by a low-cardinality attribute") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def lowCardWindows(p: SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+            .subsetOf(lowCardKeyCols) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(lowCardWindows).sum
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = lowCardWindows(df.queryExecution.executedPlan)
+      if (n > 0 && !intendedLowCardWindow(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"low-cardinality keyed windows in: $offenders")
   }
 
   test("multi-consumer upstreams resolve through shared bucketed models") {
