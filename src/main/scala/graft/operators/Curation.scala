@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: the selection/mixing stage of a
@@ -19,14 +18,15 @@ object Curation extends QueryPack {
     * keep documents while the cumulative token count stays within the
     * budget (greedy prefix — the standard corpus-budget rule).
     *
-    * The cumulative sum is the two-phase distributed prefix sum, not a
-    * global `Window.orderBy` (which moves the whole table to ONE
-    * partition — the thing that cannot work at 100 TB): bucket the
-    * quality ordering by value ranges, cumsum WITHIN each bucket (a
-    * partitioned window), and add each bucket's offset = total tokens
-    * of all strictly-better buckets (a tiny per-bucket aggregate,
-    * broadcast back). Bitwise-identical to the global window the
-    * oracle runs, since bucket boundaries respect the ordering.
+    * The cumulative sum is the distributed prefix sum of
+    * [[withRunningSums]] with a single constant key — ONE balanced
+    * range shuffle on the quality order plus broadcast per-partition
+    * offsets — not a global `Window.orderBy` (which moves the whole
+    * table to ONE partition — the thing that cannot work at 100 TB).
+    * This replaced an earlier hand-rolled fixed-width value bucketing:
+    * the range partitioner balances the prefix whatever the quality
+    * distribution, where fixed buckets skew with it. Long sums are
+    * exact, so the result is bitwise the global window the oracle runs.
     */
   def txTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val budget = 10000L
@@ -35,26 +35,12 @@ object Curation extends QueryPack {
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
         (length(col("text")) - size(toks)).cast("long").as("quality_key"))
-      .withColumn("qb", floor(col("quality_key") / 16).cast("long"))
-      // consumed twice (bucket totals, then the final cumsum join);
-      // cache the narrow projection so the corpus tokenizes once
-      .cache()
-    val bucketTotals = scored.groupBy("qb")
-      .agg(sum(col("n_tokens")).as("bucket_toks"))
-    // offset(b) = Σ tokens of buckets ranked before b (higher quality);
-    // bucket count is ~range(quality_key)/16 — tiny, so the triangular
-    // join is a broadcast no-op at any corpus size
-    val offsets = bucketTotals.as("x")
-      .join(broadcast(bucketTotals.as("y")), col("y.qb") > col("x.qb"),
-        "left")
-      .groupBy(col("x.qb").as("qb"))
-      .agg(coalesce(sum(col("y.bucket_toks")), lit(0L)).as("qb_offset"))
-    val withinBucket = Window.partitionBy("qb")
-      .orderBy(col("quality_key").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.join(broadcast(offsets), Seq("qb"))
-      .withColumn("cum_tokens",
-        col("qb_offset") + sum(col("n_tokens")).over(withinBucket))
+      // higher quality first: ascending (−quality, doc_id)
+      .withColumn("__ord",
+        struct((-col("quality_key")).as("nq"), col("doc_id")))
+      .withColumn("__k", lit(0))
+    withRunningSums(scored, "__k", "__ord", "__rn", "__n",
+      Seq("cum_tokens" -> "n_tokens"))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
