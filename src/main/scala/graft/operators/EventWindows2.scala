@@ -18,10 +18,12 @@ object EventWindows2 extends QueryPack {
     * interval count with the earliest instant it is reached.
     *
     * Scale: the running sum is NOT a per-type global window (one
-    * partition per type = a hotspot at 100 TB). Same two-phase prefix
-    * sum as txTokenBudget: net the deltas per (type, instant), cumsum
-    * within (type, hour) buckets, and add per-bucket offsets computed
-    * from a tiny per-bucket aggregate. Endpoint merging per instant is
+    * partition per type = a hotspot at 100 TB). Net the deltas per
+    * (type, instant), then [[withRunningSums]] keyed by type — one
+    * balanced range shuffle + broadcast per-partition offsets. (An
+    * earlier hand-rolled variant bucketed by (type, hour); instants
+    * per hour grow with traffic, where the range partitioner stays
+    * balanced by construction.) Endpoint merging per instant is
     * exact for the peak: a −1 and +1 at the same instant net to zero,
     * matching the half-open-interval convention (an interval ending at
     * t does not overlap one starting at t).
@@ -39,23 +41,8 @@ object EventWindows2 extends QueryPack {
         col("e.delta").as("delta"))
     val net = endpoints.groupBy("event_type", "t")
       .agg(sum(col("delta")).as("d"))
-      .withColumn("hb", date_trunc("hour", col("t")))
-      // consumed twice: bucket totals, then the within-bucket cumsum
-      .cache()
-    val bucketTotals = net.groupBy("event_type", "hb")
-      .agg(sum(col("d")).as("bucket_d"))
-    // offset(type, hb) = Σ deltas of strictly earlier buckets — a
-    // window over the tiny per-bucket table (types × hours rows)
-    val wBuckets = Window.partitionBy("event_type").orderBy("hb")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("off", coalesce(sum(col("bucket_d")).over(wBuckets),
-        lit(0L)))
-      .select("event_type", "hb", "off")
-    val wInBucket = Window.partitionBy("event_type", "hb").orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val loads = net.join(broadcast(offsets), Seq("event_type", "hb"))
-      .withColumn("load", col("off") + sum(col("d")).over(wInBucket))
+    val loads = withRunningSums(net, "event_type", "t", "__rn", "__n",
+      Seq("load" -> "d"))
     val peaks = loads.groupBy("event_type")
       .agg(max(col("load")).as("max_concurrent"))
     loads.join(broadcast(peaks), Seq("event_type"))

@@ -147,13 +147,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     Set("event_type", "o_orderstatus", "lang", "l_returnflag", "source")
   private val intendedLowCardWindow: Set[String] = Set(
     // q_mode: top-1 over the (status, priority) count table — 15 rows
-    "q_mode",
-    // e7_concurrency: bucket-offset window over the per-(type, hour)
-    // aggregate — types × hours rows, a calendar-bounded summary (the
-    // raw endpoints only ever see the (type, hour)-keyed window);
-    // counted twice because the loads subtree feeds both the peak
-    // aggregate and the final join
-    "e7_concurrency")
+    "q_mode")
 
   test("no query windows keyed only by a low-cardinality attribute") {
     import org.apache.spark.sql.execution.SparkPlan
