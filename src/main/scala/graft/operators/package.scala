@@ -163,7 +163,11 @@ package object operators {
     * key population — and a broadcast (partition, key) stats table
     * supplies the strictly-before offsets for ranks and sums alike.
     * `sumCols` inputs must be exactly summable (decimal/long) so
-    * offset + in-partition prefix is bitwise the global prefix.
+    * offset + in-partition prefix is bitwise the global prefix. On a
+    * unique (key, value) order the prefix at every row is
+    * deterministic; among tied rows it is assignment-arbitrary (the
+    * same caveat as [[withRankBy]] ranks) — order on a tiebroken
+    * struct when rows can collide.
     */
   def withRunningSums(df: DataFrame, key: String, valueCol: String,
       rankCol: String, nCol: String,
