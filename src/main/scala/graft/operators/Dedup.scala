@@ -298,19 +298,28 @@ object Dedup extends QueryPack {
     * accumulated index). The "new batch" is docs with doc_id % 10 = 9
     * (scale-invariant split); everything else is the index. Bands
     * join probe-side against index-side only, so candidate volume is
-    * O(batch), not O(corpus²); in production the index signatures are
-    * precomputed and bucket-partitioned on the band key, making the
-    * probe a co-located join that never reshuffles the index.
+    * O(batch), not O(corpus²). The standing state IS materialized
+    * through the A-layer ([[Shared.model]]): the signature table and
+    * the band index — the latter bucket-partitioned on the combined
+    * band key — are written once per (process, dir) and ref()'d here,
+    * so probe runs read pre-clustered parquet (no index-side
+    * signature recompute, no index-side exchange) and only the
+    * O(batch) probe side shuffles to the bucket layout.
     *
     * Same portable hash family as ddMinhashLsh → fully oracle-checked.
     */
   def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
-    val banded = bandedOf(sigs)
-    val probe = banded.filter(col("doc_id") % 10 === 9)
-    val index = banded.filter(col("doc_id") % 10 =!= 9)
+    // bb = "band:bk" is injective in (band, bk), so one bucket/join key
+    def bb(banded: DataFrame): DataFrame =
+      banded.withColumn("bb", concat_ws(":", col("band"), col("bk")))
+    val sigs = Shared.model(spark, dir, "graft_lsh_sigs", "doc_id",
+      (s, d) => minhashSigs(s, d))
+    val index = Shared.model(spark, dir, "graft_lsh_band_index", "bb",
+      (s, d) => bb(bandedOf(
+        minhashSigs(s, d).filter(col("doc_id") % 10 =!= 9))))
+    val probe = bb(bandedOf(sigs.filter(col("doc_id") % 10 === 9)))
     val cands = probe.as("a").join(index.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+        col("a.bb") === col("b.bb"))
       .select(col("a.doc_id").as("new_doc"),
         col("b.doc_id").as("index_doc"))
       .distinct()

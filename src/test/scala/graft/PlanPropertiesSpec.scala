@@ -179,7 +179,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
     for ((name, tbl) <- Seq(
         "q_pagerank" -> "graft_edges_bipartite",
         "q_recursive_bfs" -> "graft_edges_bipartite",
-        "dd_resolve" -> "graft_doc_clusters_scored")) {
+        "dd_resolve" -> "graft_doc_clusters_scored",
+        "dd_incremental" -> "graft_lsh_band_index")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
