@@ -151,7 +151,19 @@ object Dedup extends QueryPack {
     * joins broadcast (one row per doc — small at any corpus size the
     * pair table itself is tractable at).
     */
-  private def shingleOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** The overlap pair table is the candidate-pairs stage output every
+    * fuzzy-dedup pipeline materializes once and fans consumers out
+    * from (symmetric Jaccard, containment, clustering). Standing
+    * state through the A-layer: built once per (process, dir) as a
+    * doc_a-bucketed model; [[ddNgramJaccard]], [[ddContainment]] and
+    * [[ddCluster]] all ref() it instead of replaying the
+    * inverted-index join.
+    */
+  private def shingleOverlap(spark: SparkSession, dir: String): DataFrame =
+    Shared.model(spark, dir, "shingle_overlap", "doc_a",
+      (s, d) => shingleOverlapOf(s, d))
+
+  private def shingleOverlapOf(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .cache()
@@ -280,7 +292,12 @@ object Dedup extends QueryPack {
   }
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
+    // The signature table is standing state shared with the
+    // incremental probe: materialized once through the A-layer
+    // ([[Shared.model]], bucketed on doc_id) and ref()'d here, so the
+    // self-join run never re-shingles the corpus.
+    val sigs = Shared.model(spark, dir, "graft_lsh_sigs", "doc_id",
+      (s, d) => minhashSigs(s, d))
     val banded = bandedOf(sigs)
     // Shuffled hash join for the band bucket self-join (uniform small
     // buckets, no sort needed)

@@ -180,7 +180,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "q_pagerank" -> "graft_edges_bipartite",
         "q_recursive_bfs" -> "graft_edges_bipartite",
         "dd_resolve" -> "graft_doc_clusters_scored",
-        "dd_incremental" -> "graft_lsh_band_index")) {
+        "dd_incremental" -> "graft_lsh_band_index",
+        "dd_minhash_lsh" -> "graft_lsh_sigs",
+        "dd_ngram_jaccard" -> "graft_shingle_overlap",
+        "dd_containment" -> "graft_shingle_overlap",
+        "dd_cluster" -> "graft_shingle_overlap")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
