@@ -80,9 +80,13 @@ object Graph extends QueryPack {
   /** G2 — degree distribution: how many nodes have each degree. The
     * one-pass graph profile that sizes skew mitigation (a power-law
     * tail means the top hubs need salting in the join above).
+    *
+    * Third consumer of the shared src-bucketed edge model: the
+    * per-src degree count aggregates bucket-local parquet, so the
+    * only exchange left is the tiny (deg, n_nodes) rollup.
     */
   def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    edgesOf(spark, dir)
+    SharedGraph.edges(spark, dir)
       .groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")

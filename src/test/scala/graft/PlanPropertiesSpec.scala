@@ -179,6 +179,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     for ((name, tbl) <- Seq(
         "q_pagerank" -> "graft_edges_bipartite",
         "q_recursive_bfs" -> "graft_edges_bipartite",
+        "q_degree_dist" -> "graft_edges_bipartite",
         "dd_resolve" -> "graft_doc_clusters_scored",
         "dd_incremental" -> "graft_lsh_band_index",
         "dd_minhash_lsh" -> "graft_lsh_sigs",
