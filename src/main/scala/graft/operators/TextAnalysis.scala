@@ -370,7 +370,19 @@ object TextAnalysis extends QueryPack {
     * Shared by [[txPerplexity]] (per-doc listing) and the CCNet-style
     * bucketing in TextAnalysis2.
     */
+  /** The scored table is standing state — LM scoring is the stage
+    * CCNet-style pipelines materialize once and fan consumers out
+    * from ([[txPerplexity]]'s listing, the tercile bucketing in
+    * TextAnalysis2). Built through the A-layer as a doc_id-bucketed
+    * model; consumers read pre-scored parquet instead of replaying
+    * the bigram explode + LM join.
+    */
   private[operators] def perplexityPerDoc(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Shared.model(spark, dir, "doc_perplexity", "doc_id",
+      (s, d) => perplexityPerDocOf(s, d))
+
+  private def perplexityPerDocOf(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val w = tokens(col("text"))

@@ -185,7 +185,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "dd_minhash_lsh" -> "graft_lsh_sigs",
         "dd_ngram_jaccard" -> "graft_shingle_overlap",
         "dd_containment" -> "graft_shingle_overlap",
-        "dd_cluster" -> "graft_shingle_overlap")) {
+        "dd_cluster" -> "graft_shingle_overlap",
+        "tx_perplexity" -> "graft_doc_perplexity",
+        "tx_ccnet_buckets" -> "graft_doc_perplexity")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
