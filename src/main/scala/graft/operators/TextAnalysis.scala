@@ -21,6 +21,42 @@ object TextAnalysis extends QueryPack {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), w => w =!= "")
 
+  /** Standing per-document term counts `(doc_id, source, term, cnt)` —
+    * the tokenize-once layer a corpus pipeline materializes before any
+    * lexical statistics (tf-idf, vocabulary audits, per-source
+    * richness, PMI unigrams otherwise each replay the same
+    * explode + count over the corpus). Built through the A-layer as a
+    * term-bucketed model, so every downstream `groupBy(term)` (and
+    * `groupBy(source, term)`) aggregates in place with no exchange.
+    */
+  private[operators] def docTerms(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Shared.model(spark, dir, "doc_terms", "term",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Standing adjacent-bigram counts `(w1, w2, cnt)` over the corpus
+    * token stream — the count table the bigram LM and the PMI
+    * collocation miner otherwise rebuild identically (and the
+    * perplexity scorer replays inside its own standing model).
+    * w1-bucketed so context totals (`groupBy(w1)`) aggregate without
+    * an exchange.
+    */
+  private[operators] def bigramCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Shared.model(spark, dir, "bigram_counts", "w1",
+      (s, d) => t(s, d, "documents")
+        .select(tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+
   private val stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "y", "en", "que"),
@@ -180,23 +216,23 @@ object TextAnalysis extends QueryPack {
     * the ulp gap (0 mismatches on the same sample set), so the exported
     * score — and the ranking derived from it — is oracle-exact.
     *
-    * Scale: two hash aggregations (term×doc, then df per term) + one
+    * Scale: the (doc, term) counts come from the standing [[docTerms]]
+    * model (term-bucketed, so the df aggregation runs in place); one
     * broadcast of the scalar N; df join shuffles on term. The classic
     * map-reduce tf-idf shape — no all-pairs, no driver loops.
     */
   def txTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf0 = docTerms(spark, dir).select("doc_id", "term", "cnt")
     // per-doc token totals via aggregate + broadcast join rather than an
     // all-columns window: one row per doc broadcasts at any corpus
     // size, and the (doc, term) table never re-shuffles onto doc_id
-    val tf0 = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val ntok = tf0.groupBy("doc_id").agg(sum(col("cnt")).as("n_tokens"))
-    val tf = tf0.join(broadcast(ntok), "doc_id").cache()
-    // tf already has one row per (doc, term), so document frequency is
+    val tf = tf0.join(broadcast(ntok), "doc_id")
+    // tf0 already has one row per (doc, term), so document frequency is
     // a count over it — no second tokenize/explode pass of the corpus
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = tf0.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
@@ -241,15 +277,15 @@ object TextAnalysis extends QueryPack {
     * vocabulary-coverage table a tokenizer-training or corpus-audit
     * step produces.
     *
-    * Scale: one hash aggregation over the exploded terms, then top-k
-    * via TakeOrderedAndProject (no global sort of the vocabulary); the
-    * windows run over the 50 surviving rows only.
+    * Scale: term totals roll up from the standing [[docTerms]] model
+    * (term-bucketed — the aggregation runs with no exchange), then
+    * top-k via TakeOrderedAndProject (no global sort of the
+    * vocabulary); the windows run over the 50 surviving rows only.
     */
   def txVocab(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
-    val vc = docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vc = docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("cnt"))
     val total = vc.agg(sum(col("cnt")).as("total"))
     val top = vc.orderBy(col("cnt").desc, col("term")).limit(50)
     val byFreq = Window.orderBy(col("cnt").desc, col("term"))
@@ -271,22 +307,13 @@ object TextAnalysis extends QueryPack {
     * bigrams — the count tables behind perplexity-style quality filters
     * and contamination-resistant fluency scores.
     *
-    * Scale: explode to bigrams (map-side), one aggregation per table;
-    * the context counts derive from the bigram table (no second corpus
-    * pass); top-k via TakeOrderedAndProject.
+    * Scale: the bigram counts come from the standing [[bigramCounts]]
+    * model (w1-bucketed); the context counts derive from that table
+    * with no exchange (no second corpus pass); top-k via
+    * TakeOrderedAndProject.
     */
   def txBigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
-    val bi = t(spark, dir, "documents")
-      .select(w.as("w"))
-      .select(explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1), i =>
-          struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c12 = bigramCounts(spark, dir)
     val c1 = c12.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     c12.join(c1, "w1")
       .withColumn("p",

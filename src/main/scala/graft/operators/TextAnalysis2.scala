@@ -26,15 +26,14 @@ object TextAnalysis2 extends QueryPack {
     * health check every pretraining corpus gets — natural text sits
     * near slope −1; a synthetic or boilerplate-heavy corpus drifts.
     *
-    * Scale: the vocabulary aggregation is the only corpus-size pass
-    * (hash agg, map-side combine); ranking and regression run over at
-    * most 1000 rows on one post-agg partition.
+    * Scale: term totals roll up from the standing doc_terms model
+    * (term-bucketed — no exchange, no corpus pass); ranking and
+    * regression run over at most 1000 rows on one post-agg partition.
     */
   def txZipfSlope(spark: SparkSession, dir: String): DataFrame = {
     val byFreq = Window.orderBy(col("cnt").desc, col("term"))
-    val ranked = t(spark, dir, "documents")
-      .select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = TextAnalysis.docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("cnt"))
       .withColumn("rank", row_number().over(byFreq))
       .filter(col("rank") <= 1000)
       .select(log(col("rank").cast("double")).as("x"),
@@ -55,20 +54,17 @@ object TextAnalysis2 extends QueryPack {
     * top 20. The collocation detector feeding tokenizer-merge and
     * phrase-mining passes.
     *
-    * Scale: two corpus passes (unigram + bigram hash aggs); the PMI
-    * join streams the bigram table against the broadcast unigram
-    * table (vocabulary ≪ corpus); top-k is one TakeOrderedAndProject.
+    * Scale: zero corpus passes — unigram totals roll up from the
+    * standing doc_terms model and the bigram table IS the standing
+    * bigram_counts model; the PMI join streams the bigram table
+    * against the broadcast unigram table (vocabulary ≪ corpus);
+    * top-k is one TakeOrderedAndProject.
     */
   def txPmi(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(tokens(col("text")).as("w"))
-    val uni = docs.select(explode(col("w")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c1"))
-    val bi = docs.filter(size(col("w")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
-        struct(element_at(col("w"), i).as("w1"),
-          element_at(col("w"), i + 1).as("w2")))).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = TextAnalysis.docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("c1"))
+    val bi = TextAnalysis.bigramCounts(spark, dir)
+      .withColumnRenamed("cnt", "c12")
     val totals = uni.agg(sum(col("c1")).as("n_uni")).crossJoin(
       bi.agg(sum(col("c12")).as("n_bi")))
     val dN = col("n_uni").cast("double")
@@ -132,14 +128,13 @@ object TextAnalysis2 extends QueryPack {
     * drives source-mixing decisions (a source whose TTR collapses is
     * boilerplate; one that's all hapaxes is noise).
     *
-    * Scale: aggregation by (source, term) then by source — both hash
-    * aggs with map-side combine; no row ever leaves its partition
-    * except the two shuffles on those keys.
+    * Scale: both aggregations roll up from the standing doc_terms
+    * model — term-bucketed, so the (source, term) and source
+    * aggregations run with no corpus pass and no first exchange.
     */
   def txHapax(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "documents")
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    TextAnalysis.docTerms(spark, dir)
+      .groupBy("source", "term").agg(sum(col("cnt")).as("cnt"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_types"),
         sum(col("cnt")).as("n_tokens"),

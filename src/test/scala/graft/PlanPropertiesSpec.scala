@@ -187,7 +187,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "dd_containment" -> "graft_shingle_overlap",
         "dd_cluster" -> "graft_shingle_overlap",
         "tx_perplexity" -> "graft_doc_perplexity",
-        "tx_ccnet_buckets" -> "graft_doc_perplexity")) {
+        "tx_ccnet_buckets" -> "graft_doc_perplexity",
+        "tx_tfidf" -> "graft_doc_terms",
+        "tx_vocab" -> "graft_doc_terms",
+        "tx_zipf_slope" -> "graft_doc_terms",
+        "tx_hapax" -> "graft_doc_terms",
+        "tx_pmi" -> "graft_doc_terms",
+        "tx_pmi" -> "graft_bigram_counts",
+        "tx_bigram_lm" -> "graft_bigram_counts")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
