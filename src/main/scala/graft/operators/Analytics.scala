@@ -189,11 +189,17 @@ object Analytics extends QueryPack {
         sum(col("daily").cast("decimal(28,4)")).over(all).cast("double"))
       .withColumn("n", count(lit(1)).over(all).cast("double"))
       .withColumn("dev", col("daily") - col("tot") / col("n"))
+      // dev is quantized with the bitwise-portable floor(x*1e4+0.5)/1e4
+      // (round half toward +inf, same in both engines) before the exact
+      // decimal cumulative sum: round(·, 4) can land on half-way points
+      // (tot/n with a power-of-two day count) where Spark HALF_UP and
+      // DuckDB nearbyint disagree. The share is a raw quotient of two
+      // exact-operand doubles — identical bits, no rounding needed.
       .withColumn("cusum",
-        sum(round(col("dev"), 4).cast("decimal(28,8)")).over(cum)
-          .cast("double"))
+        sum((floor(col("dev") * 1e4 + 0.5) / 1e4).cast("decimal(28,8)"))
+          .over(cum).cast("double"))
       .select(col("d"), col("daily"),
-        round(col("cusum") / col("tot"), 6).as("cusum_share"),
+        (col("cusum") / col("tot")).as("cusum_share"),
         (abs(col("cusum") / col("tot")) > 0.01).as("is_shift"))
       .orderBy("d")
   }
@@ -373,12 +379,12 @@ object Analytics extends QueryPack {
       ),
       cu AS (
         SELECT d, daily, tot,
-               CAST(SUM(CAST(round(dev, 4) AS DECIMAL(28,8)))
+               CAST(SUM(CAST(floor(dev * 1e4 + 0.5) / 1e4 AS DECIMAL(28,8)))
                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS DOUBLE) AS cusum
         FROM dv
       )
-      SELECT d, daily, round(cusum / tot, 6) AS cusum_share,
+      SELECT d, daily, cusum / tot AS cusum_share,
              (abs(cusum / tot) > 0.01) AS is_shift
       FROM cu ORDER BY d""",
     "d3_anomaly" -> """

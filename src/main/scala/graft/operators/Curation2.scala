@@ -58,9 +58,10 @@ object Curation2 extends QueryPack {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup"), lit(0L)) /
+        // raw integer-operand quotient — no half-way rounding hazard
+        (coalesce(col("n_dup"), lit(0L)) /
           nullif(coalesce(col("n_grams"), lit(0L)), lit(0L))
-            .cast("double"), 6).as("dup_frac"))
+            .cast("double")).as("dup_frac"))
       .orderBy("doc_id")
   }
 
@@ -201,8 +202,8 @@ object Curation2 extends QueryPack {
       SELECT d.doc_id,
              coalesce(p.n_grams, 0) AS n_grams,
              coalesce(u.n_dup, 0) AS n_dup,
-             round(coalesce(u.n_dup, 0) /
-               CAST(nullif(coalesce(p.n_grams, 0), 0) AS DOUBLE), 6)
+             coalesce(u.n_dup, 0) /
+               CAST(nullif(coalesce(p.n_grams, 0), 0) AS DOUBLE)
                AS dup_frac
       FROM documents d
       LEFT JOIN per_doc p USING (doc_id)

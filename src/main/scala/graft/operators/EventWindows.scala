@@ -169,9 +169,10 @@ object EventWindows extends QueryPack {
       .withColumn("cohort_size",
         max(when(col("week_offset") === 0, col("n_active")))
           .over(byCohort))
+      // raw integer-operand quotient — no half-way rounding hazard
       .withColumn("retention",
-        round(col("n_active").cast("double") /
-          col("cohort_size").cast("double"), 6))
+        col("n_active").cast("double") /
+          col("cohort_size").cast("double"))
       .select("cohort_week", "week_offset", "n_active", "cohort_size",
         "retention")
       .orderBy("cohort_week", "week_offset")
@@ -252,8 +253,8 @@ object EventWindows extends QueryPack {
       )
       SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
              week_offset, n_active, cohort_size,
-             round(CAST(n_active AS DOUBLE) /
-               CAST(cohort_size AS DOUBLE), 6) AS retention
+             CAST(n_active AS DOUBLE) /
+               CAST(cohort_size AS DOUBLE) AS retention
       FROM r JOIN sizes USING (cohort_week)
       ORDER BY cohort_week, week_offset""",
     "e5_funnel" -> """

@@ -245,10 +245,10 @@ object Relational3 extends QueryPack {
       .select((floor(col("o_totalprice") / width) * width)
         .cast("long").as("bucket_lo"))
       .groupBy("bucket_lo").agg(count(lit(1)).as("n_orders"))
+    // raw integer-operand quotient — no half-way rounding hazard
     h.withColumn("share",
-        round(col("n_orders").cast("double") /
-          sum(col("n_orders")).over(Window.partitionBy()).cast("double"),
-          6))
+        col("n_orders").cast("double") /
+          sum(col("n_orders")).over(Window.partitionBy()).cast("double"))
       .select(col("bucket_lo"), col("n_orders"), col("share"))
       .orderBy("bucket_lo")
   }
@@ -335,8 +335,8 @@ object Relational3 extends QueryPack {
         FROM orders GROUP BY 1
       )
       SELECT bucket_lo, n_orders,
-             round(CAST(n_orders AS DOUBLE) /
-               CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share
+             CAST(n_orders AS DOUBLE) /
+               CAST(sum(n_orders) OVER () AS DOUBLE) AS share
       FROM h ORDER BY bucket_lo""",
     "q_union_byname" -> """
       SELECT * FROM (

@@ -291,12 +291,17 @@ object TextAnalysis extends QueryPack {
     val byFreq = Window.orderBy(col("cnt").desc, col("term"))
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(byFreq).cast("long"))
+      // both ratios are single divisions of exact integers, emitted RAW:
+      // identical bits in both engines, while round(·, 6) lands dyadic
+      // rationals on half-way points where HALF_UP and nearbyint differ.
+      // The cumulative share sums the INTEGER counts in the window (exact
+      // in any accumulation order) and divides once, rather than summing
+      // per-row double quotients (whose order the engines don't share).
       .withColumn("share",
-        round(col("cnt").cast("double") / col("total").cast("double"), 6))
+        col("cnt").cast("double") / col("total").cast("double"))
       .withColumn("cum_share",
-        round(sum(col("cnt").cast("double") / col("total").cast("double"))
-          .over(byFreq.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)), 6))
+        sum(col("cnt")).over(byFreq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("total").cast("double"))
       .select(col("term"), col("cnt").cast("long").as("cnt"), col("rank"),
         col("share"), col("cum_share"))
       .orderBy("rank")
@@ -316,8 +321,10 @@ object TextAnalysis extends QueryPack {
     val c12 = bigramCounts(spark, dir)
     val c1 = c12.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     c12.join(c1, "w1")
+      // raw integer-operand quotient (the tx_classifier idiom): bitwise
+      // identical across engines, no half-way rounding hazard
       .withColumn("p",
-        round(col("cnt").cast("double") / col("ctx").cast("double"), 6))
+        col("cnt").cast("double") / col("ctx").cast("double"))
       .select(col("w1"), col("w2"), col("cnt").cast("long").as("cnt"),
         col("ctx").cast("long").as("ctx"), col("p"))
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
@@ -370,9 +377,10 @@ object TextAnalysis extends QueryPack {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      // raw integer-operand quotient — no half-way rounding hazard
       .withColumn("boilerplate_frac",
-        round(col("n_shared").cast("double") /
-          col("n_shingles").cast("double"), 6))
+        col("n_shared").cast("double") /
+          col("n_shingles").cast("double"))
       .select("doc_id", "n_shingles", "n_shared", "boilerplate_frac")
       .orderBy("doc_id")
   }
@@ -433,9 +441,15 @@ object TextAnalysis extends QueryPack {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll").cast(DecimalType(28, 6))).as("sum_dec"))
+      // quantize the mean with the bitwise-portable floor(x*1e6+0.5)/1e6
+      // (x ≥ 0 here): round(·, 6) of this exact-operand quotient lands on
+      // half-way points when n_bigrams is a power of two, where Spark
+      // HALF_UP and DuckDB nearbyint disagree. It must stay quantized
+      // (not raw) because consumers re-cast it to DECIMAL(28,6).
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("sum_dec").cast("double") /
-          col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        (floor((col("sum_dec").cast("double") /
+          col("n_bigrams").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("avg_nll"))
   }
 
   def txPerplexity(spark: SparkSession, dir: String): DataFrame =
@@ -513,8 +527,8 @@ object TextAnalysis extends QueryPack {
       ),
       ppl AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) /
-                 CAST(count(*) AS DOUBLE), 6) AS avg_nll
+               floor((CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_nll
         FROM bi JOIN lm USING (w1, w2)
         GROUP BY doc_id
       )"""
@@ -552,8 +566,8 @@ object TextAnalysis extends QueryPack {
              CAST(count(*) AS BIGINT) AS n_shingles,
              CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_shared,
-             round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
-               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
                AS boilerplate_frac
       FROM sh JOIN span_df USING (s)
       GROUP BY doc_id ORDER BY doc_id""",
@@ -581,11 +595,12 @@ object TextAnalysis extends QueryPack {
       SELECT term, CAST(cnt AS BIGINT) AS cnt,
              CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
                AS rank,
-             round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
                AS share,
-             round(sum(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+             CAST(sum(cnt)
                OVER (ORDER BY cnt DESC, term
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(total AS DOUBLE)
                AS cum_share
       FROM top CROSS JOIN tot
       ORDER BY rank""",
@@ -601,7 +616,7 @@ object TextAnalysis extends QueryPack {
       c1 AS (SELECT w1, sum(cnt) AS ctx FROM c12 GROUP BY 1)
       SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
              CAST(ctx AS BIGINT) AS ctx,
-             round(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE), 6) AS p
+             CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE) AS p
       FROM c12 JOIN c1 USING (w1)
       ORDER BY cnt DESC, w1, w2 LIMIT 80""",
     "tx_editdist" -> """

@@ -115,10 +115,12 @@ object TextAnalysis2 extends QueryPack {
           .when(col("stop_ratio") < 0.02, "no_stopwords")
           .when(col("distinct_ratio") < 0.35, "repetitive")
           .otherwise("keep"))
+      // the three ratios are single divisions of exact integer counts,
+      // emitted RAW: identical bits in both engines, while round(·, 6)
+      // lands dyadic rationals (n_words = 128 etc.) on half-way points
+      // where Spark HALF_UP and DuckDB nearbyint disagree
       .select(col("doc_id"), col("n_words"),
-        round(col("mean_wlen"), 6).as("mean_wlen"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        col("mean_wlen"), col("stop_ratio"), col("distinct_ratio"),
         (col("reason") === "keep").as("keep"), col("reason"))
       .orderBy("doc_id")
   }
@@ -139,11 +141,14 @@ object TextAnalysis2 extends QueryPack {
       .agg(count(lit(1)).as("n_types"),
         sum(col("cnt")).as("n_tokens"),
         sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+      // raw integer-operand quotients (the tx_classifier idiom): bitwise
+      // identical across engines; round(·, 6) would land dyadic rationals
+      // on half-way points where HALF_UP and nearbyint disagree
       .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
-        round(col("n_types").cast("double") /
-          col("n_tokens").cast("double"), 6).as("ttr"),
-        round(col("n_hapax").cast("double") /
-          col("n_types").cast("double"), 6).as("hapax_share"))
+        (col("n_types").cast("double") /
+          col("n_tokens").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") /
+          col("n_types").cast("double")).as("hapax_share"))
       .orderBy("source")
   }
 
@@ -166,8 +171,10 @@ object TextAnalysis2 extends QueryPack {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bigrams"),
-        round(sum(col("avg_nll").cast(DecimalType(28, 6))).cast("double") /
-          count(lit(1)).cast("double"), 6).as("mean_nll"),
+        // raw quotient of an exact decimal sum over an exact count —
+        // identical bits in both engines, no half-way rounding hazard
+        (sum(col("avg_nll").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"),
         min(col("avg_nll")).as("min_nll"),
         max(col("avg_nll")).as("max_nll"))
       .orderBy("bucket")
@@ -190,8 +197,8 @@ object TextAnalysis2 extends QueryPack {
       )
       SELECT bucket, count(*) AS n_docs,
              CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
-             round(CAST(sum(CAST(avg_nll AS DECIMAL(28,6))) AS DOUBLE) /
-               CAST(count(*) AS DOUBLE), 6) AS mean_nll,
+             CAST(sum(CAST(avg_nll AS DECIMAL(28,6))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS mean_nll,
              min(avg_nll) AS min_nll,
              max(avg_nll) AS max_nll
       FROM ranked GROUP BY bucket ORDER BY bucket""",
@@ -270,9 +277,7 @@ object TextAnalysis2 extends QueryPack {
                     ELSE 'keep' END AS reason
         FROM scored
       )
-      SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_wlen,
-             round(stop_ratio, 6) AS stop_ratio,
-             round(distinct_ratio, 6) AS distinct_ratio,
+      SELECT doc_id, n_words, mean_wlen, stop_ratio, distinct_ratio,
              (reason = 'keep') AS keep, reason
       FROM flagged ORDER BY doc_id""",
     "tx_hapax" -> s"""
@@ -291,9 +296,9 @@ object TextAnalysis2 extends QueryPack {
         FROM st GROUP BY source
       )
       SELECT source, n_types, n_tokens, n_hapax,
-             round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                AS ttr,
-             round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+             CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
                AS hapax_share
       FROM agg ORDER BY source""")
 }
