@@ -72,6 +72,24 @@ object Dedup extends QueryPack {
       .drop("w", "text")
   }
 
+  /** Standing distinct `(doc_id, source, shingle)` pairs over the
+    * documents table, with the shingle stored as its 8-byte xxhash64
+    * (same pairs w.h.p.; a collision would surface as an oracle
+    * mismatch, as in the jaccard join) — the tokenize+shingle layer
+    * shared by the boilerplate profiler and the contamination check,
+    * which otherwise each replay the same corpus-wide explode. Built
+    * through the A-layer bucketed on the hash, so per-shingle
+    * aggregations and shingle-keyed joins downstream run in place
+    * with no exchange.
+    */
+  private[operators] def docShingles(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "doc_shingles", "shingle",
+      (s, d) => shingleSet(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("shingle")).as("shingle")))
+
   /** Distinct word 5-gram shingles per corpus doc. */
   def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleSet(corpus(spark, dir).select(col("doc_id"), col("text")))
@@ -455,14 +473,14 @@ object Dedup extends QueryPack {
     * Scale shape: the eval set is tiny relative to the corpus, so its
     * shingle set BROADCASTS and the training side is a map-only hash
     * probe — the 100 TB corpus never shuffles. (Contrast with the pair
-    * joins above, which must shuffle both sides.)
+    * joins above, which must shuffle both sides.) Both sides slice the
+    * standing [[docShingles]] model instead of re-shingling the corpus.
     */
   def ddContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val train = shingleSet(
-      docs.filter(col("source") =!= "src3").select("doc_id", "text"))
-    val eval0 = shingleSet(
-      docs.filter(col("source") === "src3").select("doc_id", "text"))
+    val shn = docShingles(spark, dir)
+    val train = shn.filter(col("source") =!= "src3")
+      .select("doc_id", "shingle")
+    val eval0 = shn.filter(col("source") === "src3")
       .select(col("shingle"), col("doc_id").as("eval_id"))
     train.join(broadcast(eval0), Seq("shingle"))
       .groupBy("doc_id")

@@ -46,7 +46,11 @@ object Relational extends QueryPack {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
         "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // the synthetic lineitem has duplicate (orderkey, linenumber)
+      // pairs, so the full output row is the sort key: tied rows are
+      // then interchangeable and the order is engine-independent
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice")
 
   /** C4 — CAST / type conversion (ref: model_b.sql `cast(1 as integer)`,
     * model_d.sql `cast('2022-05-11' as date)`). Note: double→int casts are
@@ -190,7 +194,9 @@ object Relational extends QueryPack {
       .filter(p("p_size") < 10)
       .select(l("l_orderkey"), l("l_linenumber"), p("p_name"),
         p("p_size"), s("s_name"), l("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-row sort key: duplicate (orderkey, linenumber) pairs exist
+      .orderBy("l_orderkey", "l_linenumber", "p_name", "p_size",
+        "s_name", "l_quantity")
   }
 
   /** C7 — left-semi: customers having at least one order (EXISTS). */
@@ -226,7 +232,8 @@ object Relational extends QueryPack {
         l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .select(l("l_orderkey"), l("l_linenumber"), o("o_orderdate"),
         l("l_shipdate"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-row sort key: duplicate (orderkey, linenumber) pairs exist
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
   }
 
   /** C8 — the aggregation matrix (TPC-H Q1 shape; ref evidence
@@ -280,7 +287,8 @@ object Relational extends QueryPack {
       WHERE l_quantity < 24
         AND l_discount >= CAST(0.05 AS DOUBLE)
         AND l_discount <= CAST(0.07 AS DOUBLE)
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        l_extendedprice""",
     "c4_cast" -> """
       SELECT o_orderkey,
              CAST(o_orderkey AS VARCHAR) AS key_str,
@@ -358,7 +366,8 @@ object Relational extends QueryPack {
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
       WHERE p_size < 10
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, p_name, p_size, s_name,
+        l_quantity""",
     "c7_join_semi" -> """
       SELECT c_custkey, c_name FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -374,7 +383,7 @@ object Relational extends QueryPack {
       FROM lineitem JOIN orders
         ON l_orderkey = o_orderkey
        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, l_shipdate""",
     "c8_agg" -> s"""
       SELECT l_returnflag, l_linestatus,
              ${sqlDsum("l_quantity")} AS sum_qty,

@@ -163,8 +163,14 @@ object Relational2 extends QueryPack {
     * sliding aggregation reassociates double adds, decimals are immune).
     */
   def c12WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    // l_quantity tie-break: the synthetic lineitem contains duplicate
+    // (suppkey, shipdate, orderkey, linenumber) rows differing only in
+    // quantity, so without it neither the window order nor the output
+    // order is total and the running sums are tie-dependent. Rows equal
+    // on all five keys are interchangeable for every emitted column.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val moving = w.rowsBetween(-3, Window.currentRow)
     t(spark, dir, "lineitem")
@@ -176,7 +182,8 @@ object Relational2 extends QueryPack {
         (sum(col("l_quantity").cast("decimal(18,4)")).over(moving)
           .cast("double") /
           count(lit(1)).over(moving).cast("double")).as("moving_avg_qty"))
-      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity")
   }
 
   /** C12 — analytic value functions: ntile bucketing plus
@@ -514,20 +521,21 @@ object Relational2 extends QueryPack {
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER
           (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           AS running_qty,
         (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER
           (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
          / CAST(count(*) OVER
           (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE))
           AS moving_avg_qty
       FROM lineitem
-      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        l_quantity""",
     "c10_unpivot" -> """
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
       FROM part

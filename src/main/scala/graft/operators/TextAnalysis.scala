@@ -359,21 +359,17 @@ object TextAnalysis extends QueryPack {
   /** Boilerplate profile: per document, the fraction of its distinct
     * word 5-grams that also appear in at least one OTHER document — the
     * corpus-level repeated-span statistic behind boilerplate/template
-    * removal (headers, footers, navigation chrome). One shingle
-    * aggregation for span document-frequencies, one shuffle join back
-    * on the shingle key, one per-doc aggregation — all linear in corpus
-    * size, no pair enumeration.
+    * removal (headers, footers, navigation chrome). The hashed shingle
+    * pairs come from the standing `doc_shingles` model (bucketed on
+    * the shingle hash), so the span document-frequency aggregation AND
+    * the join back on the shingle key both run in place with no
+    * exchange; only the final per-doc aggregation shuffles — linear in
+    * corpus size, no pair enumeration.
     */
   def txBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    // 8-byte span hash instead of the ~30-byte string for the
-    // aggregate + join keys (same pairs w.h.p.; a collision would
-    // surface as an oracle hash mismatch, as in the jaccard join)
-    val sh = Dedup.shingleSet(
-      t(spark, dir, "documents").select(col("doc_id"), col("text")))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
+    val sh = Dedup.docShingles(spark, dir).select("doc_id", "shingle")
     val spanDf = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
-    sh.join(spanDf, "shingle")
+    sh.join(spanDf.hint("shuffle_hash"), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))

@@ -194,7 +194,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "tx_hapax" -> "graft_doc_terms",
         "tx_pmi" -> "graft_doc_terms",
         "tx_pmi" -> "graft_bigram_counts",
-        "tx_bigram_lm" -> "graft_bigram_counts")) {
+        "tx_bigram_lm" -> "graft_bigram_counts",
+        "tx_boilerplate" -> "graft_doc_shingles",
+        "dd_contamination" -> "graft_doc_shingles")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
