@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Audit oracle ORDER BY totality against the actual data.
+
+The driver's compare is positional, so a query whose final ORDER BY
+admits ties between rows that DIFFER in some emitted column is a
+latent flake: both engines may emit the tied rows in either order
+(this bit c12_window_frames — the synthetic lineitem has duplicate
+(l_orderkey, l_linenumber) pairs). For every oracle whose trailing
+ORDER BY names plain output columns, this runs the SQL in DuckDB and
+flags any sort-key tie group whose rows are not identical in every
+column. Queries whose ORDER BY uses expressions or aliases not in the
+output are reported as 'manual' for eyeball review.
+
+Usage: python3 scripts/audit_order_ties.py <sfdir> <oracle_sql.json>
+"""
+import sys, json, re
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def order_cols(sql: str):
+    """Columns of the LAST ORDER BY (greedy prefix → final clause), or
+    None if unparsable (window-spec/expression sorts go to manual)."""
+    m = re.search(r".*\bORDER\s+BY\s+(.*?)(LIMIT\s+\d+)?\s*$",
+                  sql.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    cols = []
+    for part in m.group(1).split(","):
+        c = part.strip()
+        c = re.sub(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", "", c,
+                   flags=re.IGNORECASE)
+        if not re.fullmatch(
+                r"([A-Za-z_][A-Za-z0-9_]*\.)?[A-Za-z_][A-Za-z0-9_]*|\d+", c):
+            return None  # expression — manual review
+        cols.append(c.split(".")[-1])  # strip table qualifier
+    return cols
+
+
+def main():
+    sfdir, oracle_path = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    flagged, manual, ok = [], [], 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        cols = order_cols(sql)
+        if cols is None:
+            manual.append(name)
+            continue
+        try:
+            df = con.execute(sql).fetchdf()
+        except Exception as e:
+            flagged.append((name, f"oracle error: {e}"))
+            continue
+        # positional ORDER BY (e.g. ORDER BY 1, 2) → resolve to names
+        cols = [df.columns[int(c) - 1] if c.isdigit() else c for c in cols]
+        if not set(cols) <= set(df.columns):
+            manual.append(name)  # sorts on a non-emitted column
+            continue
+        payload = [c for c in df.columns if c not in cols]
+        if not payload:
+            ok += 1  # output == sort key: ties are interchangeable
+            continue
+        # hash full rows and sort-key rows; a tie group is bad iff it
+        # contains more than one distinct full row
+        def h(sub):
+            return pd.util.hash_pandas_object(
+                sub.astype(str), index=False)
+        g = pd.DataFrame({"k": h(df[cols]), "r": h(df)})
+        bad = (g.groupby("k")["r"].nunique() > 1)
+        nbad = int(bad.sum())
+        if nbad:
+            flagged.append((name, f"{nbad} sort-key tie group(s) with "
+                            f"differing payload (cols={cols})"))
+        else:
+            ok += 1
+    for name, why in flagged:
+        print(f"FLAG {name}: {why}")
+    if manual:
+        print(f"manual review (expression/non-output ORDER BY): "
+              f"{', '.join(manual)}")
+    print(f"\n{ok} total-order ok, {len(flagged)} flagged, "
+          f"{len(manual)} manual of {len(oracle)}")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
