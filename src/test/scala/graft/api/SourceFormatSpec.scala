@@ -60,6 +60,30 @@ class SourceFormatSpec extends AnyFunSuite {
       "PushedFilters: []"), s"expected ORC pushdown:\n$plan")
   }
 
+  test("binaryFile source feeds the multimodal path-pointer pattern") {
+    // E8's opaque-blob layer: register a directory of raw files as a
+    // source; the scan yields (path, modificationTime, length, content)
+    // with content a BinaryType column — the same shape the multimodal
+    // decode/resize steps consume. The format string is the only knob
+    // (A3's single-DataSource path), and pathGlobFilter prunes at the
+    // listing, not after the read.
+    val api = freshApi()
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.img"), Array[Byte](9, 8))
+    Files.writeString(dir.resolve("ignore.txt"), "not a blob")
+    api.registry.register(SourceDef("files", "blobs", dir.toString,
+      format = "binaryFile",
+      options = Map("pathGlobFilter" -> "*.img")))
+    val out = api.source("files", "blobs")
+      .selectExpr("path", "length", "content").orderBy("length")
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 4L))
+    assert(out(1).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(out.forall(_.getString(0).endsWith(".img")))
+  }
+
   test("write_to_source round-trips through the declared format") {
     val api = freshApi()
     import spark.implicits._
