@@ -22,9 +22,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def order_cols(sql: str):
-    """Columns of the LAST ORDER BY (greedy prefix → final clause), or
-    None if unparsable (window-spec/expression sorts go to manual)."""
-    m = re.search(r".*\bORDER\s+BY\s+(.*?)(LIMIT\s+\d+)?\s*$",
+    """(columns, limit) of the LAST ORDER BY (greedy prefix → final
+    clause), or None if unparsable (window-spec/expression sorts go to
+    manual). limit is None when the query has no trailing LIMIT."""
+    m = re.search(r".*\bORDER\s+BY\s+(.*?)(LIMIT\s+(\d+))?\s*$",
                   sql.strip(), re.IGNORECASE | re.DOTALL)
     if not m:
         return None
@@ -37,7 +38,7 @@ def order_cols(sql: str):
                 r"([A-Za-z_][A-Za-z0-9_]*\.)?[A-Za-z_][A-Za-z0-9_]*|\d+", c):
             return None  # expression — manual review
         cols.append(c.split(".")[-1])  # strip table qualifier
-    return cols
+    return cols, (int(m.group(3)) if m.group(3) else None)
 
 
 def main():
@@ -50,12 +51,21 @@ def main():
     flagged, manual, ok = [], [], 0
     for name in sorted(oracle):
         sql = oracle[name]
-        cols = order_cols(sql)
-        if cols is None:
+        parsed = order_cols(sql)
+        if parsed is None:
             manual.append(name)
             continue
+        cols, limit = parsed
         try:
-            df = con.execute(sql).fetchdf()
+            if limit is not None:
+                # fetch one extra row: a boundary tie with an EXCLUDED
+                # row that differs in payload is also a flake (engines
+                # may pick either variant into the limited result)
+                df = con.execute(re.sub(
+                    r"LIMIT\s+\d+\s*$", f"LIMIT {limit + 1}",
+                    sql.strip(), flags=re.IGNORECASE)).fetchdf()
+            else:
+                df = con.execute(sql).fetchdf()
         except Exception as e:
             flagged.append((name, f"oracle error: {e}"))
             continue
