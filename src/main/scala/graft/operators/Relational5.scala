@@ -52,12 +52,16 @@ object Relational5 extends QueryPack {
     val counts = t(spark, dir, "orders")
       .groupBy("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("o_orderstatus")
-      .orderBy(col("n").desc, col("o_orderpriority"))
-    counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // top-1 per group as a lexicographic struct-min hash aggregate
+    // (the sim_pq argmin idiom): (-n, priority) min = (n DESC,
+    // priority ASC) first row, with no WindowExec and no sort at all
+    counts
       .select(col("o_orderstatus"),
-        col("o_orderpriority").as("mode_priority"), col("n"))
+        struct((-col("n")).as("nn"), col("o_orderpriority").as("p"),
+          col("n").as("n")).as("s"))
+      .groupBy("o_orderstatus").agg(min(col("s")).as("s"))
+      .select(col("o_orderstatus"), col("s.p").as("mode_priority"),
+        col("s.n").as("n"))
       .orderBy("o_orderstatus")
   }
 

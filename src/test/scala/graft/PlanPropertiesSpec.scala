@@ -145,9 +145,10 @@ class PlanPropertiesSpec extends AnyFunSuite {
     */
   private val lowCardKeyCols =
     Set("event_type", "o_orderstatus", "lang", "l_returnflag", "source")
-  private val intendedLowCardWindow: Set[String] = Set(
-    // q_mode: top-1 over the (status, priority) count table — 15 rows
-    "q_mode")
+  // empty since q_mode moved to the struct-min argmax idiom: every
+  // query now computes rank/top-1 without a low-cardinality-keyed
+  // window
+  private val intendedLowCardWindow: Set[String] = Set()
 
   test("no query windows keyed only by a low-cardinality attribute") {
     import org.apache.spark.sql.execution.SparkPlan
