@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation2 extends QueryPack {
 
+  /** DuckDB twin of [[TextAnalysis.tokens]] (same convention as the
+    * other packs' local copies).
+    */
+  private val sqlToks =
+    "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
+
   /** E5 (completion) — duplicated-span profile: for every document, the
     * fraction of its 10-gram positions whose 10-gram also occurs in
     * some OTHER document. This is the per-doc statistic exact-substring
@@ -83,20 +89,20 @@ object Curation2 extends QueryPack {
     */
   def txDsir(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
-    // One explode + ONE wide shuffle: the per-(doc, bucket) counts are
-    // the only pass over the token stream — the distribution table,
-    // its totals, and the λ table all derive from this (≤ docs×256
-    // row) aggregate, so the corpus is scanned and shuffled once.
-    // lang is functionally dependent on doc_id; grouping by it too
-    // keeps it available without a join back to documents.
-    val perDocB = t(spark, dir, "documents")
+    // Zero corpus passes: the (doc, term, cnt) rows come from the
+    // standing doc_terms model (the canonical tokenize-once layer), so
+    // md5 hashes once per DISTINCT (doc, term) pair instead of per
+    // token occurrence, and the only wide shuffle is the (doc, bucket)
+    // rollup. The distribution table, its totals, and the λ table all
+    // derive from that ≤ docs×256-row aggregate. lang rides the model
+    // as a passthrough column — no join back to documents.
+    val perDocB = TextAnalysis.docTerms(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("lang"),
-        expr("CAST(conv(substr(md5(w),1,4),16,10) AS BIGINT) % 256")
-          .as("b"))
+        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
+          .as("b"),
+        col("cnt"))
       .groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
       .cache()
     val dist = perDocB.groupBy("b")
       .agg(sum(col("cnt")).as("raw_cnt"),
@@ -214,7 +220,7 @@ object Curation2 extends QueryPack {
         SELECT doc_id, lang,
                CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 256
                  AS b
-        FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        FROM (SELECT doc_id, lang, unnest($sqlToks) AS w FROM documents)
       ),
       totals AS (
         SELECT count(*) AS tot_r,

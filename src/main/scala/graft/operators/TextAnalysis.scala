@@ -21,21 +21,22 @@ object TextAnalysis extends QueryPack {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), w => w =!= "")
 
-  /** Standing per-document term counts `(doc_id, source, term, cnt)` —
-    * the tokenize-once layer a corpus pipeline materializes before any
-    * lexical statistics (tf-idf, vocabulary audits, per-source
-    * richness, PMI unigrams otherwise each replay the same
-    * explode + count over the corpus). Built through the A-layer as a
-    * term-bucketed model, so every downstream `groupBy(term)` (and
-    * `groupBy(source, term)`) aggregates in place with no exchange.
+  /** Standing per-document term counts `(doc_id, source, lang, term,
+    * cnt)` — the tokenize-once layer a corpus pipeline materializes
+    * before any lexical statistics (tf-idf, vocabulary audits,
+    * per-source richness, PMI unigrams, DSIR bucket counts otherwise
+    * each replay the same explode + count over the corpus). Built
+    * through the A-layer as a term-bucketed model, so every downstream
+    * `groupBy(term)` (and `groupBy(source, term)`) aggregates in place
+    * with no exchange; source/lang ride along as per-doc passthroughs.
     */
   private[operators] def docTerms(spark: SparkSession,
       dir: String): DataFrame =
     graft.operators.Shared.model(spark, dir, "doc_terms", "term",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("lang"),
           explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "source", "term")
+        .groupBy("doc_id", "source", "lang", "term")
         .agg(count(lit(1)).as("cnt")))
 
   /** Standing adjacent-bigram counts `(w1, w2, cnt)` over the corpus

@@ -197,7 +197,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "tx_pmi" -> "graft_bigram_counts",
         "tx_bigram_lm" -> "graft_bigram_counts",
         "tx_boilerplate" -> "graft_doc_shingles",
-        "dd_contamination" -> "graft_doc_shingles")) {
+        "dd_contamination" -> "graft_doc_shingles",
+        "tx_dsir" -> "graft_doc_terms")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +

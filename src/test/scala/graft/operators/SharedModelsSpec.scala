@@ -20,12 +20,12 @@ class SharedModelsSpec extends AnyFunSuite {
 
   test("doc_terms equals direct explode + count") {
     val direct = docs
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "source", "term")
+      .groupBy("doc_id", "source", "lang", "term")
       .agg(count(lit(1)).as("cnt"))
     val model = TextAnalysis.docTerms(spark, dir)
-      .select("doc_id", "source", "term", "cnt")
+      .select("doc_id", "source", "lang", "term", "cnt")
     assert(model.except(direct).count() === 0L &&
       direct.except(model).count() === 0L &&
       model.count() === direct.count())
