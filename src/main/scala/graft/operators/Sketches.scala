@@ -39,17 +39,18 @@ object Sketches extends QueryPack {
     * corpus_size/w per row).
     *
     * Scale shape: the sketch is 2048 cells REGARDLESS of corpus size —
-    * token counts pre-aggregate map-side, the 4-row explode runs on the
-    * (small) distinct-token table, and the per-cell sums shuffle at most
-    * 2048 rows. The exact top-20 here is the verification twin; at
-    * 100 TB the sketch alone answers "how often does X occur" with no
-    * second corpus pass.
+    * token totals roll up from the standing doc_terms model
+    * (term-bucketed, so the vocabulary aggregation runs with no
+    * exchange and no corpus pass), the 4-row explode runs on the
+    * (small) distinct-token table, and the per-cell sums shuffle at
+    * most 2048 rows. The exact top-20 here is the verification twin;
+    * at 100 TB the sketch alone answers "how often does X occur" with
+    * no second corpus pass.
     */
   def qCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
     val w = 512
-    val tok = t(spark, dir, "documents")
-      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tok = TextAnalysis.docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("cnt"))
       .withColumn("b", expr(base32("term")))
       .cache()
     val rows = (0 until 4).map { i =>

@@ -198,7 +198,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "tx_bigram_lm" -> "graft_bigram_counts",
         "tx_boilerplate" -> "graft_doc_shingles",
         "dd_contamination" -> "graft_doc_shingles",
-        "tx_dsir" -> "graft_doc_terms")) {
+        "tx_dsir" -> "graft_doc_terms",
+        "q_cms_heavy" -> "graft_doc_terms")) {
       val p = plan(name)
       assert(p.contains(tbl),
         s"$name no longer reads the shared bucketed materialization " +
