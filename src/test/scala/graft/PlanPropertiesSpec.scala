@@ -112,6 +112,52 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // the bucket-keyed window)
     "q_gaps")
 
+  test("bucketed-model consumers aggregate in place (no exchange below the final agg)") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // a .cache() boundary: the model scan lives in the cached plan
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case other => other.children
+    }
+    // the bucketed scan is reachable without crossing a shuffle
+    def scanNoExchange(p: SparkPlan, tbl: String): Boolean = p match {
+      case _: Exchange => false
+      case s: FileSourceScanExec => s.toString.contains(tbl)
+      case other => kids(other).exists(scanNoExchange(_, tbl))
+    }
+    // a FINAL-mode aggregate sits directly over that shuffle-free
+    // subtree — a partial agg over the scan with an exchange before
+    // the final would mean the bucketing is NOT being used
+    def finalAggInPlace(p: SparkPlan, tbl: String): Boolean = {
+      val self = p match {
+        case a: BaseAggregateExec
+            if a.aggregateExpressions.exists(ae =>
+              ae.mode == Final || ae.mode == Complete) =>
+          a.children.exists(scanNoExchange(_, tbl))
+        case _ => false
+      }
+      self || kids(p).exists(finalAggInPlace(_, tbl))
+    }
+    for ((name, tbl) <- Seq(
+        "tx_hapax" -> "graft_doc_terms",
+        "tx_vocab" -> "graft_doc_terms",
+        "q_cms_heavy" -> "graft_doc_terms",
+        "tx_bigram_lm" -> "graft_bigram_counts",
+        "tx_boilerplate" -> "graft_doc_shingles")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      assert(finalAggInPlace(p, tbl),
+        s"$name: expected a final aggregate directly over the bucketed " +
+          s"$tbl scan with no exchange between:\n${p.toString.take(1500)}")
+    }
+  }
+
   test("no query plans a global (unpartitioned) window over unbounded input") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
