@@ -144,10 +144,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
       }
       self || kids(p).exists(finalAggInPlace(_, tbl))
     }
+    // q_cms_heavy is deliberately absent: its vocab rollup (the same
+    // in-place shape tx_vocab pins) sits behind a .cache(), and once
+    // another suite EXECUTES the query the cached relation's plan
+    // finalizes into AQE query stages this walk cannot see through —
+    // the structural check would depend on suite order.
     for ((name, tbl) <- Seq(
         "tx_hapax" -> "graft_doc_terms",
         "tx_vocab" -> "graft_doc_terms",
-        "q_cms_heavy" -> "graft_doc_terms",
         "tx_bigram_lm" -> "graft_bigram_counts",
         "tx_boilerplate" -> "graft_doc_shingles")) {
       val p = SparkEntry.queries(name)(spark, dir)
