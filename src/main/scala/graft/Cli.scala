@@ -112,7 +112,13 @@ object Cli {
     api.listModelIds.toSeq.sortBy(_._1).foreach { case (name, st) =>
       println(f"$name%-30s $st")
     }
-    api.ledger.writeJson(s"$storage/run_results.json")
+    // `fal run` (--run-scripts) only READS run_results.json — rewriting
+    // it here with script-only records would make a second consecutive
+    // `fal run` observe Pending instead of the last model run's
+    // statuses. Script timings get their own artifact instead.
+    if (runScriptsTiming.isDefined)
+      api.ledger.writeJson(s"$storage/script_results.json")
+    else api.ledger.writeJson(s"$storage/run_results.json")
     println(s"RUN_STATUS=$status")
     spark.stop()
     if (status != 0) sys.exit(status)

@@ -151,8 +151,17 @@ final class FalApi(
   private def materialize(df: DataFrame, name: String, target: String)
       : Unit = bucketSpec(name) match {
     case Some((n, cols)) =>
+      // the catalog is session-global while registries are per-storage-
+      // root: two roots materializing the same model name would both
+      // claim `graft_<name>_v1` and the second write would silently
+      // repoint the first root's readers. A storage-root hash in the
+      // name keeps every materialization's table distinct; readers
+      // never reconstruct the name — they read it from the marker.
+      val root = java.nio.file.Paths.get(target).getParent.getParent
+      val uniq = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(root.toString))
       val tbl = s"graft_${name}_${java.nio.file.Paths.get(target)
-        .getFileName.toString}"
+        .getFileName.toString}_h$uniq"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       df.write.mode("overwrite")
         .bucketBy(n, cols.head, cols.tail: _*)

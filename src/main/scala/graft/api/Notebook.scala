@@ -113,6 +113,12 @@ private[api] object Json {
         s"bad literal at offset $pos")
       pos += w.length
     }
+    // every raw charAt goes through this so a truncated notebook fails
+    // with the parser's own offset error, not StringIndexOutOfBounds
+    private def cur(): Char = {
+      require(!eof, s"unexpected end of input at offset $pos")
+      s.charAt(pos)
+    }
     private def obj(): JObject = {
       expect('{'); skipWs()
       val fields = Map.newBuilder[String, Value]
@@ -123,7 +129,7 @@ private[api] object Json {
         skipWs(); expect(':')
         fields += k -> value()
         skipWs()
-        s.charAt(pos) match {
+        cur() match {
           case ',' => pos += 1
           case '}' => pos += 1; return JObject(fields.result())
           case c => throw new IllegalArgumentException(
@@ -139,7 +145,7 @@ private[api] object Json {
       while (true) {
         items += value()
         skipWs()
-        s.charAt(pos) match {
+        cur() match {
           case ',' => pos += 1
           case ']' => pos += 1; return JArray(items.result())
           case c => throw new IllegalArgumentException(
@@ -151,17 +157,19 @@ private[api] object Json {
     private def str(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(pos) != '"') {
-        s.charAt(pos) match {
+      while (cur() != '"') {
+        cur() match {
           case '\\' =>
             pos += 1
-            s.charAt(pos) match {
+            cur() match {
               case 'n' => sb += '\n'
               case 't' => sb += '\t'
               case 'r' => sb += '\r'
               case 'b' => sb += '\b'
               case 'f' => sb += '\f'
               case 'u' =>
+                require(pos + 5 <= s.length,
+                  s"unexpected end of input at offset $pos")
                 sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16)
                   .toChar
                 pos += 4

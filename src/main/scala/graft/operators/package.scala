@@ -123,7 +123,9 @@ package object operators {
     * Ranks among equal (key, value) rows are assignment-arbitrary but
     * the VALUE at any rank is deterministic — exactly what rank-k
     * selections (medians, percentiles) consume. Adds `rankCol` and
-    * `nCol` (per-key row count).
+    * `nCol` (per-key row count). NULL keys form an ordinary group
+    * (the joins below are null-safe), matching the keyed-window
+    * formulations these helpers replace.
     */
   def withRankBy(df: DataFrame, key: String, valueCol: String,
       rankCol: String, nCol: String): DataFrame = {
@@ -138,7 +140,7 @@ package object operators {
     val c = parted.groupBy(col("__pid"), col(key).as("__k"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mord")).as("__base"))
     val stats = c.as("x")
-      .join(broadcast(c.as("y")), col("x.__k") === col("y.__k"))
+      .join(broadcast(c.as("y")), col("x.__k") <=> col("y.__k"))
       .groupBy(col("x.__pid").as("__spid"), col("x.__k").as("__k"))
       .agg(
         sum(when(col("y.__pid") < col("x.__pid"), col("y.__cnt"))
@@ -147,7 +149,7 @@ package object operators {
         min(col("x.__base")).as("__base"))
     parted.join(broadcast(stats),
         parted("__pid") === stats("__spid") &&
-          parted(key) === stats("__k"))
+          parted(key) <=> stats("__k"))
       .withColumn(rankCol,
         col("__off") + (col("__mord") - col("__base")) + lit(1L))
       .drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
@@ -199,12 +201,12 @@ package object operators {
       sumCols.map { case (out, _) =>
         sum(before(s"__t_$out")).as(s"__o_$out") }
     val stats = c.as("x")
-      .join(broadcast(c.as("y")), col("x.__k") === col("y.__k"))
+      .join(broadcast(c.as("y")), col("x.__k") <=> col("y.__k"))
       .groupBy(col("x.__pid").as("__spid"), col("x.__k").as("__k"))
       .agg(sAggs.head, sAggs.tail: _*)
     sumCols.foldLeft(
       run.join(broadcast(stats),
-          run("__pid") === stats("__spid") && run(key) === stats("__k"))
+          run("__pid") === stats("__spid") && run(key) <=> stats("__k"))
         .withColumn(rankCol,
           col("__off") + (col("__mord") - col("__base")) + lit(1L))) {
         case (d, (out, _)) =>

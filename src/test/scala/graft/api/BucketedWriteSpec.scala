@@ -128,4 +128,26 @@ class BucketedWriteSpec extends AnyFunSuite {
     assert(detail.contains("files=") && detail.contains("maxBytes="),
       s"expected skew stats in ledger detail, got: $detail")
   }
+
+  test("same model name in two storage roots keeps both readable") {
+    import spark.implicits._
+    // The catalog is session-global; without a per-root component in
+    // the bucketed table name, the second root's write would repoint
+    // the first root's marker-named table at the new data.
+    def mk(): (Registry, FalApi) = {
+      val reg = new Registry(Files.createTempDirectory("graft_bw2").toString)
+      reg.register(ModelDef("bw_shared", ModelKind.Sql("unused"),
+        meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+      (reg, new FalApi(spark, reg, new RunLedger))
+    }
+    val (_, apiA) = mk()
+    val (_, apiB) = mk()
+    apiA.writeToModel(Seq((1L, "rootA")).toDF("key", "who"), "bw_shared")
+    apiB.writeToModel(Seq((1L, "rootB")).toDF("key", "who"), "bw_shared")
+    // revisiting the FIRST root must still read the first root's data
+    assert(apiA.ref("bw_shared").select("who").as[String].collect()
+      .toSeq == Seq("rootA"))
+    assert(apiB.ref("bw_shared").select("who").as[String].collect()
+      .toSeq == Seq("rootB"))
+  }
 }

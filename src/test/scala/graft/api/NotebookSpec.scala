@@ -50,6 +50,17 @@ class NotebookSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Notebook.cells("{\"a\":1}"))
   }
 
+  test("truncated notebooks fail with the parser's offset error") {
+    // every truncation point must surface the parser's own
+    // IllegalArgumentException, never StringIndexOutOfBoundsException
+    val full = """{"cells":[{"cell_type":"code","source":["SELECT 1"]}]}"""
+    for (n <- 1 until full.length) {
+      val e = intercept[IllegalArgumentException](
+        Notebook.cells(full.substring(0, n)))
+      assert(e.getMessage != null)
+    }
+  }
+
   test("an .ipynb script attached to a model executes its cells") {
     val spark = TestSpark.spark
     val root = Files.createTempDirectory("graft-nb").toString
