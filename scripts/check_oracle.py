@@ -90,7 +90,19 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for tname in TABLES:
-        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{sfdir}/{tname}.parquet'")
+        # driver dirs hold single files; graft.DataGen dirs hold a
+        # part-file directory per table — glob in that case
+        p = f"{sfdir}/{tname}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        sel = "*"
+        if tname == "events":
+            cols = dict((r[0], r[1]) for r in
+                        con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall())
+            if cols.get("ts") == "BIGINT":
+                # DataGen round-trips TIMESTAMP(NANOS) as int64 nanos;
+                # same ns→µs truncation Tables.load / DuckDB apply
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {tname} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     result_dirs = {os.path.basename(p): p for p in glob.glob(os.path.join(outdir, "*")) if os.path.isdir(p)}
     n_pass = n_fail = 0

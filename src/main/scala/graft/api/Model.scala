@@ -24,6 +24,15 @@ object ModelKind {
       fn: (org.apache.spark.sql.SparkSession, FalApi) =>
         org.apache.spark.sql.DataFrame)
       extends ModelKind
+  /** A reference-style Python model — a `.py` file defining
+    * `def model(dbt, fal)` over pandas, executed in its own interpreter
+    * process with parquet handoff (ref: the flagship materialization,
+    * `A/dbt/include/fal/macros/materializations/table.sql:34-46` +
+    * `A/dbt/adapters/fal_experimental/impl.py:65-137`). `deps` on the
+    * ModelDef declare which `ref()`s the file reads, as the reference
+    * extracts from the source text.
+    */
+  final case class Python(pyFile: String) extends ModelKind
   /** A dbt seed — a checked-in CSV loaded as a relation (the reference's
     * jaffle project boots from three of these: `002_jaffle_shop/
     * dbt_project.yml:6` `seed-paths: ["data"]` + `data/raw_*.csv`).

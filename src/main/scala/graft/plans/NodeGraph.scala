@@ -46,6 +46,9 @@ object NodeGraph {
       val kind = kinds.getOrElse(m.name, m.kind match {
         case _: graft.api.ModelKind.Sql => NodeKind.DbtModel
         case _: graft.api.ModelKind.Scala => NodeKind.FalModel
+        // Python models are fal-owned nodes like Scala ones (ref
+        // node_graph.py:21-35 FalFlowNode) — never SQL-chunked
+        case _: graft.api.ModelKind.Python => NodeKind.FalModel
         // a seed is a side-effect-free root — chunkable like SQL (B4)
         case _: graft.api.ModelKind.Seed => NodeKind.DbtModel
       })

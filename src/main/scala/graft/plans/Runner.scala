@@ -120,6 +120,11 @@ object Runner {
         case ModelKind.Sql(sql) => a.executeSql(renderIncremental(
           substituteVars(sql, vars), isIncremental, name, a))
         case ModelKind.Scala(fn) => fn(a.spark, a)
+        // D1's flagship: the user's actual Python file, run isolated in
+        // its own interpreter with parquet handoff (PyBridge); the
+        // result re-enters the exact same write/test path as Scala/SQL
+        case ModelKind.Python(py) =>
+          graft.api.PyBridge.runModel(a, name, m.deps, py)
         // seeds re-load their CSV each run (dbt semantics: `dbt seed`
         // refreshes from the checked-in file); header + inferSchema
         // give typed columns, as dbt's agate-based type inference does
