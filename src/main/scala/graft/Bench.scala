@@ -69,8 +69,18 @@ object Bench {
       val add = e.length + (if (kept.isEmpty) 0 else 1)
       if (used + add <= budget) { kept += e; used += add }
     }
-    val detail = results.toSeq.sortBy(_._1)
+    // Standing-model builds happen on first touch inside the warm pass;
+    // their one-time cost is excluded from the per-query timings above
+    // (that's the point of the warm pass), so record it explicitly —
+    // the amortized build-once price next to the per-query price it
+    // buys down. Flat query keys stay at the top level (r5 file format)
+    // so older tooling keeps parsing; standing_models rides alongside.
+    val standing = graft.operators.Shared.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "    \"" + k + "\": " + fmt(v, "%.3f") }
+      .mkString("  \"standing_models\": {\n", ",\n", "\n  }")
+    val detail = (results.toSeq.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + fmt(v, "%.3f") }
+      :+ standing)
       .mkString("{\n", ",\n", "\n}\n")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

@@ -25,6 +25,20 @@ object GraftConf {
       "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     // parquet nanos (events table) read as long, converted in Tables.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // WindowExec logs "No Partition Defined ... serious performance
+    // degradation" for EVERY unpartitioned window, including the
+    // bounded-input ones (post-aggregate totals over a handful of
+    // groups) that PlanPropertiesSpec's unpartitioned-window guard has
+    // explicitly audited as safe — every remaining occurrence is over a
+    // provably small relation. The warning is therefore pure noise
+    // here; the guard, not the log line, is what protects the 100-TB
+    // case, so drop this one logger to ERROR instead of letting it spam
+    // the bench tail.
+    // (package-level: the logWarning sits in WindowExecBase but the
+    // Logging trait names loggers after the runtime class)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
   }
 
   /** Session builder with the engine defaults; `shufflePartitions`

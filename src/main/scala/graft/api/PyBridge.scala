@@ -92,7 +92,7 @@ object PyBridge {
       |main(sys.argv[1])
       |""".stripMargin
 
-  private def jstr(s: String): String =
+  private[api] def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
