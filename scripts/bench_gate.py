@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (round-6 postmortem item).
+
+Compares a current bench_detail JSON against a tagged reference
+(default: the newest bench_detail_r*.json) and alarms on:
+
+  * errors    — any query with the -1 sentinel (threw during the bench)
+  * slowdown  — median > 2x the reference (real regression at steady state)
+  * speedup   — median < 0.5x the reference AND the reference was
+                non-trivial; a query that suddenly gets 5x faster is
+                usually broken, not optimized (round 6: ~20 queries
+                "improved" to their time-to-throw)
+  * missing   — query present in the reference but absent now
+
+Noise guard: queries under FLOOR seconds in BOTH files are skipped for
+ratio alarms (sub-100ms medians flap with host load, not code).
+
+Usage: python3 scripts/bench_gate.py [current.json] [reference.json]
+Exit 1 on any alarm. Run the current file with SPARK_GRAFT_BENCH_REPS=3
+so medians, not single shots, are compared (the round-6 rule: compare
+steady-state medians).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+FLOOR = 0.15        # s: below this in both files, ratios are host noise
+SLOW = 2.0
+FAST = 0.5
+SPEEDUP_MIN_REF = 0.5  # s: only flag "suspicious speedup" on real work
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    queries = {k: v for k, v in d.items()
+               if isinstance(v, (int, float)) and not k.startswith("_")}
+    errors = d.get("errors", {}) if isinstance(d.get("errors"), dict) else {}
+    return queries, errors
+
+
+def newest_tagged(exclude):
+    cands = [p for p in glob.glob("bench_detail_r*.json")
+             if os.path.abspath(p) != os.path.abspath(exclude)]
+    if not cands:
+        return None
+
+    def key(p):
+        m = re.search(r"_r(\d+)([a-z]?)\.json$", p)
+        return (int(m.group(1)), m.group(2)) if m else (0, "")
+    return max(cands, key=key)
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
+    ref_path = sys.argv[2] if len(sys.argv) > 2 else newest_tagged(cur_path)
+    if ref_path is None:
+        print("bench_gate: no tagged reference (bench_detail_r*.json); "
+              "nothing to compare")
+        sys.exit(0)
+    cur, cur_err = load(cur_path)
+    ref, _ = load(ref_path)
+    print(f"bench_gate: {cur_path} vs {ref_path} "
+          f"({len(cur)} vs {len(ref)} queries)")
+
+    alarms = []
+    for q, t in sorted(cur.items()):
+        if t < 0 or q in cur_err:
+            alarms.append(f"ERROR    {q}: threw during bench"
+                          + (f" ({cur_err[q]})" if q in cur_err else ""))
+    for q in sorted(set(ref) - set(cur)):
+        alarms.append(f"MISSING  {q}: in reference, absent now")
+    for q in sorted(set(cur) & set(ref)):
+        t, r = cur[q], ref[q]
+        if t < 0 or r <= 0:
+            continue
+        if t <= FLOOR and r <= FLOOR:
+            continue
+        ratio = t / r
+        if ratio > SLOW:
+            alarms.append(f"SLOW     {q}: {r:.2f}s -> {t:.2f}s ({ratio:.1f}x)")
+        elif ratio < FAST and r >= SPEEDUP_MIN_REF:
+            alarms.append(f"SUSPECT  {q}: {r:.2f}s -> {t:.2f}s ({ratio:.2f}x) "
+                          "— verify it still returns correct rows")
+    new = sorted(set(cur) - set(ref))
+    if new:
+        print(f"  (info) {len(new)} new queries not in reference: "
+              + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
+
+    if alarms:
+        print(f"\n{len(alarms)} alarm(s):")
+        for a in alarms:
+            print("  " + a)
+        sys.exit(1)
+    tot_c = sum(v for v in cur.values() if v >= 0)
+    tot_r = sum(v for v in ref.values() if v >= 0)
+    print(f"OK: no per-query alarms (totals {tot_c:.1f}s vs {tot_r:.1f}s)")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

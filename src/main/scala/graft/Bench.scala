@@ -34,16 +34,26 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS>1 → median-of-N per query (stable numbers
     // for tuning); default 1 keeps the driver's single-shot timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // A throwing query must be LOUD, not a fast-looking time: its entry
+    // becomes the -1 sentinel, it is excluded from the total, and the
+    // protocol line carries an "errors" count (round 6 hid ~20 broken
+    // queries behind their time-to-throw).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // clear per-run: a query's own .cache() must not leak into the
         // next measurement (cold-cache per query, steady-state JIT)
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed.getOrElseUpdate(name,
+              s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times((reps - 1) / 2)
+      val median = times((reps - 1) / 2)
+      name -> (if (failed.contains(name)) -1.0 else median)
     }
     // The round driver captures only the LAST 2000 bytes of the build
     // output; round 3's 92-query line at %.3f ran ~2.6 KB and was
@@ -57,10 +67,16 @@ object Bench {
     // emit 45,97 and break the driver's JSON parse.
     def fmt(v: Double, p: String) = String.format(java.util.Locale.ROOT, p,
       Double.box(v))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val total = results.values.filter(_ >= 0).sum
     val entries = results.toSeq.sortBy { case (_, t) => -t }
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v, "%.2f") }
-    val prefix = s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","n_queries":${results.size},"queries":{"""
+      .map { case (k, v) => jstr(k) + ":" + fmt(v, "%.2f") }
+    val prefix = s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val budget = 1850 - prefix.length - suffix.length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
@@ -76,11 +92,14 @@ object Bench {
     // buys down. Flat query keys stay at the top level (r5 file format)
     // so older tooling keeps parsing; standing_models rides alongside.
     val standing = graft.operators.Shared.buildSeconds.toSeq.sortBy(_._1)
-      .map { case (k, v) => "    \"" + k + "\": " + fmt(v, "%.3f") }
+      .map { case (k, v) => "    " + jstr(k) + ": " + fmt(v, "%.3f") }
       .mkString("  \"standing_models\": {\n", ",\n", "\n  }")
+    val errBlock = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "    " + jstr(k) + ": " + jstr(v) }
+      .mkString("  \"errors\": {\n", ",\n", "\n  }")
     val detail = (results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "  \"" + k + "\": " + fmt(v, "%.3f") }
-      :+ standing)
+      .map { case (k, v) => "  " + jstr(k) + ": " + fmt(v, "%.3f") }
+      :+ standing :+ errBlock)
       .mkString("{\n", ",\n", "\n}\n")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * are already tie-deterministic (scripts/audit_order_ties.py), so
   * exact cross-copy ties exercise — not break — that property.
   *
-  * The events table's TIMESTAMP(NANOS) column round-trips as int64
-  * nanos (Spark cannot write ns); `Tables.load` handles either form
-  * identically and `scripts/check_oracle.py` re-casts its DuckDB view.
+  * The events table's `ts` round-trips in whatever encoding the source
+  * uses (int64 TIMESTAMP(NANOS) reads as long under nanosAsLong;
+  * timestamp[µs] passes through); `Tables.load` branches on the loaded
+  * schema and `scripts/check_oracle.py` re-casts its DuckDB view, so
+  * both encodings verify identically.
   *
   * `sbt "runMain graft.DataGen [srcDir destDir copies]"`
   */
@@ -46,8 +48,8 @@ object DataGen {
     val supplier = read("supplier")
     val part = read("part")
     val orders = read("orders")
-    // ts is TIMESTAMP(NANOS); nanosAsLong (set by GraftConf.tune) reads
-    // it as int64 nanos, which is also how it is written back out
+    // ts encoding (int64 nanos via nanosAsLong, or timestamp[µs]) is
+    // preserved as-read; Tables.load handles either on the way back in
     val events = read("events")
     val documents = read("documents")
     val embeddings = read("embeddings")

@@ -14,7 +14,7 @@ object GraftConf {
     * join splitting — the knobs that matter when the same plans move
     * from local[N] to a 1000-executor cluster.
     */
-  def tune(spark: SparkSession): Unit = {
+  def tune(spark: SparkSession, quietWindowLog: Boolean = true): Unit = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -36,9 +36,13 @@ object GraftConf {
     // the bench tail.
     // (package-level: the logWarning sits in WindowExecBase but the
     // Logging trait names loggers after the runtime class)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    // Scoped to harness runs (quietWindowLog=true, the default for
+    // Bench/Verify/QueryTime mains); the interactive Shell passes false
+    // so user-added unpartitioned windows still warn.
+    if (quietWindowLog)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window",
+        org.apache.logging.log4j.Level.ERROR)
   }
 
   /** Session builder with the engine defaults; `shufflePartitions`

@@ -19,13 +19,13 @@ object Shell {
 
   /** Wire a FalApi over a registry rooted at `root`, pre-registering the
     * driver testdata tables as sources under the `testdata` source name.
-    * (The `events` source reads its ns-timestamp column as epoch nanos —
+    * (The `events` source reads its `ts` column as stored on disk —
     * use `graft.Tables.load` for the converted view.)
     */
   def init(spark: SparkSession,
       root: String = sys.props("java.io.tmpdir") + "/graft-shell",
       testdataDir: String = "/root/testdata/sf0.001"): FalApi = {
-    GraftConf.tune(spark)
+    GraftConf.tune(spark, quietWindowLog = false)
     graft.functions.GraftFunctions.register(spark)
     val registry = new Registry(root)
     Tables.all.foreach(t => registry.register(

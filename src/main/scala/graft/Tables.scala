@@ -18,12 +18,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The events table stores TIMESTAMP(NANOS) which Spark's vectorized
-      // parquet reader rejects; read nanos as long and floor-divide to
-      // micros (same truncation DuckDB applies when it narrows ns → µs).
+      // Generator versions have stored `ts` two ways: int64
+      // TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+      // arrives as LongType under nanosAsLong and needs the same ns→µs
+      // floor-division DuckDB applies — and plain timestamp[µs], which
+      // arrives as TIMESTAMP_NTZ. Branch on the loaded schema so both
+      // encodings produce the same session-TZ TimestampType column
+      // (sessions run UTC, so the NTZ cast is value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -37,6 +47,17 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registered.put(spark, dir) != dir)
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      // Register every table even if one fails (a broken events file must
+      // not hide documents/embeddings behind "table not found"), surface
+      // the first error, and only memoize a fully-successful registration
+      // so a later call retries rather than silently skipping.
+      var firstErr: Throwable = null
+      all.foreach { n =>
+        try load(spark, dir, n).createOrReplaceTempView(n)
+        catch { case t: Throwable => if (firstErr == null) firstErr = t }
+      }
+      if (firstErr != null) throw firstErr
+      registered.put(spark, dir)
+    }
 }

@@ -1,6 +1,5 @@
 package graft.api
 
-import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 
 /** B12's fault-isolation half: run a hook / script step as an external
@@ -41,26 +40,26 @@ object Isolated {
   def step(command: Seq[String], deps: Seq[String] = Nil)
       : (FalApi, Map[String, String]) => Unit = { (a, args) =>
     val tmp = Files.createTempDirectory("graft_isolated")
-    val inputs = deps.map { d =>
-      val p = tmp.resolve(s"in_$d").toString
-      a.ref(d).write.mode("overwrite").parquet(p)
-      d -> p
-    }
-    def obj(kv: Seq[(String, String)]): String =
-      kv.map { case (k, v) => s"${PyBridge.jstr(k)}: ${PyBridge.jstr(v)}" }
-        .mkString("{", ", ", "}")
-    val manifest = tmp.resolve("manifest.json")
-    Files.writeString(manifest,
-      s"""{"inputs": ${obj(inputs)}, "args": ${obj(args.toSeq.sortBy(_._1))},""" +
-        s""" "scratch": ${PyBridge.jstr(tmp.toString)}}""")
-    val pb = new ProcessBuilder((command :+ manifest.toString): _*)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes(), UTF_8)
-    val code = proc.waitFor()
-    if (code != 0)
-      throw new RuntimeException(
-        s"isolated step ${command.headOption.getOrElse("?")} failed " +
-          s"(exit $code):\n${log.takeRight(2000)}")
+    try {
+      val inputs = deps.map { d =>
+        val p = tmp.resolve(s"in_$d").toString
+        a.ref(d).write.mode("overwrite").parquet(p)
+        d -> p
+      }
+      def obj(kv: Seq[(String, String)]): String =
+        kv.map { case (k, v) => s"${PyBridge.jstr(k)}: ${PyBridge.jstr(v)}" }
+          .mkString("{", ", ", "}")
+      val manifest = tmp.resolve("manifest.json")
+      Files.writeString(manifest,
+        s"""{"inputs": ${obj(inputs)}, "args": ${obj(args.toSeq.sortBy(_._1))},""" +
+          s""" "scratch": ${PyBridge.jstr(tmp.toString)}}""")
+      // Child output streams to a file (never driver memory), with a
+      // hard deadline — a hung or stdout-flooding step turns into a
+      // task failure, not a wedged executor thread (PyBridge.runLogged).
+      PyBridge.runLogged(
+        new ProcessBuilder((command :+ manifest.toString): _*),
+        tmp.resolve("step.log"),
+        s"isolated step ${command.headOption.getOrElse("?")}")
+    } finally PyBridge.deleteRec(tmp)
   }
 }

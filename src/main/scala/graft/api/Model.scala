@@ -30,9 +30,15 @@ object ModelKind {
     * `A/dbt/include/fal/macros/materializations/table.sql:34-46` +
     * `A/dbt/adapters/fal_experimental/impl.py:65-137`). `deps` on the
     * ModelDef declare which `ref()`s the file reads, as the reference
-    * extracts from the source text.
+    * extracts from the source text. `environment` is the model's
+    * declared requirement set (ref: `fal_environment` in
+    * `A/fal/cli_tests/projects/env_project/models/model_c.py:1-12`,
+    * resolved by `fal/packages/environments/base.py:43-101`): non-empty
+    * → the model runs in a cached venv keyed by the requirements hash
+    * ([[PyBridge.pythonFor]]).
     */
-  final case class Python(pyFile: String) extends ModelKind
+  final case class Python(pyFile: String,
+      environment: Seq[String] = Nil) extends ModelKind
   /** A dbt seed — a checked-in CSV loaded as a relation (the reference's
     * jaffle project boots from three of these: `002_jaffle_shop/
     * dbt_project.yml:6` `seed-paths: ["data"]` + `data/raw_*.csv`).

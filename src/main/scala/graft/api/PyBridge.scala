@@ -100,6 +100,109 @@ object PyBridge {
       case c => c.toString
     } + "\""
 
+  /** Hung-child deadline for external steps (a child that never exits
+    * would otherwise pin an executor thread forever; the reference's
+    * process boundary lets its scheduler keep serving other branches).
+    */
+  private[api] def stepTimeoutSec: Long =
+    sys.props.get("graft.step.timeout.sec")
+      .orElse(sys.env.get("GRAFT_STEP_TIMEOUT_SEC"))
+      .map(_.toLong).getOrElse(600L)
+
+  /** Run a child with stdout+stderr streamed to `logFile` (NOT buffered
+    * in driver memory — a stdout-flooding step otherwise pressures the
+    * JVM it was isolated from), a hard deadline, and only the log TAIL
+    * read back for error messages.
+    */
+  private[api] def runLogged(pb: ProcessBuilder,
+      logFile: java.nio.file.Path, what: String): Unit = {
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile.toFile)
+    val proc = pb.start()
+    val deadline = stepTimeoutSec
+    val finished =
+      proc.waitFor(deadline, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      throw new RuntimeException(
+        s"$what timed out after ${deadline}s (killed):\n${tailOf(logFile)}")
+    }
+    val code = proc.exitValue()
+    if (code != 0)
+      throw new RuntimeException(
+        s"$what failed (exit $code):\n${tailOf(logFile)}")
+  }
+
+  /** Last ~2000 bytes of a (possibly huge) log file, without loading it. */
+  private def tailOf(p: java.nio.file.Path, n: Int = 2000): String =
+    try {
+      val raf = new java.io.RandomAccessFile(p.toFile, "r")
+      try {
+        val len = raf.length()
+        raf.seek(math.max(0L, len - n))
+        val buf = new Array[Byte](math.min(n.toLong, len).toInt)
+        raf.readFully(buf)
+        new String(buf, UTF_8)
+      } finally raf.close()
+    } catch { case _: Exception => "(no output captured)" }
+
+  /** Recursive delete, best-effort (scratch-dir reclamation). */
+  private[api] def deleteRec(p: java.nio.file.Path): Unit =
+    try {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    } catch { case _: Exception => () }
+
+  private val envCache =
+    scala.collection.concurrent.TrieMap.empty[List[String], String]
+
+  /** B12's dependency-environment half: the interpreter for a model's
+    * declared requirement set — a venv cached by the hash of the sorted
+    * requirements, the reference's `get_or_create` idea
+    * (`/root/reference/projects/fal/src/fal/packages/environments/
+    * virtual_env.py:35-60` keys a reusable venv dir on the dependency
+    * hash). `--system-site-packages` keeps the bridge's own
+    * pandas+pyarrow handoff importable; requirements that are local
+    * files/dirs (wheels) install with `--no-index` so declared-offline
+    * sets never touch a package index. A `.graft_ok` marker validates
+    * the cache across processes; a failed build leaves no marker and is
+    * rebuilt on next touch.
+    */
+  def pythonFor(requirements: Seq[String]): String =
+    if (requirements.isEmpty) "python3"
+    else envCache.getOrElseUpdate(requirements.sorted.toList, {
+      val reqs = requirements.sorted
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(reqs.mkString("\n").getBytes(UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.env.cache",
+          sys.props("java.io.tmpdir") + "/graft_envs"))
+      Files.createDirectories(base)
+      val envDir = base.resolve(s"env_$digest")
+      val py = envDir.resolve("bin").resolve("python").toString
+      val marker = envDir.resolve(".graft_ok")
+      if (!Files.exists(marker)) {
+        deleteRec(envDir) // half-built leftovers from a failed attempt
+        runLogged(
+          new ProcessBuilder("python3", "-m", "venv",
+            "--system-site-packages", envDir.toString),
+          base.resolve(s"env_$digest.venv.log"), s"venv create $digest")
+        val allLocal = requirements.forall(r =>
+          Files.exists(java.nio.file.Paths.get(r)))
+        val pip = envDir.resolve("bin").resolve("pip").toString
+        val cmd = Seq(pip, "install", "--no-input") ++
+          (if (allLocal) Seq("--no-index") else Nil) ++ requirements
+        runLogged(new ProcessBuilder(cmd: _*),
+          base.resolve(s"env_$digest.pip.log"), s"pip install $digest")
+        Files.writeString(marker, reqs.mkString("\n"))
+      }
+      py
+    })
+
   /** Materialize `deps` refs to parquet, run the Python model in a
     * spawned interpreter, and return its result as a DataFrame (the
     * caller writes it back with `writeToModel`, so versioning /
@@ -108,9 +211,10 @@ object PyBridge {
     * FAILs and downstream nodes SKIP, the reference's task semantics.
     */
   def runModel(a: FalApi, name: String, deps: Seq[String],
-      pyFile: String): DataFrame = {
+      pyFile: String, requirements: Seq[String] = Nil): DataFrame = {
     require(available,
       "python3 with pandas+pyarrow not found; Python models need it")
+    val python = pythonFor(requirements)
     val tmp = Files.createTempDirectory(s"graft_py_$name")
     val inputs = deps.map { d =>
       val p = tmp.resolve(s"in_$d").toString
@@ -134,15 +238,20 @@ object PyBridge {
     val runner = tmp.resolve("graft_py_runner.py")
     Files.writeString(runner, runnerPy)
 
-    val pb = new ProcessBuilder("python3", runner.toString,
-      manifest.toString)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes(), UTF_8)
-    val code = proc.waitFor()
-    if (code != 0)
-      throw new RuntimeException(
-        s"python model $name failed (exit $code):\n${log.takeRight(2000)}")
+    val logFile = tmp.resolve("model.log")
+    try runLogged(
+      new ProcessBuilder(python, runner.toString, manifest.toString),
+      logFile, s"python model $name")
+    catch { case t: Throwable => deleteRec(tmp); throw t }
+    // Handoff complete: reclaim the input copies now. out.parquet must
+    // outlive this call (the returned DataFrame reads it lazily until
+    // writeToModel materializes it), so the rest of tmp is reclaimed at
+    // JVM exit.
+    inputs.foreach { case (_, p) => deleteRec(java.nio.file.Paths.get(p)) }
+    Files.deleteIfExists(manifest)
+    Files.deleteIfExists(runner)
+    Files.deleteIfExists(logFile)
+    sys.addShutdownHook(deleteRec(tmp))
     a.spark.read.parquet(outPath)
   }
 }

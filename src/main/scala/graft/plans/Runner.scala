@@ -123,8 +123,8 @@ object Runner {
         // D1's flagship: the user's actual Python file, run isolated in
         // its own interpreter with parquet handoff (PyBridge); the
         // result re-enters the exact same write/test path as Scala/SQL
-        case ModelKind.Python(py) =>
-          graft.api.PyBridge.runModel(a, name, m.deps, py)
+        case ModelKind.Python(py, env) =>
+          graft.api.PyBridge.runModel(a, name, m.deps, py, env)
         // seeds re-load their CSV each run (dbt semantics: `dbt seed`
         // refreshes from the checked-in file); header + inferSchema
         // give typed columns, as dbt's agate-based type inference does

@@ -18,6 +18,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Normalize the events `ts` column to session-TZ TimestampType for
+    * either source encoding (int64 nanos under nanosAsLong → µs
+    * truncation; timestamp[µs] arrives TIMESTAMP_NTZ → cast). Pure
+    * projection, so it works identically on batch and streaming frames
+    * — the same branch `graft.Tables.load` applies.
+    */
+  def tsToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
@@ -169,10 +184,9 @@ object StreamOps {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-source streaming wants a directory; glob-filter to the events
     // table (a production layout has a directory per table)
-    val stream = spark.readStream.schema(schema)
+    val stream = tsToTimestamp(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
     val q = tumblingCounts(stream)
       .writeStream.format("memory").queryName("tumbling_demo")
       .outputMode(OutputMode.Append()).start()

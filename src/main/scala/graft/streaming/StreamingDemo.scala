@@ -21,9 +21,9 @@ object StreamingDemo {
     import org.apache.spark.sql.functions._
 
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def source() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def source() = StreamOps.tsToTimestamp(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
 
     // 1. windowed aggregation to a queryable in-memory sink
     val q1 = StreamOps.tumblingCounts(source())

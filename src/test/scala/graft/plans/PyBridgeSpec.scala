@@ -68,6 +68,63 @@ class PyBridgeSpec extends AnyFunSuite {
     assert(row.getLong(2) == 3) // original columns survived the hop
   }
 
+  test("python model with declared environment runs in a cached venv") {
+    assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
+    // Hand-build a pure-python wheel (a wheel is a zip + dist-info; no
+    // build backend or index needed) — the offline stand-in for the
+    // reference's `fal_environment` requirement sets.
+    val wheelDir = Files.createTempDirectory("graft-wheel")
+    val whl = wheelDir.resolve("graft_demo_pkg-0.1-py3-none-any.whl")
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(whl))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("graft_demo_pkg/__init__.py",
+      "def tag():\n    return \"from-venv\"\n")
+    entry("graft_demo_pkg-0.1.dist-info/METADATA",
+      "Metadata-Version: 2.1\nName: graft-demo-pkg\nVersion: 0.1\n")
+    entry("graft_demo_pkg-0.1.dist-info/WHEEL",
+      "Wheel-Version: 1.0\nGenerator: graft\nRoot-Is-Purelib: true\n" +
+        "Tag: py3-none-any\n")
+    entry("graft_demo_pkg-0.1.dist-info/RECORD",
+      "graft_demo_pkg/__init__.py,,\n" +
+        "graft_demo_pkg-0.1.dist-info/METADATA,,\n" +
+        "graft_demo_pkg-0.1.dist-info/WHEEL,,\n" +
+        "graft_demo_pkg-0.1.dist-info/RECORD,,\n")
+    zos.close()
+
+    val api = freshApi()
+    api.registry.register(baseModel)
+    val proj = Files.createTempDirectory("graft-pyenv")
+    val pyFile = proj.resolve("enriched_env.py")
+    Files.writeString(pyFile,
+      """import graft_demo_pkg
+        |
+        |def model(dbt, fal):
+        |    df = dbt.ref("base_model")
+        |    df["origin"] = graft_demo_pkg.tag()
+        |    return df
+        |""".stripMargin)
+    api.registry.register(ModelDef("enriched_env",
+      ModelKind.Python(pyFile.toString, environment = Seq(whl.toString)),
+      deps = Seq("base_model")))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    val out = api.ref("enriched_env")
+    assert(out.count() == 3)
+    import org.apache.spark.sql.functions._
+    assert(out.filter(col("origin") === "from-venv").count() == 3)
+    // second resolution of the same requirement set hits the cache:
+    // same interpreter path, and the venv dir carries the ok marker
+    val py1 = PyBridge.pythonFor(Seq(whl.toString))
+    val py2 = PyBridge.pythonFor(Seq(whl.toString))
+    assert(py1 == py2 && py1 != "python3")
+    assert(Files.exists(java.nio.file.Paths.get(py1).getParent
+      .getParent.resolve(".graft_ok")))
+  }
+
   test("crashing python model FAILs, downstream SKIPs, session survives") {
     assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
     val api = freshApi()
