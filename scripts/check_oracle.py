@@ -129,7 +129,12 @@ def main():
             note = "" if not problems else f"  ({'; '.join(problems)})"
             print(f"PASS {qname} ({len(spark_df)} rows){note}")
             n_pass += 1
-    missing = set(oracle) - set(result_dirs)
+    errs_path = os.path.join(outdir, "errors.json")
+    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
+    for qname, msg in sorted(errs.items()):
+        print(f"FAIL {qname}: spark-side error: {msg}")
+        n_fail += 1
+    missing = set(oracle) - set(result_dirs) - set(errs)
     for qname in sorted(missing):
         print(f"FAIL {qname}: no spark result written")
         n_fail += 1

@@ -19,6 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.tune(spark)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,9 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.put(name,
+            s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +47,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failures are a first-class artifact: a missing result dir must
+    // read as an ERROR, not silently vanish from the correctness record
+    // (round 6 lost 21 rows that way). The final VERIFY_ERRORS line is
+    // also a grep-able tail marker for the driver's captured output.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    println(s"VERIFY_ERRORS=${failed.size}")
     spark.stop()
   }
 }
