@@ -53,6 +53,13 @@ object GraftConf {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Generated-class cache (STATIC conf — builder only): the
+      // 100-entry default evicts an iterative query's compiled stages
+      // during a many-query session (145 queries × several codegen
+      // units each), so its next run pays Janino recompiles instead of
+      // cache hits — measured as q_pagerank 7.5 s single-shot after a
+      // full warm pass vs 1.3 s steady.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

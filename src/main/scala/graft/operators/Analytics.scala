@@ -189,15 +189,18 @@ object Analytics extends QueryPack {
         sum(col("daily").cast("decimal(28,4)")).over(all).cast("double"))
       .withColumn("n", count(lit(1)).over(all).cast("double"))
       .withColumn("dev", col("daily") - col("tot") / col("n"))
-      // dev is quantized with the bitwise-portable floor(x*1e4+0.5)/1e4
-      // (round half toward +inf, same in both engines) before the exact
-      // decimal cumulative sum: round(·, 4) can land on half-way points
-      // (tot/n with a power-of-two day count) where Spark HALF_UP and
-      // DuckDB nearbyint disagree. The share is a raw quotient of two
-      // exact-operand doubles — identical bits, no rounding needed.
+      // dev is quantized with the bitwise-portable floor(x*1e4+0.5)
+      // (round half toward +inf, same in both engines) and accumulated
+      // as an exact INTEGER before one final /1e4: round(·, 4) can land
+      // on half-way points (tot/n with a power-of-two day count) where
+      // Spark HALF_UP and DuckDB nearbyint disagree, and a double→
+      // DECIMAL(28,8) cast of the quantized quotient diverges too once
+      // |dev| ~ 1e7 (DuckDB scales by 10^8 in double space, ulp ≈ 0.1
+      // at 1e15; Spark converts exactly) — integers sidestep both. The
+      // share is a raw quotient of exact-operand doubles.
       .withColumn("cusum",
-        sum((floor(col("dev") * 1e4 + 0.5) / 1e4).cast("decimal(28,8)"))
-          .over(cum).cast("double"))
+        (sum(floor(col("dev") * 1e4 + 0.5).cast("long"))
+          .over(cum).cast("double") / 1e4))
       .select(col("d"), col("daily"),
         (col("cusum") / col("tot")).as("cusum_share"),
         (abs(col("cusum") / col("tot")) > 0.01).as("is_shift"))
@@ -379,9 +382,9 @@ object Analytics extends QueryPack {
       ),
       cu AS (
         SELECT d, daily, tot,
-               CAST(SUM(CAST(floor(dev * 1e4 + 0.5) / 1e4 AS DECIMAL(28,8)))
+               CAST(SUM(CAST(floor(dev * 1e4 + 0.5) AS BIGINT))
                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS DOUBLE) AS cusum
+                       AND CURRENT ROW) AS DOUBLE) / 1e4 AS cusum
         FROM dv
       )
       SELECT d, daily, cusum / tot AS cusum_share,

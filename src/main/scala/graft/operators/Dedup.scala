@@ -415,7 +415,10 @@ object Dedup extends QueryPack {
     // Precompute each vector's norm once (linear) so the quadratic pair
     // stage evaluates a single dot product per pair, not three. The dot
     // itself is the codegen'd native expression (graft.functions
-    // .DotProduct) — same fold order, so still bitwise oracle-equal.
+    // .DotProduct) — same fold order — and the quotient goes through
+    // [[graft.operators.clampCos]]: identical-vector pairs (exact
+    // duplicates in the corpus) land 1 ulp above 1.0, which DuckDB's
+    // list_cosine_similarity clamps away.
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("norm",
@@ -427,8 +430,8 @@ object Dedup extends QueryPack {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        expr("graft_dot_product(emb_a, emb_b)") /
-          (col("norm_a") * col("norm_b")))
+        clampCos(expr("graft_dot_product(emb_a, emb_b)") /
+          (col("norm_a") * col("norm_b"))))
       .filter(col("cosine") > 0.95)
       .select(col("vec_a"), col("vec_b"),
         col("label").cast("long").as("label"), col("cosine"))

@@ -19,7 +19,9 @@ object Similarity extends QueryPack {
 
   /** E6a — brute-force cosine top-k: 10 query vectors (vec_id < 10)
     * against the rest of the corpus, top 5 each. Oracle-checked bitwise
-    * (sequential-fold dot product).
+    * (sequential-fold dot product, and [[clampCos]] on the quotient —
+    * identical-vector pairs land 1 ulp ABOVE 1.0, which DuckDB's
+    * list_cosine_similarity clamps away).
     */
   def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -36,8 +38,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries))
       .withColumn("cosine",
-        expr("graft_dot_product(q_emb, c_emb)") /
-          (col("q_norm") * col("c_norm")))
+        clampCos(expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm"))))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -91,8 +93,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.join(broadcast(queries), Seq("bucket"))
       .withColumn("cosine",
-        expr("graft_dot_product(q_emb, c_emb)") /
-          (col("q_norm") * col("c_norm")))
+        clampCos(expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm"))))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -130,8 +132,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cos_c").desc, col("cent_id"))
     val assigned = e.join(broadcast(cents))
       .withColumn("cos_c",
-        expr("graft_dot_product(embedding, cent_emb)") /
-          (col("norm") * col("cent_norm")))
+        clampCos(expr("graft_dot_product(embedding, cent_emb)") /
+          (col("norm") * col("cent_norm"))))
       .withColumn("crank", row_number().over(byVec))
     val corpusCells = assigned.filter(col("vec_id") >= 10 && col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"),
@@ -145,8 +147,8 @@ object Similarity extends QueryPack {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("cosine",
-        expr("graft_dot_product(q_emb, c_emb)") /
-          (col("q_norm") * col("c_norm")))
+        clampCos(expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm"))))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")

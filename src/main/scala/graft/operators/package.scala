@@ -33,6 +33,18 @@ package object operators {
     */
   def davg(c: Column): Column = dsum(c) / count(c).cast(DoubleType)
 
+  /** Cosine-similarity clamp to [-1, 1]. The raw quotient
+    * `dot/(‖a‖·‖b‖)` lands 1 ulp OUTSIDE the interval on
+    * (near-)identical vector pairs; DuckDB's list_cosine_similarity
+    * clamps (verified empirically: it is exactly
+    * `clamp(dot/(sqrt(na)*sqrt(nb)), -1, 1)` on sequential-fold
+    * accumulators), and the clamp is also what downstream thresholds
+    * (`> 0.95` near-dup cuts) want — a mathematical cosine never
+    * exceeds 1.
+    */
+  def clampCos(c: Column): Column =
+    greatest(lit(-1.0), least(lit(1.0), c))
+
   /** DuckDB twin of [[dsum]]. */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
