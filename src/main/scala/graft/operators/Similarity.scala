@@ -59,17 +59,28 @@ object Similarity extends QueryPack {
   }
 
   /** E6b — LSH-bucketed ANN: 8 random-hyperplane sign bits per vector,
-    * candidates share the full 8-bit bucket, then exact cosine
-    * re-ranking within the bucket. Fully oracle-checked: the plane
-    * matrix is a literal shared with the generated DuckDB SQL, and the
-    * sign-bit dot products fold sequentially in both engines, so bucket
-    * assignments — hence candidates, ranks and cosines — match exactly.
+    * multi-probe on the query side (the exact bucket plus its 8
+    * Hamming-1 neighbors — the bits most likely to have flipped for a
+    * true neighbor near a plane), then exact cosine re-ranking within
+    * the probed buckets. Multi-probe is the standard recall lever that
+    * avoids building extra hash tables: 9 of 256 buckets ≈ 3.5% scan
+    * fraction, and it lifted measured recall@5 on the sf0.001 fixture
+    * from 0.02 (exact-bucket only) to the value ApproxQualitySpec pins.
+    * Fully oracle-checked: the plane matrix is a literal shared with
+    * the generated DuckDB SQL, the probe set is a literal XOR fan-out,
+    * and the sign-bit dot products fold sequentially in both engines,
+    * so bucket assignments — hence candidates, ranks and cosines —
+    * match exactly.
     *
     * Scale: bucketing is one linear codegen'd pass over the corpus; the
-    * join shuffles on the bucket key only, and scoring is quadratic only
-    * within a bucket — the same structure an IVF index gives, with
-    * bucket width (bits) trading recall for scan fraction.
+    * probe fan-out multiplies only the tiny broadcast query side (9
+    * rows per query); the join shuffles on the bucket key only, and
+    * scoring is quadratic only within a bucket — the same structure an
+    * IVF index gives, with bucket width (bits) and probe radius trading
+    * recall for scan fraction.
     */
+  private[operators] val lshFlips: Seq[Long] = 0L +: (0 until 8).map(1L << _)
+
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = t(spark, dir, "embeddings")
@@ -82,9 +93,12 @@ object Similarity extends QueryPack {
       .withColumn("bucket", expr(s"CAST($bucketSql AS BIGINT)"))
       .withColumn("norm",
         sqrt(expr("graft_dot_product(embedding, embedding)")))
+    val probes = array(lshFlips.map(f => lit(f)): _*)
     val queries = e2.filter(col("vec_id") < 10)
+      .withColumn("flip", explode(probes))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket"))
+        col("norm").as("q_norm"),
+        expr("CAST(bucket ^ flip AS BIGINT)").as("bucket"))
     val candidates = e2.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("norm").as("c_norm"),
@@ -157,23 +171,26 @@ object Similarity extends QueryPack {
 
   /** E6d — product-quantization ANN (the memory-bound 100 TB path: PQ
     * codes are ~8 bytes/vector vs 256 for the raw floats, so a shard's
-    * index fits executor RAM): the 64-dim space splits into 8 subspaces
-    * of 8 dims; each subspace quantizes to the nearest of 8 centroids
-    * (the same deterministically-sampled vectors as the IVF cells, so
-    * assignment stays bitwise portable — no Lloyd iterations); a corpus
-    * vector is its 8 centroid codes. Queries stay unquantized and score
-    * by asymmetric distance (ADC): approx L2² = Σ_m ‖q_sub(m) −
-    * centroid(code_m)‖², looked up from a per-query table of 8×8
-    * precomputed sub-distances.
+    * index fits executor RAM): the 64-dim space splits into 16
+    * subspaces of 4 dims; each subspace quantizes to the nearest of 16
+    * centroids (deterministically-sampled vectors, so assignment stays
+    * bitwise portable — no Lloyd iterations); a corpus vector is its 16
+    * centroid codes (16 × 4 bits — the same 8-byte budget as the
+    * earlier 8×8 layout, but quartering the per-subspace quantization
+    * cell volume lifted measured recall@5 on the sf0.001 fixture from
+    * 0.10 to 0.14, pinned by ApproxQualitySpec). Queries stay
+    * unquantized and score by asymmetric distance (ADC): approx L2² =
+    * Σ_m ‖q_sub(m) − centroid(code_m)‖², looked up from a per-query
+    * table of 16×16 precomputed sub-distances.
     *
     * Fully oracle-checked: sub-distances are sequential-fold dot
-    * products of exact double differences, the ADC sum adds the 8
+    * products of exact double differences, the ADC sum adds the 16
     * per-subspace terms in a fixed order (CASE-pivot then s0+…+s7 —
     * a grouped sum over doubles would be partition-order-dependent),
     * and every argmin tie-breaks on centroid id.
     *
     * Scale: encoding is one broadcast map pass (K·M sub-distances per
-    * vector, no shuffle); the ADC table is queries×64 rows and
+    * vector, no shuffle); the ADC table is queries×256 rows and
     * broadcasts; scoring is a map over the code table + one grouped
     * fixed-width sum — the corpus never moves.
     */
@@ -182,9 +199,9 @@ object Similarity extends QueryPack {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
     val cents = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
-      .orderBy("vec_id").limit(8)
+      .orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
-    // per (vector, centroid, subspace m): squared L2 over the 8-dim
+    // per (vector, centroid, subspace m): squared L2 over the 4-dim
     // subvector via ‖v‖²+‖c‖²−2v·c on codegen'd slice + dot-product
     // expressions. (Measured and rejected: a transform() lambda of
     // per-dim differences folded by dot(d,d) — the interpreted
@@ -195,10 +212,10 @@ object Similarity extends QueryPack {
     // so sd stays bitwise-portable.)
     val sub = e.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        explode(sequence(lit(0), lit(7))).as("m"), col("emb"),
+        explode(sequence(lit(0), lit(15))).as("m"), col("emb"),
         col("cent_emb"))
-      .withColumn("vs", expr("slice(emb, m * 8 + 1, 8)"))
-      .withColumn("cs", expr("slice(cent_emb, m * 8 + 1, 8)"))
+      .withColumn("vs", expr("slice(emb, m * 4 + 1, 4)"))
+      .withColumn("cs", expr("slice(cent_emb, m * 4 + 1, 4)"))
       .select(col("vec_id"), col("cent_id"), col("m"),
         (expr("graft_dot_product(vs, vs)") +
           expr("graft_dot_product(cs, cs)") -
@@ -215,7 +232,7 @@ object Similarity extends QueryPack {
     val qd = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
         col("sd"))
-    val perSub = (0 until 8).map(i =>
+    val perSub = (0 until 16).map(i =>
       sum(when(col("m") === i, col("sd"))).as(s"s$i"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
@@ -224,7 +241,7 @@ object Similarity extends QueryPack {
       .groupBy("query_id", "neighbor_id")
       .agg(perSub.head, perSub.tail: _*)
       .withColumn("approx_dist",
-        (0 until 8).map(i => col(s"s$i")).reduce(_ + _))
+        (0 until 16).map(i => col(s"s$i")).reduce(_ + _))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "approx_dist")
@@ -270,8 +287,12 @@ object Similarity extends QueryPack {
                CAST($bucketSql AS BIGINT) AS bucket
         FROM e
       ),
-      q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket
-            FROM eb WHERE vec_id < 10),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb,
+                   CAST(xor(bucket, flip) AS BIGINT) AS bucket
+            FROM eb,
+                 (SELECT unnest([${Similarity.lshFlips.mkString(", ")}])
+                    AS flip) fs
+            WHERE vec_id < 10),
       c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, bucket
             FROM eb WHERE vec_id >= 10),
       scored AS (
@@ -329,10 +350,10 @@ object Similarity extends QueryPack {
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_pq_topk" -> {
-      val perSub = (0 until 8)
+      val perSub = (0 until 16)
         .map(i => s"sum(CASE WHEN m = $i THEN sd END) AS s$i")
         .mkString(",\n               ")
-      val addSub = (0 until 8).map(i => s"s$i").mkString(" + ")
+      val addSub = (0 until 16).map(i => s"s$i").mkString(" + ")
       s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -340,7 +361,7 @@ object Similarity extends QueryPack {
       cents AS (
         SELECT vec_id AS cent_id, emb AS cent_emb FROM e
         WHERE vec_id >= 10 AND vec_id % 59 = 0
-        ORDER BY vec_id LIMIT 8
+        ORDER BY vec_id LIMIT 16
       ),
       sub AS (
         SELECT vec_id, cent_id, m,
@@ -348,9 +369,9 @@ object Similarity extends QueryPack {
                  - 2.0 * list_dot_product(vs, cs) AS sd
         FROM (
           SELECT e.vec_id, cent_id, m,
-                 e.emb[m * 8 + 1 : m * 8 + 8] AS vs,
-                 cent_emb[m * 8 + 1 : m * 8 + 8] AS cs
-          FROM e, cents, (SELECT unnest(range(0, 8)) AS m) ms
+                 e.emb[m * 4 + 1 : m * 4 + 4] AS vs,
+                 cent_emb[m * 4 + 1 : m * 4 + 4] AS cs
+          FROM e, cents, (SELECT unnest(range(0, 16)) AS m) ms
         )
       ),
       codes AS (

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic-quality gates for the approximate operators.
+  *
+  * The DuckDB oracle already pins these queries bitwise (the hash
+  * families and fold orders are portable), but bitwise determinism says
+  * nothing about whether the cheap path FINDS what the exact path
+  * finds. These specs measure that directly on sf0.001:
+  *
+  *  - ANN recall@5: the LSH / IVF / PQ top-k against the brute-force
+  *    cosine ground truth (the standard ANN quality metric).
+  *  - Dedup recall: MinHash-LSH candidate pairs against the exact
+  *    shingle-Jaccard pairs the banding + 16-perm estimate is meant to
+  *    recover.
+  *
+  * Thresholds sit just below the measured values so a regression in the
+  * banding, plane set, centroid sampling, or signature family fails
+  * loudly rather than silently degrading quality.
+  */
+class ApproxQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame,
+      a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val annTruth: Set[(Long, Long)] =
+    pairs(Similarity.simBruteTopk(spark, dir), "query_id", "neighbor_id")
+
+  private def annRecall(df: org.apache.spark.sql.DataFrame): Double =
+    (pairs(df, "query_id", "neighbor_id") & annTruth).size.toDouble /
+      annTruth.size
+
+  // Context for the absolute numbers: the fixture's embeddings are
+  // near-iid (a query's best corpus cosine is ~0.33-0.39 against a
+  // ~0 mean — there is no planted neighbor structure in this table),
+  // so ANY sublinear index's recall is bounded near its scan fraction
+  // times a modest signal gain. What these pin is that gain: each
+  // variant must beat random candidate selection at its scan budget,
+  // and must not regress below its measured value.
+
+  test("IVF ANN recall@5 vs brute force") {
+    // nprobe 2 of 8 cells = 25% scan fraction; measured 0.42 ≈ 1.7x
+    // the random-scan baseline
+    val r = annRecall(Similarity.simIvfTopk(spark, dir))
+    info(f"ivf recall@5 = $r%.3f (25%% scan)")
+    assert(r >= 0.30, f"IVF recall@5 degraded to $r%.3f")
+  }
+
+  test("PQ-ADC ANN recall@5 vs brute force") {
+    // PQ scans everything but through 8-byte codes (32x compression);
+    // its quality axis is quantization distortion, not pruning.
+    // Measured 0.14 with 16 subspaces x 16 sampled centroids (the
+    // 8x8 layout at the same byte budget measured 0.10).
+    val r = annRecall(Similarity.simPqTopk(spark, dir))
+    info(f"pq recall@5 = $r%.3f (8-byte codes)")
+    assert(r >= 0.10, f"PQ recall@5 degraded to $r%.3f")
+  }
+
+  test("hyperplane-LSH ANN recall@5 vs brute force") {
+    // multi-probe Hamming<=1: 9 of 256 buckets = 3.5% scan fraction;
+    // measured 0.06 ≈ 1.7x the random-scan baseline (exact-bucket
+    // probing measured 0.02 at 0.4% scan)
+    val r = annRecall(Similarity.simLshTopk(spark, dir))
+    info(f"lsh recall@5 = $r%.3f (3.5%% scan)")
+    assert(r >= 0.04, f"LSH recall@5 degraded to $r%.3f")
+  }
+
+  test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {
+    val exact = Dedup.ddNgramJaccard(spark, dir)
+    val strong = pairs(exact.filter(
+      org.apache.spark.sql.functions.col("jaccard") >= 0.7),
+      "doc_a", "doc_b")
+    val got = pairs(Dedup.ddMinhashLsh(spark, dir), "doc_a", "doc_b")
+    assert(strong.nonEmpty, "fixture has no strong near-dup pairs")
+    val recall = (got & strong).size.toDouble / strong.size
+    info(f"minhash-lsh recall (jaccard>=0.7): $recall%.3f over ${strong.size} pairs")
+    assert(recall >= 0.90, f"LSH dedup recall degraded to $recall%.3f")
+  }
+}
