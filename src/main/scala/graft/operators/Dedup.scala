@@ -263,19 +263,28 @@ object Dedup extends QueryPack {
     * agg already collapses to one 16-long row per doc before the
     * shuffle.)
     */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    sigsOf(corpus(spark, dir).select("doc_id", "text")).cache()
+
+  /** MinHash signatures of an arbitrary (doc_id, text) frame — the
+    * per-document kernel shared by the batch corpus runs above and the
+    * streaming ingest probe ([[graft.streaming.StreamDedup]]): a doc's
+    * signature depends only on its own text, so a batch run over the
+    * whole corpus and a stream of micro-batches produce identical rows.
+    */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs)
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
           .as("b"))
     val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
       expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
     }
-    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).cache()
+    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
   }
 
   /** 4-band × 4-row banding of a signature table → (doc_id, band, bk). */
-  private def bandedOf(sigs: DataFrame): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (1 to 4).map(r => col(s"s${bnd * 4 + r}")): _*)
@@ -295,9 +304,15 @@ object Dedup extends QueryPack {
     * more than the two narrow broadcast joins they replace.)
     */
   private def scoreCandidates(cands: DataFrame, sigs: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
-    val sigA = sigs.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
-    val sigB = sigs.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
+      aCol: String, bCol: String): DataFrame =
+    scoreAgainst(cands, sigs, sigs, aCol, bCol)
+
+  /** Two-sided variant: the a-side and b-side signatures come from
+    * different tables (streaming probe batch vs standing index). */
+  private[graft] def scoreAgainst(cands: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sigA = sigsA.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigsB.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
     val nMatch = (1 to 16)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -343,16 +358,29 @@ object Dedup extends QueryPack {
     *
     * Same portable hash family as ddMinhashLsh → fully oracle-checked.
     */
-  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
-    // bb = "band:bk" is injective in (band, bk), so one bucket/join key
-    def bb(banded: DataFrame): DataFrame =
-      banded.withColumn("bb", concat_ws(":", col("band"), col("bk")))
-    val sigs = Shared.model(spark, dir, "graft_lsh_sigs", "doc_id",
+  /** bb = "band:bk" is injective in (band, bk): one bucket/join key. */
+  private[graft] def withBb(banded: DataFrame): DataFrame =
+    banded.withColumn("bb", concat_ws(":", col("band"), col("bk")))
+
+  /** Standing signature model (full corpus, bucketed on doc_id) —
+    * shared by the batch probe and [[graft.streaming.StreamDedup]]. */
+  private[graft] def sigModel(spark: SparkSession, dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_lsh_sigs", "doc_id",
       (s, d) => minhashSigs(s, d))
-    val index = Shared.model(spark, dir, "graft_lsh_band_index", "bb",
-      (s, d) => bb(bandedOf(
+
+  /** Standing band index over the accumulated (non-ingest) corpus,
+    * bucketed on the combined band key — the structure every batch or
+    * streaming probe joins against. */
+  private[graft] def bandIndexModel(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_lsh_band_index", "bb",
+      (s, d) => withBb(bandedOf(
         minhashSigs(s, d).filter(col("doc_id") % 10 =!= 9))))
-    val probe = bb(bandedOf(sigs.filter(col("doc_id") % 10 === 9)))
+
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sigModel(spark, dir)
+    val index = bandIndexModel(spark, dir)
+    val probe = withBb(bandedOf(sigs.filter(col("doc_id") % 10 === 9)))
     val cands = probe.as("a").join(index.as("b").hint("shuffle_hash"),
         col("a.bb") === col("b.bb"))
       .select(col("a.doc_id").as("new_doc"),
