@@ -400,25 +400,34 @@ object Dedup extends QueryPack {
     * exactly (it votes via an explode(60 bits) — same math, slower
     * shape; the Spark side keeps the fixed-buffer one-pass aggregate).
     */
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document 60-bit SimHash signatures (one-pass portable-hash bit
+    * votes); shared by [[ddSimhash]] and the banding-recall guard in
+    * ApproxQualitySpec. */
+  private[graft] def simhashSigs(spark: SparkSession,
+      dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = TextAnalysis.tokens(col("text"))
-    val simhashes = corpus(spark, dir)
+    corpus(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .groupBy("doc_id")
       .agg(expr("graft_simhash(tok)").as("simhash"))
       .cache()
-    // 2 bands × 30 bits: a candidate pair must agree on a full half of
-    // the signature — certain for hamming ≤ 2 pairs when the differing
-    // bits fall in one band, i.e. recall is exact for hamming ≤ 1 and
-    // covers hamming = 2 unless the two flipped bits straddle both
-    // bands; both engines apply the identical rule, so the check is
-    // still exact.
+  }
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val simhashes = simhashSigs(spark, dir)
+    // 3 bands × 20 bits: two flipped bits can dirty at most two of the
+    // three bands (pigeonhole), so every hamming ≤ 2 pair shares at
+    // least one clean band — candidate recall for the operator's own
+    // hamming ≤ 2 contract is exactly 1.0 (pinned by ApproxQualitySpec;
+    // the earlier 2×30 banding measured 0.72 — ~half the hamming-2
+    // pairs straddled the band boundary). Both engines apply the
+    // identical rule, so the check stays exact.
     val banded = simhashes
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(1))).as("band"))
+        explode(sequence(lit(0), lit(2))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftright(simhash, CAST(band * 30 AS INT)) & 1073741823")
+        expr("shiftright(simhash, CAST(band * 20 AS INT)) & 1048575")
           .as("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -855,8 +864,8 @@ object Dedup extends QueryPack {
       ),
       banded AS (
         SELECT doc_id, simhash, band,
-               (simhash >> (band * 30)) & 1073741823 AS band_val
-        FROM sig, (SELECT unnest([0, 1]) AS band) bands
+               (simhash >> (band * 20)) & 1048575 AS band_val
+        FROM sig, (SELECT unnest([0, 1, 2]) AS band) bands
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)

@@ -71,6 +71,53 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(r >= 0.04, f"LSH recall@5 degraded to $r%.3f")
   }
 
+  test("SimHash 3x20 banding recovers every Hamming<=2 pair") {
+    import org.apache.spark.sql.functions._
+    val sigs = Dedup.simhashSigs(spark, dir)
+    val a = sigs.toDF("doc_a", "ha")
+    val b = sigs.toDF("doc_b", "hb")
+    // exhaustive ground truth: every pair within Hamming 2, no banding
+    val truth = pairs(a.join(b, col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(ha ^ hb)") <= 2), "doc_a", "doc_b")
+    val got = pairs(Dedup.ddSimhash(spark, dir), "doc_a", "doc_b")
+    assert(truth.nonEmpty)
+    assert((got -- truth).isEmpty, "banding must not invent pairs")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"simhash banding recall: $recall%.3f over ${truth.size} pairs")
+    // two flipped bits can dirty at most two of the three 20-bit
+    // bands, so at least one band always matches: recall is EXACTLY 1
+    // (the earlier 2x30 banding measured 0.72 here)
+    assert(got == truth,
+      f"SimHash 3-band recall must be exact; got $recall%.3f")
+  }
+
+  test("embedding near-dup label blocking loses no pairs (sf1 subsample)") {
+    import org.apache.spark.sql.functions._
+    val sf1 = "testdata/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists,
+      "sf1 tiling not generated in this checkout")
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic subsample keeps the unblocked brute force cheap
+    val sub = graft.Tables.load(spark, sf1, "embeddings")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    val a = sub.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
+      col("norm").as("na"))
+    val b = sub.select(col("vec_id").as("vec_b"), col("emb").as("eb"),
+      col("norm").as("nb"))
+    val truth = pairs(a.join(b, col("vec_a") < col("vec_b"))
+      .filter(clampCos(expr("graft_dot_product(ea, eb)") /
+        (col("na") * col("nb"))) > 0.95), "vec_a", "vec_b")
+    val blocked = pairs(Dedup.ddEmbeddingNeardup(spark, sf1)
+      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0),
+      "vec_a", "vec_b")
+    assert(truth.nonEmpty, "sf1 tiling should plant clone pairs")
+    info(s"label blocking: ${truth.size} true pairs in subsample")
+    assert(blocked == truth,
+      "label-blocked near-dup must find exactly the brute-force pairs")
+  }
+
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {
     val exact = Dedup.ddNgramJaccard(spark, dir)
     val strong = pairs(exact.filter(
