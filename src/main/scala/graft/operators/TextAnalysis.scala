@@ -78,17 +78,20 @@ object TextAnalysis extends QueryPack {
     * order). A real pipeline swaps the scorer; the plumbing — per-row
     * score vector → argmax — is the operator.
     */
-  def txLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds per-language stopword scores (s_en..s_zh) and the argmax
+    * `predicted_lang` to any frame with a `text` column — the per-row
+    * language-ID kernel shared by [[txLangid]] and the streaming
+    * curation gate ([[graft.streaming.StreamCuration]]). Row-local, so
+    * batch and stream evaluate identically.
+    */
+  private[graft] def langidOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), toks.as("toks"))
-      .select(col("doc_id"), col("lang"),
-        stopCount(col("toks"), "en").as("s_en"),
-        stopCount(col("toks"), "es").as("s_es"),
-        stopCount(col("toks"), "de").as("s_de"),
-        stopCount(col("toks"), "fr").as("s_fr"),
-        stopCount(col("toks"), "zh").as("s_zh"))
-    scored
+    docs
+      .withColumn("s_en", stopCount(toks, "en"))
+      .withColumn("s_es", stopCount(toks, "es"))
+      .withColumn("s_de", stopCount(toks, "de"))
+      .withColumn("s_fr", stopCount(toks, "fr"))
+      .withColumn("s_zh", stopCount(toks, "zh"))
       .withColumn("predicted_lang",
         when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"),
           col("s_zh")), "en")
@@ -97,38 +100,57 @@ object TextAnalysis extends QueryPack {
           .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
           .when(col("s_fr") >= col("s_zh"), "fr")
           .otherwise("zh"))
+  }
+
+  def txLangid(spark: SparkSession, dir: String): DataFrame =
+    langidOf(t(spark, dir, "documents").select("doc_id", "lang", "text"))
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         (col("predicted_lang") === col("lang")).as("agrees"),
         col("s_en").cast("long").as("score_en"))
       .orderBy("doc_id")
-  }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length — the filters a pretraining pipeline gates documents
     * on. All ratios are exact count/count double divisions.
     */
-  def txQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds the quality metrics (n_chars, n_tokens, n_punct, n_stop,
+    * punct_ratio, stop_ratio, mean_token_len, passes_gate) to any
+    * frame with a `text` column — the per-row quality kernel shared by
+    * [[txQuality]] and the streaming curation gate. Row-local, so
+    * batch and stream evaluate identically.
+    */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), toks.as("toks"))
-      .select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
-          .cast("long").as("n_punct"),
-        stopCount(col("toks"), "en").cast("long").as("n_stop"))
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("long"))
+      .withColumn("n_stop", stopCount(toks, "en").cast("long"))
+      // empty/degenerate documents (crawl noise) must gate out, not
+      // crash the ANSI-mode division — identical results for any doc
+      // with chars and tokens, which is all the oracle compares
       .withColumn("punct_ratio",
-        col("n_punct").cast("double") / col("n_chars").cast("double"))
+        when(col("n_chars") > 0,
+          col("n_punct").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(1.0)))
       .withColumn("stop_ratio",
-        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("mean_token_len",
-        (col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") /
-          col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          (col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("passes_gate",
         col("n_tokens") >= 10 && col("punct_ratio") < 0.1)
-      .orderBy("doc_id")
   }
+
+  def txQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(t(spark, dir, "documents").select("doc_id", "text"))
+      .drop("text")
+      .orderBy("doc_id")
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other-glyphs), the cheap proxy

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.TextAnalysis
+
+/** Streaming ingest curation — the front of a training-data pipeline
+  * run as documents arrive instead of as a nightly batch: each
+  * micro-batch of (doc_id, text) rows is language-identified, quality-
+  * gated, and its survivors probed against the standing near-dup index,
+  * emitting one curation-decision row per surviving document.
+  *
+  * All three stages are the SAME kernels the batch operators run —
+  * [[TextAnalysis.langidOf]]/[[TextAnalysis.qualityOf]] (row-local
+  * expressions) and [[StreamDedup.probeBatch]] (O(batch) standing-index
+  * probe) — so batch and stream produce identical rows; pinned by
+  * StreamCurationSpec.
+  *
+  * Scale: the gates are whole-stage-codegen column expressions with no
+  * shuffle; the only shuffle per micro-batch is the probe's band join,
+  * which is O(batch) against the pre-bucketed index. At 100 TB of
+  * accumulated corpus the per-batch cost tracks the batch size only.
+  */
+object StreamCuration {
+
+  /** Curation decisions for ONE micro-batch: quality-gated survivors
+    * with language prediction and near-dup verdict (is_dup when the
+    * standing index holds a doc with estimated Jaccard ≥ 0.5).
+    */
+  def curateBatch(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): DataFrame = {
+    val gated = TextAnalysis.langidOf(TextAnalysis.qualityOf(batchDocs))
+      .filter(col("passes_gate"))
+    val dups = StreamDedup.probeBatch(spark, dir,
+        gated.select("doc_id", "text"))
+      .groupBy("new_doc")
+      .agg(count(lit(1)).as("n_dup_matches"),
+        max(col("est_jaccard")).as("max_dup_jaccard"))
+    gated.join(dups, gated("doc_id") === dups("new_doc"), "left")
+      .select(gated("doc_id"), col("predicted_lang"), col("n_tokens"),
+        col("punct_ratio"), col("mean_token_len"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        coalesce(col("max_dup_jaccard"), lit(0.0)).as("max_dup_jaccard"),
+        coalesce(col("n_dup_matches") > 0, lit(false)).as("is_dup"))
+  }
+
+  /** Attach the curation pipeline to a (doc_id, text) document stream
+    * via foreachBatch; `sink` receives each micro-batch's decision
+    * rows. Caller adds checkpointing/trigger options and starts.
+    */
+  def attach(spark: SparkSession, dir: String, docs: DataFrame)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(curateBatch(spark, dir, batch))
+    }
+}
