@@ -45,11 +45,12 @@ class ApproxQualitySpec extends AnyFunSuite {
   // and must not regress below its measured value.
 
   test("IVF ANN recall@5 vs brute force") {
-    // nprobe 2 of 8 cells = 25% scan fraction; measured 0.42 ≈ 1.7x
-    // the random-scan baseline
+    // nprobe 2 of 8 Lloyd-refined cells ≈ 25% scan fraction; measured
+    // 0.56 ≈ 2.3x the random-scan baseline (sampled seeds without the
+    // refinement measured 0.42 at the same scan)
     val r = annRecall(Similarity.simIvfTopk(spark, dir))
-    info(f"ivf recall@5 = $r%.3f (25%% scan)")
-    assert(r >= 0.30, f"IVF recall@5 degraded to $r%.3f")
+    info(f"ivf recall@5 = $r%.3f (~25%% scan)")
+    assert(r >= 0.45, f"IVF recall@5 degraded to $r%.3f")
   }
 
   test("PQ-ADC ANN recall@5 vs brute force") {
