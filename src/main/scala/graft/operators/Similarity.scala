@@ -207,71 +207,125 @@ object Similarity extends QueryPack {
     * codes are ~8 bytes/vector vs 256 for the raw floats, so a shard's
     * index fits executor RAM): the 64-dim space splits into 16
     * subspaces of 4 dims; each subspace quantizes to the nearest of 16
-    * centroids (deterministically-sampled vectors, so assignment stays
-    * bitwise portable — no Lloyd iterations); a corpus vector is its 16
-    * centroid codes (16 × 4 bits — the same 8-byte budget as the
-    * earlier 8×8 layout, but quartering the per-subspace quantization
-    * cell volume lifted measured recall@5 on the sf0.001 fixture from
-    * 0.10 to 0.14, pinned by ApproxQualitySpec). Queries stay
-    * unquantized and score by asymmetric distance (ADC): approx L2² =
-    * Σ_m ‖q_sub(m) − centroid(code_m)‖², looked up from a per-query
-    * table of 16×16 precomputed sub-distances.
+    * sub-centroids — seeded from deterministically-sampled vectors,
+    * then TRAINED by one Lloyd iteration in the bitwise-portable form
+    * (per-dimension member means as exact integer sums quantized to
+    * 1e-7 units, one double division, floor — no order-dependent
+    * double accumulation). A corpus vector is its 16 codes (16 × 4
+    * bits — the 8-byte budget held throughout; sampled 8×8 codebooks
+    * measured recall@5 0.10, sampled 16×16 0.14, trained 16×16 0.22,
+    * pinned by ApproxQualitySpec). Queries stay unquantized and score
+    * by asymmetric distance (ADC): approx L2² = Σ_m ‖q_sub(m) −
+    * centroid(code_m)‖², looked up from a per-query table of 16×16
+    * precomputed sub-distances.
     *
     * Fully oracle-checked: sub-distances are sequential-fold dot
-    * products of exact double differences, the ADC sum adds the 16
-    * per-subspace terms in a fixed order (CASE-pivot then s0+…+s7 —
-    * a grouped sum over doubles would be partition-order-dependent),
-    * and every argmin tie-breaks on centroid id.
+    * products of exact double differences, the codebook training is
+    * integer arithmetic plus two exact single divisions per dimension,
+    * the ADC sum adds the 16 per-subspace terms in a fixed order
+    * (CASE-pivot then s0+…+s15 — a grouped sum over doubles would be
+    * partition-order-dependent), and every argmin tie-breaks on
+    * centroid id.
     *
-    * Scale: encoding is one broadcast map pass (K·M sub-distances per
-    * vector, no shuffle); the ADC table is queries×256 rows and
-    * broadcasts; scoring is a map over the code table + one grouped
-    * fixed-width sum — the corpus never moves.
+    * Scale: both encoding passes are broadcast map passes (K·M
+    * sub-distances per vector, no shuffle); training shuffles only
+    * (m, code, dim) partial sums — M·K·4 rows after map-side combine;
+    * the ADC table is queries×256 rows and broadcasts; scoring is a
+    * map over the code table + one grouped fixed-width sum — the
+    * corpus never moves.
     */
   def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
-    val cents = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
+    val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
       .orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     // per (vector, centroid, subspace m): squared L2 over the 4-dim
     // subvector via ‖v‖²+‖c‖²−2v·c on codegen'd slice + dot-product
     // expressions. (Measured and rejected: a transform() lambda of
     // per-dim differences folded by dot(d,d) — the interpreted
-    // higher-order function allocates an 8-double array per row, and
+    // higher-order function allocates a per-row scratch array, and
     // at local[32] the allocation+GC churn made the FIRST run 25 s vs
     // 5 s at local[4]; the norm identity keeps every term inside
     // whole-stage codegen. The oracle computes the identical identity,
     // so sd stays bitwise-portable.)
-    val sub = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        explode(sequence(lit(0), lit(15))).as("m"), col("emb"),
-        col("cent_emb"))
+    // ‖v−c‖² = vv + cc − 2 v·c with vv/cc precomputed ONCE per
+    // subvector/sub-centroid instead of per pair — the additions keep
+    // the exact order (vv + cc) − 2d of the oracle's three-dot
+    // formulation, so sd is bit-identical while each joined row pays
+    // one 4-dim dot and zero slice allocations
+    val sdExpr = (col("vv") + col("cc") -
+      lit(2.0) * expr("graft_dot_product(vs, cs)")).as("sd")
+    // per (vector, subspace): the sliced subvector and its norm² —
+    // 16 rows per vector, computed once and joined against codebooks
+    val vsubs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(15))).as("m"),
+        col("emb"))
       .withColumn("vs", expr("slice(emb, m * 4 + 1, 4)"))
+      .withColumn("vv", expr("graft_dot_product(vs, vs)"))
+      .select("vec_id", "m", "vs", "vv")
+    val seedSubs = seeds
+      .select(col("cent_id"), explode(sequence(lit(0), lit(15))).as("m"),
+        col("cent_emb"))
       .withColumn("cs", expr("slice(cent_emb, m * 4 + 1, 4)"))
-      .select(col("vec_id"), col("cent_id"), col("m"),
-        (expr("graft_dot_product(vs, vs)") +
-          expr("graft_dot_product(cs, cs)") -
-          lit(2.0) * expr("graft_dot_product(vs, cs)")).as("sd"))
-      .cache()
-    // argmin per (vector, subspace) as a lexicographic struct-min hash
-    // aggregate — same (sd, cent_id) tie-break as a row_number window
-    // without the per-partition sort
-    val codes = sub.filter(col("vec_id") >= 10)
+      .withColumn("cc", expr("graft_dot_product(cs, cs)"))
+      .select("cent_id", "m", "cs", "cc")
+    // pass 1: assign the TRAINING SAMPLE's subvectors (a third of the
+    // corpus — codebooks train on samples at any scale; measured
+    // recall is unchanged vs full-corpus training) to the seed codebook
+    // (argmin per (vector, subspace) as a lexicographic struct-min
+    // hash aggregate — same (sd, cent_id) tie-break as a row_number
+    // window without the per-partition sort)
+    val codes0 = vsubs
+      .filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+      .join(broadcast(seedSubs), "m")
+      .select(col("vec_id"), col("cent_id"), col("m"), sdExpr)
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("sd"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.cent_id").as("code"))
+    // one Lloyd step per subspace: per-dimension quantized member mean
+    // — exact BIGINT sums of 1e-7-unit values, one double division,
+    // floor; both engines compute identical bits
+    val trained = codes0.join(e, "vec_id")
+      .select(col("m"), col("code"),
+        explode(sequence(lit(0), lit(3))).as("pos"), col("emb"))
+      .withColumn("v", expr("emb[m * 4 + pos]"))
+      .groupBy("m", "code", "pos")
+      .agg(sum(expr("CAST(floor(v * 10000000.0D) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("cd", expr(
+        "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5D)" +
+          " AS DOUBLE) / 10000000.0D"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd)))," +
+        " x -> x.cd)").as("cs"))
+      .withColumn("cc", expr("graft_dot_product(cs, cs)"))
+      // M·K rows; cached so the corpus-encode and query-ADC branches
+      // don't each replay the seed-assignment + training passes
+      .cache()
+    // pass 2 sub-distances vs the trained codebook: each trained row
+    // carries its own (m, already-sliced 4-dim sub-centroid + norm²),
+    // so the broadcast join needs no explode or slicing — N·M × K
+    // rows. NOT cached: the two consumers split on vec_id, the filters
+    // push into the scan, and the query-side branch is 10 vectors —
+    // rebuilding it costs less than materializing 12.8M rows
+    val sub = vsubs.join(broadcast(trained), "m")
+      .select(col("vec_id"), col("code"), col("m"), sdExpr)
+    val codes = sub.filter(col("vec_id") >= 10)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("sd"), col("code"))).as("mc"))
       .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
-        col("mc.cent_id").as("code"))
+        col("mc.code").as("code"))
     val qd = sub.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
-        col("sd"))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("code").as("qcode"), col("sd"))
     val perSub = (0 until 16).map(i =>
       sum(when(col("m") === i, col("sd"))).as(s"s$i"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
     codes.join(broadcast(qd),
-        codes("cm") === qd("m") && codes("code") === qd("cent_id"))
+        codes("cm") === qd("m") && codes("code") === qd("qcode"))
       .groupBy("query_id", "neighbor_id")
       .agg(perSub.head, perSub.tail: _*)
       .withColumn("approx_dist",
@@ -411,12 +465,12 @@ object Similarity extends QueryPack {
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ),
-      cents AS (
+      seeds AS (
         SELECT vec_id AS cent_id, emb AS cent_emb FROM e
         WHERE vec_id >= 10 AND vec_id % 59 = 0
         ORDER BY vec_id LIMIT 16
       ),
-      sub AS (
+      sub0 AS (
         SELECT vec_id, cent_id, m,
                list_dot_product(vs, vs) + list_dot_product(cs, cs)
                  - 2.0 * list_dot_product(vs, cs) AS sd
@@ -424,25 +478,61 @@ object Similarity extends QueryPack {
           SELECT e.vec_id, cent_id, m,
                  e.emb[m * 4 + 1 : m * 4 + 4] AS vs,
                  cent_emb[m * 4 + 1 : m * 4 + 4] AS cs
-          FROM e, cents, (SELECT unnest(range(0, 16)) AS m) ms
+          FROM e, seeds, (SELECT unnest(range(0, 16)) AS m) ms
+          WHERE e.vec_id >= 10 AND e.vec_id % 3 = 0
         )
       ),
-      codes AS (
-        SELECT vec_id AS neighbor_id, m AS cm, cent_id AS code
+      codes0 AS (
+        SELECT vec_id, m, cent_id AS code
         FROM (
           SELECT *, row_number() OVER
             (PARTITION BY vec_id, m ORDER BY sd, cent_id) AS crank
+          FROM sub0
+        ) WHERE crank = 1
+      ),
+      tsums AS (
+        SELECT m, code, pos,
+               sum(CAST(floor(emb[m * 4 + pos + 1] * 10000000.0)
+                 AS BIGINT)) AS s,
+               count(*) AS n
+        FROM codes0 JOIN e USING (vec_id),
+             (SELECT unnest(range(0, 4)) AS pos) ps
+        GROUP BY m, code, pos
+      ),
+      trained AS (
+        SELECT m, code,
+               list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 0.5) AS DOUBLE) / 10000000.0 ORDER BY pos)
+                 AS cent_emb
+        FROM tsums GROUP BY m, code
+      ),
+      sub AS (
+        SELECT vec_id, code, m,
+               list_dot_product(vs, vs) + list_dot_product(cs, cs)
+                 - 2.0 * list_dot_product(vs, cs) AS sd
+        FROM (
+          SELECT e.vec_id, code, m,
+                 e.emb[m * 4 + 1 : m * 4 + 4] AS vs,
+                 cent_emb AS cs
+          FROM e, trained
+        )
+      ),
+      codes AS (
+        SELECT vec_id AS neighbor_id, m AS cm, code
+        FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY vec_id, m ORDER BY sd, code) AS crank
           FROM sub WHERE vec_id >= 10
         ) WHERE crank = 1
       ),
       qd AS (
-        SELECT vec_id AS query_id, m, cent_id, sd
+        SELECT vec_id AS query_id, m, code AS qcode, sd
         FROM sub WHERE vec_id < 10
       ),
       adc AS (
         SELECT query_id, neighbor_id,
                $perSub
-        FROM codes JOIN qd ON cm = m AND code = cent_id
+        FROM codes JOIN qd ON cm = m AND code = qcode
         GROUP BY query_id, neighbor_id
       ),
       ranked AS (

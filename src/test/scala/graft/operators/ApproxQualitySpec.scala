@@ -56,11 +56,12 @@ class ApproxQualitySpec extends AnyFunSuite {
   test("PQ-ADC ANN recall@5 vs brute force") {
     // PQ scans everything but through 8-byte codes (32x compression);
     // its quality axis is quantization distortion, not pruning.
-    // Measured 0.14 with 16 subspaces x 16 sampled centroids (the
-    // 8x8 layout at the same byte budget measured 0.10).
+    // Measured 0.24 with the 16x16 codebook Lloyd-trained on a 1/3
+    // corpus sample (full-corpus training 0.22, sampled-seed 16x16
+    // codebook 0.14, sampled 8x8 at the same byte budget 0.10).
     val r = annRecall(Similarity.simPqTopk(spark, dir))
     info(f"pq recall@5 = $r%.3f (8-byte codes)")
-    assert(r >= 0.10, f"PQ recall@5 degraded to $r%.3f")
+    assert(r >= 0.16, f"PQ recall@5 degraded to $r%.3f")
   }
 
   test("hyperplane-LSH ANN recall@5 vs brute force") {
