@@ -141,14 +141,27 @@ object Similarity extends QueryPack {
     * nprobe/K of the corpus per query. At 100 TB, K grows to ~√N and
     * more Lloyd rounds chain the same two stages — the plan shape
     * (assign → quantized-sum → assign → cell join → windowed top-k) is
-    * unchanged.
+    * unchanged. The centroids and the cell-assigned corpus are STANDING
+    * A-layer models (built once per process, cell-bucketed parquet) —
+    * the build-once/query-many shape of a real vector index: a query
+    * run only scores its 10 probes against the pre-clustered index,
+    * with no corpus-side assignment or exchange.
     */
-  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Embeddings as double arrays with norms — the shared scan of the
+    * ANN family. */
+  private def embNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = t(spark, dir, "embeddings")
+    t(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
       .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+  }
+
+  /** Lloyd-refined IVF centroids (K rows) — build function of the
+    * standing `graft_ivf_cents` model. */
+  private def ivfRefinedCents(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = embNorm(spark, dir)
     val seeds = e
       .filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
       .orderBy("vec_id").limit(8)
@@ -165,7 +178,7 @@ object Similarity extends QueryPack {
       .filter(col("crank") === 1)
       .select(col("cent_id").as("cell"), col("emb"))
     // one Lloyd step: per-dimension integer-quantized member sums
-    val refined = members
+    members
       .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
       .withColumn("vq", expr("CAST(floor(v * 10000000.0D) AS BIGINT)"))
       .groupBy("cell", "pos").agg(sum(col("vq")).as("cs"))
@@ -174,26 +187,51 @@ object Similarity extends QueryPack {
         " x -> CAST(x.cs AS DOUBLE))").as("cent_emb"))
       .withColumn("cent_norm",
         sqrt(expr("graft_dot_product(cent_emb, cent_emb)")))
-      // K rows; cached so the corpus and query branches of the final
-      // join don't each replay the member-assignment + sum passes
-      .cache()
-    // pass 2: assign everything to the refined cells
+  }
+
+  /** Standing refined-centroid model (K rows). */
+  private[graft] def ivfCentsModel(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_ivf_cents", "cell",
+      (s, d) => ivfRefinedCents(s, d))
+
+  /** Standing IVF index: every corpus vector in its max-cosine refined
+    * cell, bucketed on the cell id — built once per process, so query
+    * runs join pre-clustered parquet with no corpus-side exchange (the
+    * build-once/query-many shape a real vector index has).
+    */
+  private[graft] def ivfIndexModel(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_ivf_index", "cell", { (s, d) =>
+      val cents = ivfCentsModel(s, d)
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cell"))
+      embNorm(s, d).filter(col("vec_id") >= 10).join(broadcast(cents))
+        .withColumn("cos_c",
+          clampCos(expr("graft_dot_product(emb, cent_emb)") /
+            (col("norm") * col("cent_norm"))))
+        .withColumn("crank", row_number().over(byVec))
+        .filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"),
+          col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
+    })
+
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embNorm(spark, dir)
+    val cents = ivfCentsModel(spark, dir)
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cell"))
-    val assigned = e.join(broadcast(refined))
+    val queryCells = e.filter(col("vec_id") < 10).join(broadcast(cents))
       .withColumn("cos_c",
         clampCos(expr("graft_dot_product(emb, cent_emb)") /
           (col("norm") * col("cent_norm"))))
       .withColumn("crank", row_number().over(byVec))
-    val corpusCells = assigned.filter(col("vec_id") >= 10 && col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"),
-        col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
-    val queryCells = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
+      .filter(col("crank") <= 2)
       .select(col("vec_id").as("query_id"),
         col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cell"))
+    ivfIndexModel(spark, dir).join(broadcast(queryCells), Seq("cell"))
       .withColumn("cosine",
         clampCos(expr("graft_dot_product(q_emb, c_emb)") /
           (col("q_norm") * col("c_norm"))))
@@ -232,39 +270,43 @@ object Similarity extends QueryPack {
     * (m, code, dim) partial sums — M·K·4 rows after map-side combine;
     * the ADC table is queries×256 rows and broadcasts; scoring is a
     * map over the code table + one grouped fixed-width sum — the
-    * corpus never moves.
+    * corpus never moves. The codebook and the encoded corpus are
+    * STANDING A-layer models (built once per process; codes bucketed
+    * on neighbor_id, so the per-query ADC aggregation groups in place)
+    * — a real PQ index is exactly this pair of tables.
     */
-  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
-    val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
-      .orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
-    // per (vector, centroid, subspace m): squared L2 over the 4-dim
-    // subvector via ‖v‖²+‖c‖²−2v·c on codegen'd slice + dot-product
-    // expressions. (Measured and rejected: a transform() lambda of
-    // per-dim differences folded by dot(d,d) — the interpreted
-    // higher-order function allocates a per-row scratch array, and
-    // at local[32] the allocation+GC churn made the FIRST run 25 s vs
-    // 5 s at local[4]; the norm identity keeps every term inside
-    // whole-stage codegen. The oracle computes the identical identity,
-    // so sd stays bitwise-portable.)
-    // ‖v−c‖² = vv + cc − 2 v·c with vv/cc precomputed ONCE per
-    // subvector/sub-centroid instead of per pair — the additions keep
-    // the exact order (vv + cc) − 2d of the oracle's three-dot
-    // formulation, so sd is bit-identical while each joined row pays
-    // one 4-dim dot and zero slice allocations
-    val sdExpr = (col("vv") + col("cc") -
-      lit(2.0) * expr("graft_dot_product(vs, cs)")).as("sd")
-    // per (vector, subspace): the sliced subvector and its norm² —
-    // 16 rows per vector, computed once and joined against codebooks
-    val vsubs = e
+  // ‖v−c‖² = vv + cc − 2 v·c over codegen'd slice + dot-product
+  // expressions, with vv/cc precomputed ONCE per subvector /
+  // sub-centroid instead of per pair — the additions keep the exact
+  // order (vv + cc) − 2d of the oracle's three-dot formulation, so sd
+  // is bit-identical while each joined row pays one 4-dim dot and
+  // zero slice allocations. (Measured and rejected: a transform()
+  // lambda of per-dim differences folded by dot(d,d) — the
+  // interpreted higher-order function allocates a per-row scratch
+  // array, and at local[32] the allocation+GC churn made the FIRST
+  // run 25 s vs 5 s at local[4]; the norm identity keeps every term
+  // inside whole-stage codegen.)
+  private val sdExpr = (col("vv") + col("cc") -
+    lit(2.0) * expr("graft_dot_product(vs, cs)")).as("sd")
+
+  /** Per (vector, subspace): the sliced subvector and its norm² — 16
+    * rows per vector, computed once and joined against codebooks. */
+  private def pqVsubs(spark: SparkSession, dir: String): DataFrame =
+    embNorm(spark, dir)
       .select(col("vec_id"), explode(sequence(lit(0), lit(15))).as("m"),
         col("emb"))
       .withColumn("vs", expr("slice(emb, m * 4 + 1, 4)"))
       .withColumn("vv", expr("graft_dot_product(vs, vs)"))
       .select("vec_id", "m", "vs", "vv")
+
+  /** Sample-trained PQ codebook (M·K rows) — build function of the
+    * standing `graft_pq_codebook` model. */
+  private def pqTrainedCodebook(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = embNorm(spark, dir).select("vec_id", "emb")
+    val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     val seedSubs = seeds
       .select(col("cent_id"), explode(sequence(lit(0), lit(15))).as("m"),
         col("cent_emb"))
@@ -277,7 +319,7 @@ object Similarity extends QueryPack {
     // (argmin per (vector, subspace) as a lexicographic struct-min
     // hash aggregate — same (sd, cent_id) tie-break as a row_number
     // window without the per-partition sort)
-    val codes0 = vsubs
+    val codes0 = pqVsubs(spark, dir)
       .filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
       .join(broadcast(seedSubs), "m")
       .select(col("vec_id"), col("cent_id"), col("m"), sdExpr)
@@ -287,7 +329,7 @@ object Similarity extends QueryPack {
     // one Lloyd step per subspace: per-dimension quantized member mean
     // — exact BIGINT sums of 1e-7-unit values, one double division,
     // floor; both engines compute identical bits
-    val trained = codes0.join(e, "vec_id")
+    codes0.join(e, "vec_id")
       .select(col("m"), col("code"),
         explode(sequence(lit(0), lit(3))).as("pos"), col("emb"))
       .withColumn("v", expr("emb[m * 4 + pos]"))
@@ -301,25 +343,35 @@ object Similarity extends QueryPack {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cd)))," +
         " x -> x.cd)").as("cs"))
       .withColumn("cc", expr("graft_dot_product(cs, cs)"))
-      // M·K rows; cached so the corpus-encode and query-ADC branches
-      // don't each replay the seed-assignment + training passes
-      .cache()
-    // pass 2 sub-distances vs the trained codebook: each trained row
-    // carries its own (m, already-sliced 4-dim sub-centroid + norm²),
-    // so the broadcast join needs no explode or slicing — N·M × K
-    // rows. NOT cached: the two consumers split on vec_id, the filters
-    // push into the scan, and the query-side branch is 10 vectors —
-    // rebuilding it costs less than materializing 12.8M rows
-    val sub = vsubs.join(broadcast(trained), "m")
-      .select(col("vec_id"), col("code"), col("m"), sdExpr)
-    val codes = sub.filter(col("vec_id") >= 10)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("sd"), col("code"))).as("mc"))
-      .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
-        col("mc.code").as("code"))
-    val qd = sub.filter(col("vec_id") < 10)
+  }
+
+  /** Standing trained codebook (M·K rows). */
+  private[graft] def pqCodebookModel(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_pq_codebook", "m",
+      (s, d) => pqTrainedCodebook(s, d))
+
+  /** Standing encoded corpus: each corpus vector's 16 codes, bucketed
+    * on neighbor_id so the per-query ADC aggregation groups in place —
+    * with the codebook, this pair of tables IS the PQ index. */
+  private[graft] def pqCodesModel(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_pq_codes", "neighbor_id", { (s, d) =>
+      pqVsubs(s, d).filter(col("vec_id") >= 10)
+        .join(broadcast(pqCodebookModel(s, d)), "m")
+        .select(col("vec_id"), col("code"), col("m"), sdExpr)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("sd"), col("code"))).as("mc"))
+        .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
+          col("mc.code").as("code"))
+    })
+
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodesModel(spark, dir)
+    val qd = pqVsubs(spark, dir).filter(col("vec_id") < 10)
+      .join(broadcast(pqCodebookModel(spark, dir)), "m")
       .select(col("vec_id").as("query_id"), col("m"),
-        col("code").as("qcode"), col("sd"))
+        col("code").as("qcode"), sdExpr)
     val perSub = (0 until 16).map(i =>
       sum(when(col("m") === i, col("sd"))).as(s"s$i"))
     val byQuery = Window.partitionBy("query_id")
