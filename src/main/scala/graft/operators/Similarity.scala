@@ -216,18 +216,24 @@ object Similarity extends QueryPack {
           col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
     })
 
-  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = embNorm(spark, dir)
+  /** Probe the standing IVF index with an arbitrary (query_id, emb,
+    * norm) frame — the per-query kernel shared by [[simIvfTopk]] and
+    * the streaming probe ([[graft.streaming.StreamAnn]]): a query's
+    * result depends only on its own vector and the standing index, so
+    * batch and stream produce identical rows.
+    */
+  private[graft] def ivfProbe(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
     val cents = ivfCentsModel(spark, dir)
-    val byVec = Window.partitionBy("vec_id")
+    val byVec = Window.partitionBy("query_id")
       .orderBy(col("cos_c").desc, col("cell"))
-    val queryCells = e.filter(col("vec_id") < 10).join(broadcast(cents))
+    val queryCells = queries.join(broadcast(cents))
       .withColumn("cos_c",
         clampCos(expr("graft_dot_product(emb, cent_emb)") /
           (col("norm") * col("cent_norm"))))
       .withColumn("crank", row_number().over(byVec))
       .filter(col("crank") <= 2)
-      .select(col("vec_id").as("query_id"),
+      .select(col("query_id"),
         col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -240,6 +246,11 @@ object Similarity extends QueryPack {
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
   }
+
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(spark, dir, embNorm(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb"), col("norm")))
 
   /** E6d — product-quantization ANN (the memory-bound 100 TB path: PQ
     * codes are ~8 bytes/vector vs 256 for the raw floats, so a shard's
