@@ -15,10 +15,19 @@ Compares a current bench_detail JSON against a tagged reference
 Noise guard: queries under FLOOR seconds in BOTH files are skipped for
 ratio alarms (sub-100ms medians flap with host load, not code).
 
-Usage: python3 scripts/bench_gate.py [current.json] [reference.json]
+Usage: python3 scripts/bench_gate.py [--rebase] [current.json] [reference.json]
 Exit 1 on any alarm. Run the current file with SPARK_GRAFT_BENCH_REPS=3
 so medians, not single shots, are compared (the round-6 rule: compare
 steady-state medians).
+
+--rebase: divide every current time by the MEDIAN current/reference
+ratio before alarming. Three sessions (r5g, r6, r7b-d) produced
+board-wide 1.3-1.5x host-load inflations that swamped the per-query
+signal; the median ratio is that regime factor (robust unless >half
+the suite genuinely regressed, which a code change never does), and
+rebasing isolates the per-query deltas the gate exists to catch. The
+regime factor itself is printed — a factor far from 1 is the cue to
+re-run on an idle host before trusting absolute totals.
 """
 import glob
 import json
@@ -54,8 +63,10 @@ def newest_tagged(exclude):
 
 
 def main():
-    cur_path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
-    ref_path = sys.argv[2] if len(sys.argv) > 2 else newest_tagged(cur_path)
+    args = [a for a in sys.argv[1:] if a != "--rebase"]
+    rebase = "--rebase" in sys.argv[1:]
+    cur_path = args[0] if len(args) > 0 else "bench_detail.json"
+    ref_path = args[1] if len(args) > 1 else newest_tagged(cur_path)
     if ref_path is None:
         print("bench_gate: no tagged reference (bench_detail_r*.json); "
               "nothing to compare")
@@ -64,6 +75,15 @@ def main():
     ref, _ = load(ref_path)
     print(f"bench_gate: {cur_path} vs {ref_path} "
           f"({len(cur)} vs {len(ref)} queries)")
+    if rebase:
+        ratios = sorted(cur[q] / ref[q] for q in set(cur) & set(ref)
+                        if cur[q] > 0 and ref[q] > 0)
+        if ratios:
+            regime = ratios[len(ratios) // 2]
+            print(f"  (rebase) regime factor {regime:.2f}x "
+                  "— current times divided by it before alarming")
+            cur = {q: (t / regime if t > 0 else t)
+                   for q, t in cur.items()}
 
     alarms = []
     for q, t in sorted(cur.items()):
