@@ -129,6 +129,13 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(strong.nonEmpty, "fixture has no strong near-dup pairs")
     val recall = (got & strong).size.toDouble / strong.size
     info(f"minhash-lsh recall (jaccard>=0.7): $recall%.3f over ${strong.size} pairs")
+    // Measured and rejected: 8x2 banding (candidate P 0.67 -> 0.995
+    // at J=0.7) left this recall EXACTLY unchanged — the ~8% misses
+    // are 16-perm estimator variance at the est_jaccard >= 0.5 output
+    // filter for pairs near the J=0.7 boundary, not banding misses,
+    // so wider banding only buys candidate-scoring volume. Raising
+    // recall means more permutations (a different hash family), not
+    // more bands.
     assert(recall >= 0.90, f"LSH dedup recall degraded to $recall%.3f")
   }
 }
