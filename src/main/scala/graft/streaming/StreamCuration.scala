@@ -55,4 +55,23 @@ object StreamCuration {
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       sink(curateBatch(spark, dir, batch))
     }
+
+  /** The full ingest front end-to-end: curation decisions stream into
+    * the registered model `name` through [[StreamIngest.applyBatch]]'s
+    * idempotent append chain — each micro-batch lands as one
+    * increment-only version, restart replays are no-ops, and
+    * downstream models `ref()` the accumulating decision table like
+    * any other A-layer relation.
+    */
+  def toModel(spark: SparkSession, dir: String, docs: DataFrame,
+      api: graft.api.FalApi, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamIngest.applyBatch(api, name,
+          curateBatch(spark, dir, batch), batchId)
+        ()
+      }
+      .start()
 }

@@ -62,4 +62,41 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(oneShot.exists(_._8), "no near-dup flagged")
     assert(oneShot.exists(!_._8), "everything flagged as near-dup")
   }
+
+  test("curation decisions stream into the model store exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.api.{FalApi, Registry, RunLedger}
+
+    val ingest = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 9)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val api = new FalApi(spark,
+      new Registry(Files.createTempDirectory("graft-cur").toString),
+      new RunLedger)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCuration.toModel(spark, dir,
+      input.toDF().toDF("doc_id", "text"), api, "curated",
+      Files.createTempDirectory("graft-cur-ckpt").toString)
+    try {
+      val (first, rest) = ingest.splitAt(ingest.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = rows(api.ref("curated")).toSet
+    val oneShot = rows(StreamCuration.curateBatch(spark, dir,
+      ingest.toSeq.toDF("doc_id", "text"))).toSet
+    assert(stored == oneShot)
+
+    // restart replay of a committed batch id must not duplicate rows
+    val n = api.ref("curated").count()
+    assert(!StreamIngest.applyBatch(api, "curated",
+      StreamCuration.curateBatch(spark, dir,
+        ingest.take(3).toSeq.toDF("doc_id", "text")), batchId = 0L))
+    assert(api.ref("curated").count() == n)
+  }
 }
