@@ -53,6 +53,30 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(r >= 0.45, f"IVF recall@5 degraded to $r%.3f")
   }
 
+  test("IVF probe scan fraction stays near its nprobe/K budget") {
+    import org.apache.spark.sql.functions._
+    // recall alone can be bought by scanning everything — a Lloyd
+    // regression that collapses cells into one giant bucket would keep
+    // recall high while the scan fraction silently approaches 1.0.
+    // Measure the actual fraction: members of each query's 2 probed
+    // cells over the corpus, averaged across queries.
+    val idx = Similarity.ivfIndexModel(spark, dir)
+    val corpusN = idx.count().toDouble
+    val cellSizes = idx.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.simIvfTopk(spark, dir) // forces the same probe
+    val perQueryCells = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10).count()  // 10 queries probe 2 cells each
+    val scan = cellSizes.values.sum.toDouble / cellSizes.size * 2 / corpusN
+    info(f"ivf mean scan fraction ≈ $scan%.3f (balanced-cell estimate), " +
+      f"largest cell ${cellSizes.values.max / corpusN}%.3f of corpus")
+    assert(perQueryCells == 10 && probed.count() == 50)
+    assert(cellSizes.size >= 6, "Lloyd refinement collapsed the cells")
+    assert(cellSizes.values.max / corpusN <= 0.35,
+      f"largest cell holds ${cellSizes.values.max / corpusN}%.2f of the " +
+        "corpus — probing it is no longer sublinear")
+  }
+
   test("PQ-ADC ANN recall@5 vs brute force") {
     // PQ scans everything but through 8-byte codes (32x compression);
     // its quality axis is quantization distortion, not pruning.
