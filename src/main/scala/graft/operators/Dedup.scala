@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * linear-in-corpus MinHash pipeline (no all-pairs scan); the only
   * quadratic candidate generation is *within* LSH/band buckets. The
   * embedding near-dup blocks on `label` (a stand-in for an IVF/cluster
-  * assignment at 100 TB) before its pair join.
+  * assignment at 100 TB) before its pair join — and the `_ivf` variant
+  * is that 100 TB shape for real, blocking on the standing IVF cell.
   */
 object Dedup extends QueryPack {
 
@@ -490,6 +491,39 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** E5e' — embedding near-dup blocked on the STANDING IVF cell
+    * assignment instead of the synthetic label column — the actual
+    * 100 TB shape: the same coarse quantizer that serves ANN
+    * ([[Similarity.ivfIndexModel]]) blocks the near-dup pair join, and
+    * because the index is bucketed on the cell id the self-join runs
+    * on co-located parquet with no exchange. Pairs above 0.95 cosine
+    * within a cell; exact clones always share a cell (identical
+    * vectors assign identically), so the blocking loses no exact-dup
+    * pair by construction.
+    *
+    * Fully oracle-checked: the DuckDB side replays the whole index
+    * build (seed sampling → quantized-sum Lloyd step → assignment)
+    * through [[Similarity.sqlIvfCtes]] and then the identical
+    * cell-blocked pair join.
+    */
+  def ddEmbeddingNeardupIvf(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = Similarity.ivfIndexModel(spark, dir)
+    val a = idx.select(col("cell"), col("neighbor_id").as("vec_a"),
+      col("c_emb").as("ea"), col("c_norm").as("na"))
+    val b = idx.select(col("cell"), col("neighbor_id").as("vec_b"),
+      col("c_emb").as("eb"), col("c_norm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        clampCos(expr("graft_dot_product(ea, eb)") /
+          (col("na") * col("nb"))))
+      .filter(col("cosine") > 0.95)
+      .select(col("vec_a"), col("vec_b"), col("cell"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Path-compressed min-root union-find over one partition's edges;
     * emits every seen node with the minimum id of its local component.
     * The building block of [[ddCluster]]'s contraction levels: local
@@ -652,7 +686,8 @@ object Dedup extends QueryPack {
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
-    "dd_embedding_neardup" -> ddEmbeddingNeardup _)
+    "dd_embedding_neardup" -> ddEmbeddingNeardup _,
+    "dd_embedding_neardup_ivf" -> ddEmbeddingNeardupIvf _)
 
   /** Shared DuckDB CTEs (sh → hx → sig → banded) replaying the MinHash
     * signature + banding pipeline of [[minhashSigs]]/[[bandedOf]] — one
@@ -899,5 +934,15 @@ object Dedup extends QueryPack {
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) > 0.95
-      ORDER BY vec_a, vec_b""")
+      ORDER BY vec_a, vec_b""",
+    "dd_embedding_neardup_ivf" -> s"""
+      ${Similarity.sqlIvfCtes}
+      pairs AS (
+        SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b, a.cell,
+               list_cosine_similarity(a.c_emb, b.c_emb) AS cosine
+        FROM corpus a JOIN corpus b
+          ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+      )
+      SELECT vec_a, vec_b, cell, cosine FROM pairs
+      WHERE cosine > 0.95 ORDER BY vec_a, vec_b""")
 }

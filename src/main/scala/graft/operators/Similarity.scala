@@ -405,6 +405,52 @@ object Similarity extends QueryPack {
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_pq_topk" -> simPqTopk _)
 
+  /** Shared DuckDB CTEs replaying the standing IVF index build (seed
+    * sampling, quantized-sum Lloyd step, corpus cell assignment) — one
+    * definition per engine, consumed by the sim_ivf oracle here and
+    * the IVF-blocked embedding near-dup oracle in [[Dedup]]. */
+  private[operators] lazy val sqlIvfCtes: String = """WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      seeds AS (
+        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+        WHERE vec_id >= 10 AND vec_id % 59 = 0
+        ORDER BY vec_id LIMIT 8
+      ),
+      members AS (
+        SELECT cent_id AS cell, emb FROM (
+          SELECT e.vec_id, e.emb, cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(emb, cent_emb) DESC, cent_id)
+                   AS crank
+          FROM e, seeds WHERE e.vec_id >= 10
+        ) WHERE crank = 1
+      ),
+      sums AS (
+        SELECT cell, pos,
+               sum(CAST(floor(emb[pos + 1] * 10000000.0) AS BIGINT)) AS cs
+        FROM members, (SELECT unnest(range(0, 64)) AS pos) ps
+        GROUP BY cell, pos
+      ),
+      cents AS (
+        SELECT cell, list(CAST(cs AS DOUBLE) ORDER BY pos) AS cent_emb
+        FROM sums GROUP BY cell
+      ),
+      scored AS (
+        SELECT e.vec_id, e.emb, cell,
+               list_cosine_similarity(emb, cent_emb) AS cos_c
+        FROM e, cents
+      ),
+      assigned AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS crank
+        FROM scored
+      ),
+      corpus AS (
+        SELECT vec_id AS neighbor_id, emb AS c_emb, cell
+        FROM assigned WHERE vec_id >= 10 AND crank = 1
+      ),"""
+
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" -> """
       WITH scored AS (
@@ -460,48 +506,8 @@ object Similarity extends QueryPack {
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank"""
     },
-    "sim_ivf_topk" -> """
-      WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      ),
-      seeds AS (
-        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-        WHERE vec_id >= 10 AND vec_id % 59 = 0
-        ORDER BY vec_id LIMIT 8
-      ),
-      members AS (
-        SELECT cent_id AS cell, emb FROM (
-          SELECT e.vec_id, e.emb, cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_cosine_similarity(emb, cent_emb) DESC, cent_id)
-                   AS crank
-          FROM e, seeds WHERE e.vec_id >= 10
-        ) WHERE crank = 1
-      ),
-      sums AS (
-        SELECT cell, pos,
-               sum(CAST(floor(emb[pos + 1] * 10000000.0) AS BIGINT)) AS cs
-        FROM members, (SELECT unnest(range(0, 64)) AS pos) ps
-        GROUP BY cell, pos
-      ),
-      cents AS (
-        SELECT cell, list(CAST(cs AS DOUBLE) ORDER BY pos) AS cent_emb
-        FROM sums GROUP BY cell
-      ),
-      scored AS (
-        SELECT e.vec_id, e.emb, cell,
-               list_cosine_similarity(emb, cent_emb) AS cos_c
-        FROM e, cents
-      ),
-      assigned AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS crank
-        FROM scored
-      ),
-      corpus AS (
-        SELECT vec_id AS neighbor_id, emb AS c_emb, cell
-        FROM assigned WHERE vec_id >= 10 AND crank = 1
-      ),
+    "sim_ivf_topk" -> s"""
+      $sqlIvfCtes
       q AS (
         SELECT vec_id AS query_id, emb AS q_emb, cell
         FROM assigned WHERE vec_id < 10 AND crank <= 2

@@ -142,6 +142,16 @@ class ApproxQualitySpec extends AnyFunSuite {
     info(s"label blocking: ${truth.size} true pairs in subsample")
     assert(blocked == truth,
       "label-blocked near-dup must find exactly the brute-force pairs")
+
+    // the production variant blocks on the standing IVF cell instead
+    // of the synthetic label — same completeness on the corpus side
+    // (identical vectors assign to identical cells)
+    val truthCorpus = truth.filter(p => p._1 >= 10 && p._2 >= 10)
+    val ivfBlocked = pairs(Dedup.ddEmbeddingNeardupIvf(spark, sf1)
+      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0),
+      "vec_a", "vec_b")
+    assert(ivfBlocked == truthCorpus,
+      "IVF-cell-blocked near-dup must find exactly the brute-force pairs")
   }
 
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {
