@@ -151,11 +151,59 @@ object TextAnalysis3 extends QueryPack {
       .orderBy("lang")
   }
 
+
+  /** PII patterns shared (as literal strings) between the Spark
+    * expressions and the generated oracle SQL — a portable subset of
+    * Java regex ∩ RE2: character classes, bounded repeats, ASCII \\b.
+    */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Adds per-pattern match counts (n_email, n_phone, n_ip) and the
+    * fully redacted text to any frame with a `text` column — the
+    * per-row PII kernel shared by [[txPii]] and the spec's planted-PII
+    * checks. Row-local, so batch and stream evaluate identically; the
+    * redaction applies the patterns in [[piiPatterns]] order.
+    */
+  private[graft] def piiOf(docs: DataFrame): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long"))
+    }
+    counted.withColumn("redacted",
+      piiPatterns.foldLeft(col("text")) { case (c, (_, pat, tag)) =>
+        regexp_replace(c, lit(pat), lit(tag))
+      })
+  }
+
+  /** E7 completion — PII detection + redaction (the scrub stage every
+    * production corpus runs: C4/CCNet/Dolma-style regex passes):
+    * per-document email / phone / IPv4 match counts and the md5 of the
+    * fully redacted text (the hash keeps the exported row narrow; the
+    * spec checks the redacted TEXT itself on planted PII). One
+    * codegen'd map pass, no shuffle beyond the output sort.
+    *
+    * Fully oracle-checked: the identical pattern literals run under
+    * DuckDB's RE2 ('g' flag for replace-all to match Spark's
+    * regexp_replace semantics); this corpus is PII-free, so the
+    * strict-equality check pins the all-zero counts and unchanged-text
+    * hashes in both engines.
+    */
+  def txPii(spark: SparkSession, dir: String): DataFrame =
+    piiOf(t(spark, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        md5(col("redacted")).as("clean_hash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_fertility" -> txFertility _,
     "tx_gopher_rules" -> txGopherRules _,
     "tx_classifier" -> txClassifier _,
-    "tx_mad_outliers" -> txMadOutliers _)
+    "tx_mad_outliers" -> txMadOutliers _,
+    "tx_pii" -> txPii _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
@@ -251,5 +299,20 @@ object TextAnalysis3 extends QueryPack {
                     CAST(n_words AS DOUBLE) >= 0.8
               AND n_stop >= 2) AS passes
       FROM m ORDER BY doc_id"""
+    },
+    "tx_pii" -> {
+      val Seq((_, em, emT), (_, ph, phT), (_, ip, ipT)) = piiPatterns
+      s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT)
+               AS n_phone,
+             CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT)
+               AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '$em', '$emT', 'g'), '$ph', '$phT', 'g'),
+               '$ip', '$ipT', 'g')) AS clean_hash
+      FROM documents ORDER BY doc_id"""
     })
 }
