@@ -26,21 +26,28 @@ import graft.operators.TextAnalysis
 object StreamCuration {
 
   /** Curation decisions for ONE micro-batch: quality-gated survivors
-    * with language prediction and near-dup verdict (is_dup when the
-    * standing index holds a doc with estimated Jaccard ≥ 0.5).
+    * with language prediction, PII scrub stats, and near-dup verdict
+    * (is_dup when the standing index holds a doc with estimated
+    * Jaccard ≥ 0.5). Stage order follows the production convention:
+    * gate → language-ID → PII redaction → dedup, with the dup probe
+    * shingling the REDACTED text so a scrubbed tag never blocks a
+    * near-dup match the raw PII would have split.
     */
   def curateBatch(spark: SparkSession, dir: String,
       batchDocs: DataFrame): DataFrame = {
-    val gated = TextAnalysis.langidOf(TextAnalysis.qualityOf(batchDocs))
+    val gated = graft.operators.TextAnalysis3.piiOf(
+        TextAnalysis.langidOf(TextAnalysis.qualityOf(batchDocs)))
       .filter(col("passes_gate"))
+      .withColumn("n_pii",
+        col("n_email") + col("n_phone") + col("n_ip"))
     val dups = StreamDedup.probeBatch(spark, dir,
-        gated.select("doc_id", "text"))
+        gated.select(col("doc_id"), col("redacted").as("text")))
       .groupBy("new_doc")
       .agg(count(lit(1)).as("n_dup_matches"),
         max(col("est_jaccard")).as("max_dup_jaccard"))
     gated.join(dups, gated("doc_id") === dups("new_doc"), "left")
       .select(gated("doc_id"), col("predicted_lang"), col("n_tokens"),
-        col("punct_ratio"), col("mean_token_len"),
+        col("punct_ratio"), col("mean_token_len"), col("n_pii"),
         coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
         coalesce(col("max_dup_jaccard"), lit(0.0)).as("max_dup_jaccard"),
         coalesce(col("n_dup_matches") > 0, lit(false)).as("is_dup"))

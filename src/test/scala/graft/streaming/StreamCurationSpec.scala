@@ -19,8 +19,8 @@ class StreamCurationSpec extends AnyFunSuite {
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-      r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6),
-      r.getBoolean(7)))
+      r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+      r.getDouble(7), r.getBoolean(8)))
 
   test("streamed curation decisions equal the one-shot batch run") {
     import spark.implicits._
@@ -38,7 +38,7 @@ class StreamCurationSpec extends AnyFunSuite {
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[(Long, String, Long, Double, Double, Long,
-      Double, Boolean)]()
+      Long, Double, Boolean)]()
     val q = StreamCuration.attach(spark, dir,
         input.toDF().toDF("doc_id", "text")) { decisions =>
       got ++= rows(decisions)
@@ -59,8 +59,8 @@ class StreamCurationSpec extends AnyFunSuite {
 
     // the pipeline must discriminate, not pass everything through
     assert(oneShot.length < ingest.length, "quality gate rejected nothing")
-    assert(oneShot.exists(_._8), "no near-dup flagged")
-    assert(oneShot.exists(!_._8), "everything flagged as near-dup")
+    assert(oneShot.exists(_._9), "no near-dup flagged")
+    assert(oneShot.exists(!_._9), "everything flagged as near-dup")
   }
 
   test("curation decisions stream into the model store exactly once") {
