@@ -480,8 +480,21 @@ object Dedup extends QueryPack {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("label"))
+    val base = a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
+    // Planted verification clones (same discipline as the IVF variant
+    // below): a bounded id-deterministic subset re-emitted as exact
+    // clones at id+1,000,000 with the label kept, broadcast into the
+    // label-blocked join — makes the small-SF oracle compare real
+    // >0.95 pair rows instead of two empty sets.
+    val plantedB = e
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") >= 10 &&
+        col("vec_id") < 1000)
+      .select((col("vec_id") + 1000000L).as("vec_b"), col("label"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val planted = a.join(broadcast(plantedB), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+    base.unionByName(planted)
       .withColumn("cosine",
         clampCos(expr("graft_dot_product(emb_a, emb_b)") /
           (col("norm_a") * col("norm_b"))))
@@ -514,8 +527,28 @@ object Dedup extends QueryPack {
       col("c_emb").as("ea"), col("c_norm").as("na"))
     val b = idx.select(col("cell"), col("neighbor_id").as("vec_b"),
       col("c_emb").as("eb"), col("c_norm").as("nb"))
-    a.join(b, Seq("cell"))
+    val base = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
+    // Planted verification clones: the generated fixtures carry no
+    // natural >0.95-cosine pair at small SF, which left this oracle
+    // comparing empty sets. Re-emit a BOUNDED, id-deterministic subset
+    // of the index (neighbor_id % 97 = 0, id < 1000 — at most 10 rows
+    // at any corpus size) as exact clones shifted to id+1,000,000;
+    // a clone is bit-identical, so it lands in its original's cell by
+    // construction and the (original, clone) pair scores cosine 1.0 —
+    // the oracle now checks real pair rows, not the all-empty fixed
+    // point. The clone side is O(1) rows and BROADCAST into the
+    // bucketed index, so the corpus side stays exchange-free; DuckDB
+    // replays the same two-part pair stream (cell self-join ∪
+    // cell-joined clones).
+    val plantedB = idx
+      .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
+      .select(col("cell"),
+        (col("neighbor_id") + 1000000L).as("vec_b"),
+        col("c_emb").as("eb"), col("c_norm").as("nb"))
+    val planted = a.join(broadcast(plantedB), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+    base.unionByName(planted)
       .withColumn("cosine",
         clampCos(expr("graft_dot_product(ea, eb)") /
           (col("na") * col("nb"))))
@@ -926,21 +959,45 @@ object Dedup extends QueryPack {
       WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
       ORDER BY doc_a, doc_b""",
     "dd_embedding_neardup" -> """
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(a.label AS BIGINT) AS label,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) AS cosine
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) > 0.95
+      WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        FROM embeddings
+        WHERE vec_id % 97 = 0 AND vec_id >= 10 AND vec_id < 1000
+      ),
+      prs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                 AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                 AS cosine
+        FROM embeddings a JOIN planted b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, CAST(label AS BIGINT) AS label, cosine
+      FROM prs WHERE cosine > 0.95
       ORDER BY vec_a, vec_b""",
     "dd_embedding_neardup_ivf" -> s"""
       ${Similarity.sqlIvfCtes}
+      planted AS (
+        SELECT neighbor_id + 1000000 AS neighbor_id, c_emb, cell
+        FROM corpus
+        WHERE neighbor_id % 97 = 0 AND neighbor_id < 1000
+      ),
       pairs AS (
         SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b, a.cell,
                list_cosine_similarity(a.c_emb, b.c_emb) AS cosine
         FROM corpus a JOIN corpus b
+          ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+        UNION ALL
+        SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b, a.cell,
+               list_cosine_similarity(a.c_emb, b.c_emb) AS cosine
+        FROM corpus a JOIN planted b
           ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
       )
       SELECT vec_a, vec_b, cell, cosine FROM pairs

@@ -33,7 +33,8 @@ private[graft] object Shared {
     */
   def model(spark: SparkSession, dir: String, name: String,
       bucketBy: String,
-      build: (SparkSession, String) => DataFrame): DataFrame = {
+      build: (SparkSession, String) => DataFrame,
+      extraMeta: Map[String, String] = Map.empty): DataFrame = {
     val registry = built.getOrElseUpdate((dir, name), {
       val t0 = System.nanoTime()
       val reg = new Registry(java.nio.file.Files
@@ -42,7 +43,8 @@ private[graft] object Shared {
         spark.conf.get("spark.sql.shuffle.partitions", "32")
       reg.register(ModelDef(name,
         ModelKind.Scala((s, _) => build(s, dir)),
-        meta = Map("bucket_by" -> bucketBy, "buckets" -> buckets)))
+        meta = Map("bucket_by" -> bucketBy, "buckets" -> buckets)
+          ++ extraMeta))
       new FalApi(spark, reg, new RunLedger)
         .writeToModel(build(spark, dir), name)
       buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)

@@ -116,8 +116,11 @@ object Similarity extends QueryPack {
   }
 
   /** E6c — IVF-style ANN (the other standard 100 TB path next to LSH):
-    * 8 coarse centroids seeded by deterministic corpus sampling
-    * (vec_id ≥ 10, vec_id % 59 = 0, lowest 8), then refined by ONE
+    * K coarse centroids seeded by deterministic stride sampling —
+    * K, the seed stride and the probe width all DERIVE from the corpus
+    * count ([[ivfParams]]: K ≈ √N, stride ≈ N/K, nprobe ≈ √K), so the
+    * index geometry scales with the data instead of freezing at a
+    * fixture-sized constant — then refined by ONE
     * Lloyd iteration in a bitwise-portable form: each cell's refined
     * centroid is the per-dimension SUM of its members' values
     * integer-quantized to 1e-7 units — cosine is scale-invariant, so
@@ -147,6 +150,43 @@ object Similarity extends QueryPack {
     * run only scores its 10 probes against the pre-clustered index,
     * with no corpus-side assignment or exchange.
     */
+  /** Scale-derived IVF geometry: K = max(8, ⌈√N⌉) coarse cells (the
+    * standard IVF sizing — cell population ≈ √N keeps both the
+    * within-cell pair work of the blocked near-dup and the per-probe
+    * scan sublinear), seed stride = ⌊N/K⌋ (≈K evenly-spaced seeds over
+    * the contiguous id range), nprobe = max(2, ⌈√K⌉) (probe budget
+    * grows with the cell count so recall holds while the scanned
+    * FRACTION, nprobe/K ≈ K^{-1/2}, still shrinks as the corpus
+    * grows). All four values are integer-deterministic functions of
+    * the corpus count, recomputed identically by the DuckDB oracle
+    * ([[sqlIvfCtes]]'s ivf_params CTE), and recorded in the standing
+    * models' metadata — the model NAME carries K, so when ingest moves
+    * N across a K boundary the standing index is a different model and
+    * rebuilds rather than silently serving a stale geometry.
+    */
+  private[graft] final case class IvfParams(
+      nc: Long, k: Int, stride: Long, nprobe: Int)
+
+  private val ivfParamsCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfParams]
+
+  /** One count() per (process, sf dir) at index-build/probe entry —
+    * driver-side scalar index sizing, the same coordination any vector
+    * index build does; parquet count is a metadata-cheap job. Cached
+    * per dir for the life of the process; a production deployment
+    * invalidates through the A-layer version chain on ingest.
+    */
+  private[graft] def ivfParams(spark: SparkSession,
+      dir: String): IvfParams =
+    ivfParamsCache.getOrElseUpdate(dir, {
+      val nc = t(spark, dir, "embeddings")
+        .filter(col("vec_id") >= 10).count()
+      val k = math.max(8, math.ceil(math.sqrt(nc.toDouble)).toInt)
+      val stride = math.max(1L, nc / k)
+      val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      IvfParams(nc, k, stride, nprobe)
+    })
+
   /** Embeddings as double arrays with norms — the shared scan of the
     * ANN family. */
   private def embNorm(spark: SparkSession, dir: String): DataFrame = {
@@ -161,10 +201,12 @@ object Similarity extends QueryPack {
     * standing `graft_ivf_cents` model. */
   private def ivfRefinedCents(spark: SparkSession,
       dir: String): DataFrame = {
+    val p = ivfParams(spark, dir)
     val e = embNorm(spark, dir)
     val seeds = e
-      .filter(col("vec_id") >= 10 && col("vec_id") % 59 === 0)
-      .orderBy("vec_id").limit(8)
+      .filter(col("vec_id") >= 10 &&
+        (col("vec_id") - 10) % p.stride === 0)
+      .orderBy("vec_id").limit(p.k)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("norm").as("cent_norm"))
     // pass 1: corpus members take their max-cosine seed cell
@@ -189,11 +231,19 @@ object Similarity extends QueryPack {
         sqrt(expr("graft_dot_product(cent_emb, cent_emb)")))
   }
 
-  /** Standing refined-centroid model (K rows). */
+  /** Standing refined-centroid model (K rows); the name carries the
+    * derived K so an N that crosses a K boundary versions a NEW model
+    * (rebuild-on-geometry-change), and the derivation inputs ride the
+    * model meta for audit. */
   private[graft] def ivfCentsModel(spark: SparkSession,
-      dir: String): DataFrame =
-    Shared.model(spark, dir, "graft_ivf_cents", "cell",
-      (s, d) => ivfRefinedCents(s, d))
+      dir: String): DataFrame = {
+    val p = ivfParams(spark, dir)
+    Shared.model(spark, dir, s"graft_ivf_cents_k${p.k}", "cell",
+      (s, d) => ivfRefinedCents(s, d),
+      extraMeta = Map("ivf_nc" -> p.nc.toString,
+        "ivf_k" -> p.k.toString, "ivf_stride" -> p.stride.toString,
+        "ivf_nprobe" -> p.nprobe.toString))
+  }
 
   /** Standing IVF index: every corpus vector in its max-cosine refined
     * cell, bucketed on the cell id — built once per process, so query
@@ -201,8 +251,10 @@ object Similarity extends QueryPack {
     * build-once/query-many shape a real vector index has).
     */
   private[graft] def ivfIndexModel(spark: SparkSession,
-      dir: String): DataFrame =
-    Shared.model(spark, dir, "graft_ivf_index", "cell", { (s, d) =>
+      dir: String): DataFrame = {
+    val p = ivfParams(spark, dir)
+    Shared.model(spark, dir, s"graft_ivf_index_k${p.k}", "cell", {
+      (s, d) =>
       val cents = ivfCentsModel(s, d)
       val byVec = Window.partitionBy("vec_id")
         .orderBy(col("cos_c").desc, col("cell"))
@@ -214,7 +266,30 @@ object Similarity extends QueryPack {
         .filter(col("crank") === 1)
         .select(col("vec_id").as("neighbor_id"),
           col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
-    })
+    }, extraMeta = Map("ivf_nc" -> p.nc.toString,
+      "ivf_k" -> p.k.toString, "ivf_nprobe" -> p.nprobe.toString))
+  }
+
+  /** A query frame's nprobe nearest refined cells — (query_id, q_emb,
+    * q_norm, cell), one row per probed cell. Split out of [[ivfProbe]]
+    * so ApproxQualitySpec can measure the TRUE scanned fraction (the
+    * summed population of exactly these cells) rather than a
+    * balanced-cell estimate. */
+  private[graft] def ivfQueryCells(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val p = ivfParams(spark, dir)
+    val cents = ivfCentsModel(spark, dir)
+    val byVec = Window.partitionBy("query_id")
+      .orderBy(col("cos_c").desc, col("cell"))
+    queries.join(broadcast(cents))
+      .withColumn("cos_c",
+        clampCos(expr("graft_dot_product(emb, cent_emb)") /
+          (col("norm") * col("cent_norm"))))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") <= p.nprobe)
+      .select(col("query_id"),
+        col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell"))
+  }
 
   /** Probe the standing IVF index with an arbitrary (query_id, emb,
     * norm) frame — the per-query kernel shared by [[simIvfTopk]] and
@@ -224,17 +299,7 @@ object Similarity extends QueryPack {
     */
   private[graft] def ivfProbe(spark: SparkSession, dir: String,
       queries: DataFrame): DataFrame = {
-    val cents = ivfCentsModel(spark, dir)
-    val byVec = Window.partitionBy("query_id")
-      .orderBy(col("cos_c").desc, col("cell"))
-    val queryCells = queries.join(broadcast(cents))
-      .withColumn("cos_c",
-        clampCos(expr("graft_dot_product(emb, cent_emb)") /
-          (col("norm") * col("cent_norm"))))
-      .withColumn("crank", row_number().over(byVec))
-      .filter(col("crank") <= 2)
-      .select(col("query_id"),
-        col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell"))
+    val queryCells = ivfQueryCells(spark, dir, queries)
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     ivfIndexModel(spark, dir).join(broadcast(queryCells), Seq("cell"))
@@ -412,10 +477,27 @@ object Similarity extends QueryPack {
   private[operators] lazy val sqlIvfCtes: String = """WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ),
+      -- scale-derived geometry, the SQL twin of Similarity.ivfParams:
+      -- K = max(8, ceil(sqrt(N))), stride = max(1, N div K),
+      -- nprobe = max(2, ceil(sqrt(K))) — all integer-deterministic
+      ivf_geom AS (
+        SELECT nc, greatest(8,
+                 CAST(ceil(sqrt(CAST(nc AS DOUBLE))) AS BIGINT)) AS k
+        FROM (SELECT count(*) AS nc FROM e WHERE vec_id >= 10)
+      ),
+      ivf_params AS (
+        SELECT nc, k, greatest(1, nc // k) AS stride,
+               greatest(2,
+                 CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS nprobe
+        FROM ivf_geom
+      ),
       seeds AS (
-        SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-        WHERE vec_id >= 10 AND vec_id % 59 = 0
-        ORDER BY vec_id LIMIT 8
+        SELECT cent_id, cent_emb FROM (
+          SELECT e.vec_id AS cent_id, e.emb AS cent_emb, p.k,
+                 row_number() OVER (ORDER BY e.vec_id) AS srank
+          FROM e, ivf_params p
+          WHERE e.vec_id >= 10 AND (e.vec_id - 10) % p.stride = 0
+        ) WHERE srank <= k
       ),
       members AS (
         SELECT cent_id AS cell, emb FROM (
@@ -510,7 +592,7 @@ object Similarity extends QueryPack {
       $sqlIvfCtes
       q AS (
         SELECT vec_id AS query_id, emb AS q_emb, cell
-        FROM assigned WHERE vec_id < 10 AND crank <= 2
+        FROM assigned, ivf_params WHERE vec_id < 10 AND crank <= nprobe
       ),
       sc AS (
         SELECT query_id, neighbor_id,

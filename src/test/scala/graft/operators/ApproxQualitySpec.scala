@@ -45,12 +45,17 @@ class ApproxQualitySpec extends AnyFunSuite {
   // and must not regress below its measured value.
 
   test("IVF ANN recall@5 vs brute force") {
-    // nprobe 2 of 8 Lloyd-refined cells ≈ 25% scan fraction; measured
-    // 0.56 ≈ 2.3x the random-scan baseline (sampled seeds without the
-    // refinement measured 0.42 at the same scan)
+    // Scale-derived geometry (K = ⌈√N⌉ = 23 cells, nprobe = ⌈√K⌉ = 5
+    // at sf0.001): measured 0.36 at a ~23% TRUE scan fraction (probed
+    // cells skew large; see the budget test below) vs the old fixed
+    // K=8/nprobe=2's 0.56 at ~25%. At this 500-vector near-iid fixture
+    // the finer grid is noisier per scanned row — the geometry's win
+    // is at SCALE, where nprobe/K ≈ K^-1/2 keeps shrinking while the
+    // fixed-K fraction froze at 25% (and the near-dup blocking's
+    // within-cell pair work froze at N²/8).
     val r = annRecall(Similarity.simIvfTopk(spark, dir))
-    info(f"ivf recall@5 = $r%.3f (~25%% scan)")
-    assert(r >= 0.45, f"IVF recall@5 degraded to $r%.3f")
+    info(f"ivf recall@5 = $r%.3f (~23%% true scan, K=√N geometry)")
+    assert(r >= 0.30, f"IVF recall@5 degraded to $r%.3f")
   }
 
   test("IVF probe scan fraction stays near its nprobe/K budget") {
@@ -58,23 +63,42 @@ class ApproxQualitySpec extends AnyFunSuite {
     // recall alone can be bought by scanning everything — a Lloyd
     // regression that collapses cells into one giant bucket would keep
     // recall high while the scan fraction silently approaches 1.0.
-    // Measure the actual fraction: members of each query's 2 probed
-    // cells over the corpus, averaged across queries.
+    // Measure the TRUE fraction per query: sum the populations of the
+    // exact cells that query probes (ivfQueryCells — the same frame
+    // ivfProbe joins), not a balanced-cell estimate (which reduces to
+    // the constant nprobe/K for any distribution and measures nothing).
+    val p = Similarity.ivfParams(spark, dir)
     val idx = Similarity.ivfIndexModel(spark, dir)
     val corpusN = idx.count().toDouble
-    val cellSizes = idx.groupBy("cell").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val probed = Similarity.simIvfTopk(spark, dir) // forces the same probe
-    val perQueryCells = graft.Tables.load(spark, dir, "embeddings")
-      .filter(col("vec_id") < 10).count()  // 10 queries probe 2 cells each
-    val scan = cellSizes.values.sum.toDouble / cellSizes.size * 2 / corpusN
-    info(f"ivf mean scan fraction ≈ $scan%.3f (balanced-cell estimate), " +
-      f"largest cell ${cellSizes.values.max / corpusN}%.3f of corpus")
-    assert(perQueryCells == 10 && probed.count() == 50)
-    assert(cellSizes.size >= 6, "Lloyd refinement collapsed the cells")
-    assert(cellSizes.values.max / corpusN <= 0.35,
-      f"largest cell holds ${cellSizes.values.max / corpusN}%.2f of the " +
-        "corpus — probing it is no longer sublinear")
+    val cellSizes = idx.groupBy("cell").count()
+      .withColumnRenamed("count", "cell_n")
+    graft.functions.GraftFunctions.register(spark)
+    val queries = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    val perQuery = Similarity.ivfQueryCells(spark, dir, queries)
+      .join(cellSizes, "cell")
+      .groupBy("query_id").agg(sum("cell_n").as("scanned"))
+      .collect().map(r => r.getAs[Long]("scanned").toDouble / corpusN)
+    val meanFrac = perQuery.sum / perQuery.length
+    val maxCell = cellSizes.agg(max("cell_n")).head.getLong(0) / corpusN
+    info(f"ivf true mean scan fraction = $meanFrac%.3f over " +
+      f"${perQuery.length} queries (budget nprobe/K = " +
+      f"${p.nprobe.toDouble / p.k}%.3f), largest cell $maxCell%.3f")
+    assert(perQuery.length == 10)
+    // probed cells skew large (queries probe their NEAREST cells, and
+    // popular regions are both near and populous) — allow 3x the
+    // balanced budget before calling it a collapse
+    assert(meanFrac <= 3.0 * p.nprobe.toDouble / p.k,
+      f"true scan fraction $meanFrac%.3f blew past the nprobe/K budget")
+    assert(meanFrac > 0.0)
+    assert(cellSizes.count() >= p.k / 2,
+      "Lloyd refinement collapsed the cells")
+    assert(maxCell <= 0.35,
+      f"largest cell holds $maxCell%.2f of the corpus — probing it is " +
+        "no longer sublinear")
   }
 
   test("PQ-ADC ANN recall@5 vs brute force") {
@@ -135,8 +159,12 @@ class ApproxQualitySpec extends AnyFunSuite {
     val truth = pairs(a.join(b, col("vec_a") < col("vec_b"))
       .filter(clampCos(expr("graft_dot_product(ea, eb)") /
         (col("na") * col("nb"))) > 0.95), "vec_a", "vec_b")
+    // planted verification clones live at id+1,000,000 — exclude them
+    // here: this test checks the BLOCKING against brute force over the
+    // natural corpus, and the brute-force side never sees the plants
     val blocked = pairs(Dedup.ddEmbeddingNeardup(spark, sf1)
-      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0),
+      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0 &&
+        col("vec_b") < 1000000L),
       "vec_a", "vec_b")
     assert(truth.nonEmpty, "sf1 tiling should plant clone pairs")
     info(s"label blocking: ${truth.size} true pairs in subsample")
@@ -148,7 +176,8 @@ class ApproxQualitySpec extends AnyFunSuite {
     // (identical vectors assign to identical cells)
     val truthCorpus = truth.filter(p => p._1 >= 10 && p._2 >= 10)
     val ivfBlocked = pairs(Dedup.ddEmbeddingNeardupIvf(spark, sf1)
-      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0),
+      .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0 &&
+        col("vec_b") < 1000000L),
       "vec_a", "vec_b")
     assert(ivfBlocked == truthCorpus,
       "IVF-cell-blocked near-dup must find exactly the brute-force pairs")
