@@ -154,11 +154,23 @@ object TextAnalysis3 extends QueryPack {
 
   /** PII patterns shared (as literal strings) between the Spark
     * expressions and the generated oracle SQL — a portable subset of
-    * Java regex ∩ RE2: character classes, bounded repeats, ASCII \\b.
+    * Java regex ∩ RE2: character classes, bounded repeats, ASCII \\b,
+    * no lookaround. Sequence order IS redaction order: the +1 form
+    * runs before the plain phone so an international number redacts
+    * as one tag (its bare 10-digit tail would otherwise re-match).
+    * Known, documented overlap: COUNTS run each pattern against the
+    * ORIGINAL text, so a "+1-555-123-4567" contributes to both
+    * n_phone_intl and n_phone (its tail matches the plain pattern) —
+    * identical in both engines, so the oracle still pins it exactly.
     */
   private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phone_intl",
+      "\\+1[- .]\\d{3}[- .]\\d{3}[- .]\\d{4}\\b", "<PHONE>"),
+    ("phone_paren", "\\(\\d{3}\\) ?\\d{3}[- .]\\d{4}\\b", "<PHONE>"),
     ("phone", "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("cc", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
   /** Adds per-pattern match counts (n_email, n_phone, n_ip) and the
@@ -179,23 +191,46 @@ object TextAnalysis3 extends QueryPack {
       })
   }
 
+  /** Deterministic PII-bearing text derived INSIDE the query (one in
+    * five docs gets a synthesized contact block appended — email, +1
+    * and parenthesized phones, SSN-shaped, card-shaped, IPv4, all
+    * keyed off doc_id), with the identical literal expression replayed
+    * by the DuckDB oracle. The generated corpus itself is PII-free, so
+    * without this the oracle pinned only the all-zero fixed point; the
+    * plant makes the driver's hash check exercise nonzero counts and
+    * REAL redaction on every fifth row. `cast` is the one spot the two
+    * dialects name differently (STRING vs VARCHAR), hence the
+    * parameter.
+    */
+  private def piiPlantSql(cast: String): String =
+    "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact user', " +
+      s"CAST(doc_id AS $cast), '@example.com or call +1-555-', " +
+      s"CAST(100 + doc_id % 900 AS $cast), '-4567 alt (555) 867-', " +
+      s"CAST(1000 + doc_id % 9000 AS $cast), ' ssn 123-45-', " +
+      s"CAST(1000 + doc_id % 9000 AS $cast), " +
+      "' card 4111-1111-1111-1111 at 10.0.', " +
+      s"CAST(doc_id % 256 AS $cast), '.7') ELSE text END"
+
   /** E7 completion — PII detection + redaction (the scrub stage every
     * production corpus runs: C4/CCNet/Dolma-style regex passes):
-    * per-document email / phone / IPv4 match counts and the md5 of the
-    * fully redacted text (the hash keeps the exported row narrow; the
-    * spec checks the redacted TEXT itself on planted PII). One
-    * codegen'd map pass, no shuffle beyond the output sort.
+    * per-document match counts for every [[piiPatterns]] family and
+    * the md5 of the fully redacted text (the hash keeps the exported
+    * row narrow; the spec checks the redacted TEXT itself on planted
+    * PII). One codegen'd map pass, no shuffle beyond the output sort.
     *
-    * Fully oracle-checked: the identical pattern literals run under
-    * DuckDB's RE2 ('g' flag for replace-all to match Spark's
-    * regexp_replace semantics); this corpus is PII-free, so the
-    * strict-equality check pins the all-zero counts and unchanged-text
-    * hashes in both engines.
+    * Fully oracle-checked AND non-vacuous: the identical pattern
+    * literals run under DuckDB's RE2 ('g' flag for replace-all to
+    * match Spark's regexp_replace semantics) over the identical
+    * [[piiPlantSql]] text — every fifth row carries planted PII of
+    * each family, so the strict compare pins real counts and real
+    * redactions, not just the all-zero fixed point of the PII-free
+    * generated corpus.
     */
   def txPii(spark: SparkSession, dir: String): DataFrame =
-    piiOf(t(spark, dir, "documents").select("doc_id", "text"))
-      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
-        md5(col("redacted")).as("clean_hash"))
+    piiOf(t(spark, dir, "documents")
+        .select(col("doc_id"), expr(piiPlantSql("STRING")).as("text")))
+      .select(col("doc_id") +: piiPatterns.map { case (n, _, _) =>
+        col(s"n_$n") } :+ md5(col("redacted")).as("clean_hash"): _*)
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,18 +336,21 @@ object TextAnalysis3 extends QueryPack {
       FROM m ORDER BY doc_id"""
     },
     "tx_pii" -> {
-      val Seq((_, em, emT), (_, ph, phT), (_, ip, ipT)) = piiPatterns
+      val counts = piiPatterns.map { case (n, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)" +
+          s" AS n_$n"
+      }.mkString(",\n             ")
+      val redacted = piiPatterns.foldLeft("text") {
+        case (acc, (_, pat, tag)) =>
+          s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
       s"""
+      WITH d AS (
+        SELECT doc_id, ${piiPlantSql("VARCHAR")} AS text FROM documents
+      )
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
-               AS n_email,
-             CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT)
-               AS n_phone,
-             CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT)
-               AS n_ip,
-             md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '$em', '$emT', 'g'), '$ph', '$phT', 'g'),
-               '$ip', '$ipT', 'g')) AS clean_hash
-      FROM documents ORDER BY doc_id"""
+             $counts,
+             md5($redacted) AS clean_hash
+      FROM d ORDER BY doc_id"""
     })
 }

@@ -39,7 +39,9 @@ object StreamCuration {
         TextAnalysis.langidOf(TextAnalysis.qualityOf(batchDocs)))
       .filter(col("passes_gate"))
       .withColumn("n_pii",
-        col("n_email") + col("n_phone") + col("n_ip"))
+        graft.operators.TextAnalysis3.piiPatterns
+          .map { case (n, _, _) => col(s"n_$n") }
+          .reduce(_ + _))
     val dups = StreamDedup.probeBatch(spark, dir,
         gated.select(col("doc_id"), col("redacted").as("text")))
       .groupBy("new_doc")
