@@ -229,10 +229,35 @@ final class FalApi(
     * an appended stray dir would silently void the bucketed-join and
     * partition-pruning guarantees their readers rely on.
     */
-  def writeToModel(df: DataFrame, name: String,
-      mode: String = "overwrite"): WriteResult = {
+  /** Write-time schema override (ref `write_to_model`/`write_to_source`
+    * forward a partial `dtype` map to the warehouse writer,
+    * `project.py:757-801`, `lib.py:620-666`): listed columns are cast
+    * to the declared type before materialization, unlisted columns
+    * pass through — the "assist in data type definitions" semantics of
+    * the reference's partial schema. A name that isn't in the frame
+    * fails loudly (a silent typo would ship the wrong physical type to
+    * every downstream reader).
+    */
+  private def applySchema(df: DataFrame,
+      schema: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame =
+    if (schema.isEmpty) df
+    else {
+      val missing = schema.keySet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"schema override names absent columns: ${missing.mkString(", ")}")
+      df.select(df.columns.map { c =>
+        schema.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+      }: _*)
+    }
+
+  def writeToModel(df0: DataFrame, name: String,
+      mode: String = "overwrite",
+      schema: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): WriteResult = {
     require(allowWrites,
       "write_to_model is not allowed in hooks (ref fal_script.py:290-296)")
+    val df = applySchema(df0, schema)
     val target = registry.nextVersionDir(name)
     val clustered = bucketSpec(name).isDefined ||
       registry.modelOpt(name).exists(_.meta.contains("partition_by"))
@@ -494,9 +519,12 @@ final class FalApi(
     * sources are externally-owned paths, so writes go directly (append
     * creates the path if absent).
     */
-  def writeToSource(df: DataFrame, sourceName: String, tableName: String,
-      mode: String = "append"): WriteResult = {
+  def writeToSource(df0: DataFrame, sourceName: String, tableName: String,
+      mode: String = "append",
+      schema: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): WriteResult = {
     require(allowWrites, "write_to_source is not allowed in hooks")
+    val df = applySchema(df0, schema)
     val src = registry.source(sourceName, tableName)
     df.write.format(src.format).options(src.options).mode(mode)
       .save(src.path)

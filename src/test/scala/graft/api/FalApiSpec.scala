@@ -37,6 +37,32 @@ class FalApiSpec extends AnyFunSuite {
     assert(api.ref("some_model").count() == 3)
   }
 
+  test("write-time schema override casts declared columns (dtype map)") {
+    import org.apache.spark.sql.types._
+    val api = freshApi()
+    import spark.implicits._
+    val in = Seq((1L, "2.5", "2021-03-04 05:06:07"))
+      .toDF("my_int", "amount", "seen_at")
+    api.writeToModel(in, "typed_model", schema = Map(
+      "amount" -> DecimalType(12, 4), "seen_at" -> TimestampType))
+    val back = api.ref("typed_model")
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    // listed columns land as the declared physical types; unlisted
+    // pass through (the reference's partial-dtype semantics)
+    assert(types("amount") == DecimalType(12, 4))
+    assert(types("seen_at") == TimestampType)
+    assert(types("my_int") == LongType)
+    val r = back.collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("2.5")) == 0)
+    // a typo'd column fails loudly instead of shipping wrong types
+    val e = intercept[IllegalArgumentException] {
+      api.writeToModel(in, "typed_model", schema = Map(
+        "amuont" -> DecimalType(12, 4)))
+    }
+    assert(e.getMessage.contains("amuont"))
+  }
+
   test("append accumulates, overwrite resets (feature:17-21 semantics)") {
     val api = freshApi()
     api.writeToModel(df(0), "other_model", mode = "overwrite")
