@@ -15,7 +15,8 @@ Compares a current bench_detail JSON against a tagged reference
 Noise guard: queries under FLOOR seconds in BOTH files are skipped for
 ratio alarms (sub-100ms medians flap with host load, not code).
 
-Usage: python3 scripts/bench_gate.py [--rebase] [current.json] [reference.json]
+Usage: python3 scripts/bench_gate.py [--rebase] [--ack-regime]
+       [current.json] [reference.json]
 Exit 1 on any alarm. Run the current file with SPARK_GRAFT_BENCH_REPS=3
 so medians, not single shots, are compared (the round-6 rule: compare
 steady-state medians).
@@ -26,8 +27,11 @@ board-wide 1.3-1.5x host-load inflations that swamped the per-query
 signal; the median ratio is that regime factor (robust unless >half
 the suite genuinely regressed, which a code change never does), and
 rebasing isolates the per-query deltas the gate exists to catch. The
-regime factor itself is printed — a factor far from 1 is the cue to
-re-run on an idle host before trusting absolute totals.
+regime factor itself is printed — AND enforced: a factor above
+REGIME_MAX (1.5x) fails the gate unless --ack-regime is passed,
+because a regression in a shared kernel or config inflates the whole
+board uniformly and the median would otherwise absorb it silently.
+Adjudicate (idle-host re-run, c1_scan control) before acking.
 """
 import glob
 import json
@@ -39,6 +43,7 @@ FLOOR = 0.15        # s: below this in both files, ratios are host noise
 SLOW = 2.0
 FAST = 0.5
 SPEEDUP_MIN_REF = 0.5  # s: only flag "suspicious speedup" on real work
+REGIME_MAX = 1.5    # --rebase factor above this fails unless --ack-regime
 
 
 def load(path):
@@ -63,8 +68,10 @@ def newest_tagged(exclude):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--rebase"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--rebase", "--ack-regime")]
     rebase = "--rebase" in sys.argv[1:]
+    ack_regime = "--ack-regime" in sys.argv[1:]
     cur_path = args[0] if len(args) > 0 else "bench_detail.json"
     ref_path = args[1] if len(args) > 1 else newest_tagged(cur_path)
     if ref_path is None:
@@ -75,6 +82,7 @@ def main():
     ref, _ = load(ref_path)
     print(f"bench_gate: {cur_path} vs {ref_path} "
           f"({len(cur)} vs {len(ref)} queries)")
+    regime_alarm = None
     if rebase:
         ratios = sorted(cur[q] / ref[q] for q in set(cur) & set(ref)
                         if cur[q] > 0 and ref[q] > 0)
@@ -82,6 +90,19 @@ def main():
             regime = ratios[len(ratios) // 2]
             print(f"  (rebase) regime factor {regime:.2f}x "
                   "— current times divided by it before alarming")
+            # A regime this large can no longer be assumed to be host
+            # load: a regression in a SHARED kernel or config (codegen
+            # off, Tables.load slowdown) inflates the whole board and
+            # the median would silently absorb it. Force a human
+            # adjudication (idle-host re-run or --ack-regime) instead
+            # of normalizing it away.
+            if regime > REGIME_MAX and not ack_regime:
+                regime_alarm = (
+                    f"REGIME   board-wide factor {regime:.2f}x exceeds "
+                    f"{REGIME_MAX}x — a shared-kernel/config regression "
+                    "would look exactly like this. Re-run on an idle "
+                    "host, or pass --ack-regime after adjudicating "
+                    "that it is genuinely host load.")
             cur = {q: (t / regime if t > 0 else t)
                    for q, t in cur.items()}
 
@@ -109,6 +130,8 @@ def main():
         print(f"  (info) {len(new)} new queries not in reference: "
               + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
 
+    if regime_alarm:
+        alarms.append(regime_alarm)
     if alarms:
         print(f"\n{len(alarms)} alarm(s):")
         for a in alarms:

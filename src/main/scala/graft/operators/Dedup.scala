@@ -437,9 +437,12 @@ object Dedup extends QueryPack {
     // a clone-heavy corpus (the sf1 tiling: every doc a 10-copy
     // cluster, all three bands matching for every clone pair) the
     // distinct was shuffling 3× the pair volume; first-band emission
-    // produces the identical pair set with no dedup pass (sf1:
-    // 41.6 s → ~11-15 s for the same 40.2M-pair output — the residual
-    // cost is the output itself, oracle-verified row-for-row).
+    // produces the identical pair set with no dedup pass. Config-
+    // tagged sf1 numbers for the same 40.2M-pair output (idle host,
+    // 3-rep steady state): ~21 s at the ScalingProbe's local[4]
+    // (SCALING.md's 30.8 s row was that config under session load)
+    // and ~5.2 s at the bench's local[32] — the residual cost is the
+    // output volume itself, oracle-verified row-for-row.
     def bandOf(side: String, b: Int) =
       expr(s"shiftright($side.simhash, ${b * 20}) & 1048575")
     val firstMatch = (col("a.band") === 0) ||
