@@ -83,4 +83,75 @@ object StreamCuration {
         ()
       }
       .start()
+
+  /** Route one micro-batch of (doc_id, text, event_ts) rows under the
+    * E3 watermark discipline: rows whose event_ts has fallen behind
+    * the high-watermark — the max event time across all PRIOR batches
+    * minus `delaySeconds` — are appended to `<name>_quarantine`
+    * (batch-id-stamped, un-curated) instead of silently entering the
+    * curated corpus; on-time rows run the normal curation. Production
+    * pipelines audit quarantines rather than absorbing stragglers that
+    * would retroactively shift published corpus statistics.
+    *
+    * The watermark state is itself replay-safe: each batch appends its
+    * (batch_id, max_ts) row to `<name>_wm_state` through the same
+    * idempotent commit chain, and the watermark for batch B derives
+    * only from rows with batch_id < B — so a restart replays B against
+    * exactly the state it saw the first time, and the replayed
+    * appends are no-ops. The per-batch state reads are single-row
+    * scalar lookups (the control loop's own state, not a data-plane
+    * collect); watermark semantics match the batch e3_watermark
+    * operator: the FIRST batch has no watermark and quarantines
+    * nothing, exactly like Spark's own eventTime watermark starting
+    * at zero.
+    */
+  private[streaming] def applyBatchWatermarked(spark: SparkSession,
+      dir: String, api: graft.api.FalApi, name: String,
+      batch: DataFrame, batchId: Long, delaySeconds: Long): Unit = {
+    val wmName = s"${name}_wm_state"
+    val watermark: Option[java.sql.Timestamp] =
+      if (api.registry.relationExists(wmName)) {
+        val prior = api.ref(wmName).filter(col("batch_id") < batchId)
+          .agg(max(col("max_ts"))).collect()(0)
+        Option(prior.getTimestamp(0))
+          .map(t => new java.sql.Timestamp(t.getTime - delaySeconds * 1000L))
+      } else None
+    val late = watermark
+      .map(w => batch.filter(col("event_ts") < lit(w)))
+      .getOrElse(batch.limit(0))
+    val onTime = watermark
+      .map(w => batch.filter(col("event_ts") >= lit(w)))
+      .getOrElse(batch)
+    if (!late.isEmpty)
+      StreamIngest.applyBatch(api, s"${name}_quarantine",
+        late.withColumn("batch_id", lit(batchId)), batchId)
+    StreamIngest.applyBatch(api, name,
+      curateBatch(spark, dir, onTime.select("doc_id", "text")), batchId)
+    // advance the state LAST: a crash before this line replays the
+    // batch against the same watermark; the data appends above are
+    // already committed and no-op on the replay
+    val mx = batch.agg(max(col("event_ts"))).collect()(0).getTimestamp(0)
+    if (mx != null) {
+      import spark.implicits._
+      StreamIngest.applyBatch(api, wmName,
+        Seq((batchId, mx)).toDF("batch_id", "max_ts"), batchId)
+    }
+  }
+
+  /** [[toModel]] with the watermark discipline of
+    * [[applyBatchWatermarked]] attached — the curated model gains a
+    * `<name>_quarantine` sibling for late arrivals and a
+    * `<name>_wm_state` sibling holding the per-batch event-time highs.
+    */
+  def toModelWatermarked(spark: SparkSession, dir: String,
+      docs: DataFrame, api: graft.api.FalApi, name: String,
+      checkpointDir: String, delaySeconds: Long = 600L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchWatermarked(spark, dir, api, name, batch, batchId,
+          delaySeconds)
+      }
+      .start()
 }

@@ -99,4 +99,69 @@ class StreamCurationSpec extends AnyFunSuite {
         ingest.take(3).toSeq.toDF("doc_id", "text")), batchId = 0L))
     assert(api.ref("curated").count() == n)
   }
+
+  test("watermarked front quarantines late documents instead of curating them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import graft.api.{FalApi, Registry, RunLedger}
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 9)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.length >= 8)
+    val api = new FalApi(spark,
+      new Registry(Files.createTempDirectory("graft-wm").toString),
+      new RunLedger)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamCuration.toModelWatermarked(spark, dir,
+      input.toDF().toDF("doc_id", "text", "event_ts"), api, "wm_curated",
+      Files.createTempDirectory("graft-wm-ckpt").toString,
+      delaySeconds = 600L)
+    try {
+      // batch 0: all at 10:00 — no watermark exists yet, nothing late
+      val b0 = docs.take(4).map { case (id, t) =>
+        (id, t, ts("2021-01-01 10:00:00")) }
+      input.addData(b0.toSeq)
+      q.processAllAvailable()
+      // batch 1: watermark = 10:00 − 10 min = 09:50. One row at 09:40
+      // (late → quarantine), one at 09:55 (inside the allowed lateness
+      // → curated), rest at 10:05 (on time)
+      val Array(d4, d5, d6, d7) = docs.slice(4, 8)
+      input.addData(Seq(
+        (d4._1, d4._2, ts("2021-01-01 09:40:00")),
+        (d5._1, d5._2, ts("2021-01-01 09:55:00")),
+        (d6._1, d6._2, ts("2021-01-01 10:05:00")),
+        (d7._1, d7._2, ts("2021-01-01 10:05:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // exactly the 09:40 straggler is quarantined, un-curated, stamped
+    // with its batch id
+    val quarantined = api.ref("wm_curated_quarantine")
+      .select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(quarantined.toSeq == Seq((docs(4)._1, 1L)))
+    // everything else (batch 0 + the on-time and allowed-late batch-1
+    // rows) went through curation — the curated model holds exactly
+    // the gate survivors of those 7 docs, late one excluded
+    val expected = StreamCuration.curateBatch(spark, dir,
+        (docs.take(4) ++ docs.slice(5, 8)).toSeq.toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stored = api.ref("wm_curated").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(stored == expected)
+    assert(!stored.contains(docs(4)._1))
+
+    // replaying a committed batch id changes nothing (restart safety)
+    val (nQ, nC) = (api.ref("wm_curated_quarantine").count(),
+      api.ref("wm_curated").count())
+    StreamCuration.applyBatchWatermarked(spark, dir, api, "wm_curated",
+      Seq((docs(4)._1, docs(4)._2, ts("2021-01-01 09:40:00")))
+        .toDF("doc_id", "text", "event_ts"), batchId = 1L, 600L)
+    assert(api.ref("wm_curated_quarantine").count() == nQ)
+    assert(api.ref("wm_curated").count() == nC)
+  }
 }
