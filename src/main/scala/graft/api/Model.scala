@@ -35,7 +35,10 @@ object ModelKind {
     * `A/fal/cli_tests/projects/env_project/models/model_c.py:1-12`,
     * resolved by `fal/packages/environments/base.py:43-101`): non-empty
     * → the model runs in a cached venv keyed by the requirements hash
-    * ([[PyBridge.pythonFor]]).
+    * ([[PyBridge.pythonFor]]). A leading `conda` element selects the
+    * reference's conda flavor (`environments/conda.py:33-90`): the
+    * remaining entries are conda packages, resolved through the same
+    * get-or-create cache.
     */
   final case class Python(pyFile: String,
       environment: Seq[String] = Nil) extends ModelKind

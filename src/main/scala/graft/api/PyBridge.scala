@@ -171,8 +171,70 @@ object PyBridge {
     * the cache across processes; a failed build leaves no marker and is
     * rebuilt on next touch.
     */
+  /** Conda executable, resolved like the reference (`conda.py:25-28`:
+    * $CONDA_EXE, else `conda` on PATH); None when absent so callers
+    * can skip gracefully. */
+  private[graft] lazy val condaExe: Option[String] =
+    sys.env.get("CONDA_EXE").filter(p => Files.exists(
+        java.nio.file.Paths.get(p)))
+      .orElse {
+        val fromPath = sys.env.getOrElse("PATH", "").split(":")
+          .map(d => java.nio.file.Paths.get(d, "conda"))
+          .find(Files.exists(_)).map(_.toString)
+        fromPath.orElse(Seq(
+          sys.props.getOrElse("user.home", "/root") + "/miniconda/bin/conda")
+          .find(p => Files.exists(java.nio.file.Paths.get(p))))
+      }
+
+  /** B12's conda flavor (ref `conda.py:33-90`): packages key the env by
+    * their SHA-256 (the reference's `key` property) and
+    * `_get_or_create` materializes `conda create --yes --prefix
+    * <cache>/conda_<digest> <packages…>` exactly once, reused across
+    * models and processes via the `.graft_ok` marker. Divergences,
+    * both deliberate: a bare `python` is appended when the declaration
+    * doesn't pin one (the reference pins the host's exact version for
+    * pickle compatibility; our handoff is parquet, so any interpreter
+    * works), and `--offline` is passed unless GRAFT_CONDA_ONLINE=1 so
+    * a zero-egress sandbox draws on the local package cache instead of
+    * hanging on a channel fetch.
+    */
+  private def condaFor(packages: Seq[String]): String = {
+    val conda = condaExe.getOrElse(throw new IllegalStateException(
+      "model declares a conda environment but no conda executable found"))
+    val pkgs0 = packages.sorted
+    val pkgs =
+      if (pkgs0.exists(_.takeWhile(c => c != '=' && c != '<' && c != '>')
+        == "python")) pkgs0
+      else pkgs0 :+ "python"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(pkgs.mkString(" ").getBytes(UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.env.cache",
+        sys.props("java.io.tmpdir") + "/graft_envs"))
+    Files.createDirectories(base)
+    val envDir = base.resolve(s"conda_$digest")
+    val marker = envDir.resolve(".graft_ok")
+    if (!Files.exists(marker)) {
+      deleteRec(envDir)
+      val offline =
+        if (sys.env.get("GRAFT_CONDA_ONLINE").contains("1")) Nil
+        else Seq("--offline")
+      val cmd = Seq(conda, "create", "--yes") ++ offline ++
+        Seq("--prefix", envDir.toString) ++ pkgs
+      runLogged(new ProcessBuilder(cmd: _*),
+        base.resolve(s"conda_$digest.create.log"),
+        s"conda create $digest")
+      Files.writeString(marker, pkgs.mkString("\n"))
+    }
+    envDir.resolve("bin").resolve("python").toString
+  }
+
   def pythonFor(requirements: Seq[String]): String =
     if (requirements.isEmpty) "python3"
+    else if (requirements.head == "conda")
+      envCache.getOrElseUpdate(requirements.toList,
+        condaFor(requirements.tail))
     else envCache.getOrElseUpdate(requirements.sorted.toList, {
       val reqs = requirements.sorted
       val digest = java.security.MessageDigest.getInstance("SHA-256")

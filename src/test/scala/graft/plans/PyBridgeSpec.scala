@@ -125,6 +125,29 @@ class PyBridgeSpec extends AnyFunSuite {
       .getParent.resolve(".graft_ok")))
   }
 
+  test("conda environment flavor resolves through the get-or-create cache") {
+    // the conda flavor of B12 (ref conda.py:33-90): a `conda`-headed
+    // environment declaration resolves to a conda env created once and
+    // keyed by the package hash. Skipped when no conda executable is
+    // installed; the in-sandbox channel cache carries python itself,
+    // so creation works offline.
+    assume(PyBridge.condaExe.isDefined, "no conda executable installed")
+    val py1 = PyBridge.pythonFor(Seq("conda"))
+    assert(py1 != "python3" && py1.contains("conda_"),
+      s"expected a conda-cache interpreter, got $py1")
+    assert(Files.exists(java.nio.file.Paths.get(py1)),
+      "conda env has no python binary")
+    assert(Files.exists(java.nio.file.Paths.get(py1).getParent
+      .getParent.resolve(".graft_ok")))
+    // cache hit: same interpreter, no second create
+    assert(PyBridge.pythonFor(Seq("conda")) == py1)
+    // the interpreter actually runs
+    val p = new ProcessBuilder(py1, "-c", "print(6*7)")
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes).trim
+    assert(p.waitFor() == 0 && out.endsWith("42"))
+  }
+
   test("crashing python model FAILs, downstream SKIPs, session survives") {
     assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
     val api = freshApi()
