@@ -437,12 +437,14 @@ object Dedup extends QueryPack {
     // a clone-heavy corpus (the sf1 tiling: every doc a 10-copy
     // cluster, all three bands matching for every clone pair) the
     // distinct was shuffling 3× the pair volume; first-band emission
-    // produces the identical pair set with no dedup pass. Config-
-    // tagged sf1 numbers for the same 40.2M-pair output (idle host,
-    // 3-rep steady state): ~21 s at the ScalingProbe's local[4]
-    // (SCALING.md's 30.8 s row was that config under session load)
-    // and ~5.2 s at the bench's local[32] — the residual cost is the
-    // output volume itself, oracle-verified row-for-row.
+    // produces the identical pair set with no dedup pass. Measured
+    // sf1 numbers for the same 40.2M-pair output disagree only by
+    // WHAT they time, not by host noise: SCALING.md's ~31-34 s is the
+    // FULL plan at local[8] (noop-sink write, so the final
+    // 40.2M-row ORDER BY runs); count()-pruned steady states (the
+    // sort dropped by Catalyst) are ~21 s at local[4] and ~5.2 s at
+    // the bench's local[32]. The join itself is output-bound either
+    // way, oracle-verified row-for-row.
     def bandOf(side: String, b: Int) =
       expr(s"shiftright($side.simhash, ${b * 20}) & 1048575")
     val firstMatch = (col("a.band") === 0) ||

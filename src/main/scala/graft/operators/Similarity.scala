@@ -198,7 +198,7 @@ object Similarity extends QueryPack {
   }
 
   /** Lloyd-refined IVF centroids (K rows) — build function of the
-    * standing `graft_ivf_cents` model. */
+    * standing `graft_ivf_cents_k<K>` model. */
   private def ivfRefinedCents(spark: SparkSession,
       dir: String): DataFrame = {
     val p = ivfParams(spark, dir)
