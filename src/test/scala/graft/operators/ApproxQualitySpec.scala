@@ -96,6 +96,11 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(meanFrac > 0.0)
     assert(cellSizes.count() >= p.k / 2,
       "Lloyd refinement collapsed the cells")
+    // the standing model's NAME carries the derived K — crossing a K
+    // boundary versions a new index instead of serving stale geometry
+    assert(idx.queryExecution.executedPlan.toString
+      .contains(s"graft_ivf_index_k${p.k}"),
+      "standing index name no longer carries the derived K")
     assert(maxCell <= 0.35,
       f"largest cell holds $maxCell%.2f of the corpus — probing it is " +
         "no longer sublinear")
