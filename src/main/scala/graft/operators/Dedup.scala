@@ -562,6 +562,63 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** E5h — SemDeDup-style semantic dedup (keep one representative per
+    * cluster of mutually >0.95-cosine embeddings): the pair graph is
+    * the IVF-cell-blocked near-dup join ([[ddEmbeddingNeardupIvf]]'s
+    * base stage plus the same bounded planted clones, which give the
+    * small-SF oracle real multi-member clusters), components come from
+    * the SAME hierarchical union-find contraction the text-side
+    * clustering uses ([[connectedComponents]] — no driver state, no
+    * O(diameter) loop), and the representative is the minimum vec_id.
+    * Emits every corpus row (planted included) with its cluster rep
+    * and keep verdict — the drop-list shape a semantic-dedup pass
+    * feeds into corpus curation.
+    *
+    * Fully oracle-checked: DuckDB replays the index build
+    * ([[Similarity.sqlIvfCtes]]), the planted clones, the cell-blocked
+    * pair join, and the components as a recursive-CTE fixpoint.
+    *
+    * Scale: edges come from the bucketed cell join (~N^1.5 pair work
+    * under the K=√N geometry), contraction is linear per level, and
+    * the label map is pair-touched-only → broadcast back over the
+    * corpus, which never shuffles.
+    */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val idx = Similarity.ivfIndexModel(spark, dir)
+    val a = idx.select(col("cell"), col("neighbor_id").as("vec_a"),
+      col("c_emb").as("ea"), col("c_norm").as("na"))
+    val plantedRows = idx
+      .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
+      .select(col("cell"),
+        (col("neighbor_id") + 1000000L).as("neighbor_id"),
+        col("c_emb"), col("c_norm"))
+    val b0 = idx.select(col("cell"), col("neighbor_id").as("vec_b"),
+      col("c_emb").as("eb"), col("c_norm").as("nb"))
+    val bP = plantedRows.select(col("cell"),
+      col("neighbor_id").as("vec_b"), col("c_emb").as("eb"),
+      col("c_norm").as("nb"))
+    val cos = clampCos(expr("graft_dot_product(ea, eb)") /
+      (col("na") * col("nb")))
+    val edges = a.join(b0, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b")).filter(cos > 0.95)
+      .select(col("vec_a"), col("vec_b"))
+      .unionByName(a.join(broadcast(bP), Seq("cell"))
+        .filter(col("vec_a") < col("vec_b")).filter(cos > 0.95)
+        .select(col("vec_a"), col("vec_b")))
+      .as[(Long, Long)]
+    val labels = connectedComponents(edges)
+      .toDF("vec_id", "cluster_rep")
+    idx.select(col("neighbor_id").as("vec_id"))
+      .unionByName(plantedRows.select(col("neighbor_id").as("vec_id")))
+      .join(broadcast(labels), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("vec_id") === col("cluster_rep"))
+      .orderBy("vec_id")
+  }
+
   /** Path-compressed min-root union-find over one partition's edges;
     * emits every seen node with the minimum id of its local component.
     * The building block of [[ddCluster]]'s contraction levels: local
@@ -725,7 +782,8 @@ object Dedup extends QueryPack {
     "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
     "dd_embedding_neardup" -> ddEmbeddingNeardup _,
-    "dd_embedding_neardup_ivf" -> ddEmbeddingNeardupIvf _)
+    "dd_embedding_neardup_ivf" -> ddEmbeddingNeardupIvf _,
+    "dd_semantic" -> ddSemantic _)
 
   /** Shared DuckDB CTEs (sh → hx → sig → banded) replaying the MinHash
     * signature + banding pipeline of [[minhashSigs]]/[[bandedOf]] — one
@@ -1006,5 +1064,39 @@ object Dedup extends QueryPack {
           ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
       )
       SELECT vec_a, vec_b, cell, cosine FROM pairs
-      WHERE cosine > 0.95 ORDER BY vec_a, vec_b""")
+      WHERE cosine > 0.95 ORDER BY vec_a, vec_b""",
+    "dd_semantic" -> s"""
+      WITH RECURSIVE ${Similarity.sqlIvfCtes.stripPrefix("WITH ")}
+      planted AS (
+        SELECT neighbor_id + 1000000 AS neighbor_id, c_emb, cell
+        FROM corpus
+        WHERE neighbor_id % 97 = 0 AND neighbor_id < 1000
+      ),
+      jp AS (
+        SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b
+        FROM corpus a JOIN corpus b
+          ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+        WHERE list_cosine_similarity(a.c_emb, b.c_emb) > 0.95
+        UNION ALL
+        SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b
+        FROM corpus a JOIN planted b
+          ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+        WHERE list_cosine_similarity(a.c_emb, b.c_emb) > 0.95
+      ),
+      allv AS (
+        SELECT neighbor_id FROM corpus
+        UNION ALL SELECT neighbor_id FROM planted
+      ),
+      edg AS (
+        SELECT vec_a AS src, vec_b AS dst FROM jp
+        UNION ALL SELECT vec_b, vec_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT neighbor_id, neighbor_id FROM allv
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edg e2 ON r.node = e2.src
+      )
+      SELECT src AS vec_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src ORDER BY vec_id""")
 }
