@@ -619,6 +619,42 @@ object Dedup extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** E5i — incremental embedding near-dup: an arriving batch probed
+    * against the STANDING IVF index — the embedding-modality twin of
+    * [[ddIncremental]]'s LSH probe, and the batch formulation of the
+    * streaming [[graft.streaming.StreamAnn.dupBatch]]. The batch is a
+    * deterministic corpus slice (vec_id % 13 = 12, "re-checks")
+    * plus re-ingested clones of the bounded planted subset (id % 97 =
+    * 0, id < 1000, shifted +1e6) — the continual-ingest scenario where
+    * a duplicate re-submission MUST flag against the standing corpus;
+    * the clones guarantee the small-SF oracle compares real matches.
+    * Emits every index member above 0.95 cosine within the batch
+    * vector's nprobe probed cells (exact clones are always found —
+    * identical vectors share an assignment cell by construction).
+    *
+    * Scale: O(batch × nprobe/K of corpus) — the batch side broadcasts
+    * into the cell-bucketed standing index, the corpus never shuffles
+    * and is never rescanned beyond the probed cells.
+    */
+  def ddEmbeddingIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    val natural = base
+      .filter(col("vec_id") >= 10 && col("vec_id") % 13 === 12)
+    val reingested = base
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") >= 10 &&
+        col("vec_id") < 1000)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    Similarity.ivfDupProbe(spark, dir,
+        natural.unionByName(reingested)
+          .select(col("vec_id").as("query_id"), col("emb"), col("norm")))
+      .orderBy("new_vec", "index_vec")
+  }
+
   /** Path-compressed min-root union-find over one partition's edges;
     * emits every seen node with the minimum id of its local component.
     * The building block of [[ddCluster]]'s contraction levels: local
@@ -783,7 +819,8 @@ object Dedup extends QueryPack {
     "dd_simhash" -> ddSimhash _,
     "dd_embedding_neardup" -> ddEmbeddingNeardup _,
     "dd_embedding_neardup_ivf" -> ddEmbeddingNeardupIvf _,
-    "dd_semantic" -> ddSemantic _)
+    "dd_semantic" -> ddSemantic _,
+    "dd_embedding_incremental" -> ddEmbeddingIncremental _)
 
   /** Shared DuckDB CTEs (sh → hx → sig → banded) replaying the MinHash
     * signature + banding pipeline of [[minhashSigs]]/[[bandedOf]] — one
@@ -1098,5 +1135,31 @@ object Dedup extends QueryPack {
       )
       SELECT src AS vec_id, min(node) AS cluster_rep,
              (src = min(node)) AS is_kept
-      FROM reach GROUP BY src ORDER BY vec_id""")
+      FROM reach GROUP BY src ORDER BY vec_id""",
+    "dd_embedding_incremental" -> s"""
+      ${Similarity.sqlIvfCtes}
+      q0 AS (
+        SELECT vec_id, emb FROM e
+        WHERE vec_id >= 10 AND vec_id % 13 = 12
+        UNION ALL
+        SELECT vec_id + 1000000, emb FROM e
+        WHERE vec_id % 97 = 0 AND vec_id >= 10 AND vec_id < 1000
+      ),
+      qs AS (
+        SELECT vec_id AS query_id, emb AS q_emb, cell FROM (
+          SELECT q0.vec_id, q0.emb, cell,
+                 row_number() OVER (PARTITION BY q0.vec_id ORDER BY
+                   list_cosine_similarity(q0.emb, cent_emb) DESC, cell)
+                   AS crank
+          FROM q0, cents
+        ), ivf_params WHERE crank <= nprobe
+      ),
+      m AS (
+        SELECT query_id AS new_vec, neighbor_id AS index_vec,
+               list_cosine_similarity(q_emb, c_emb) AS cosine
+        FROM corpus JOIN qs USING (cell)
+        WHERE neighbor_id != query_id
+      )
+      SELECT new_vec, index_vec, cosine FROM m WHERE cosine > 0.95
+      ORDER BY new_vec, index_vec""")
 }

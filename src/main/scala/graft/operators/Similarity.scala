@@ -291,6 +291,29 @@ object Similarity extends QueryPack {
         col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell"))
   }
 
+  /** Every standing-index member above `minCos` cosine within a query
+    * frame's probed cells — the NEAR-DUP flavor of [[ivfProbe]] (no
+    * top-k cap: an incremental dup check needs every match, not the 5
+    * best; self-matches are excluded so corpus members can re-check
+    * themselves). An exact re-ingested duplicate is always found: an
+    * identical vector's nearest cell IS its original's assignment
+    * cell. Shared by the batch `dd_embedding_incremental` and the
+    * streaming [[graft.streaming.StreamAnn.dupBatch]] — row-local per
+    * query, so batch ≡ stream.
+    */
+  private[graft] def ivfDupProbe(spark: SparkSession, dir: String,
+      queries: DataFrame, minCos: Double = 0.95): DataFrame = {
+    val queryCells = ivfQueryCells(spark, dir, queries)
+    ivfIndexModel(spark, dir).join(broadcast(queryCells), Seq("cell"))
+      .withColumn("cosine",
+        clampCos(expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm"))))
+      .filter(col("cosine") > minCos &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id").as("new_vec"),
+        col("neighbor_id").as("index_vec"), col("cosine"))
+  }
+
   /** Probe the standing IVF index with an arbitrary (query_id, emb,
     * norm) frame — the per-query kernel shared by [[simIvfTopk]] and
     * the streaming probe ([[graft.streaming.StreamAnn]]): a query's

@@ -47,4 +47,31 @@ object StreamAnn {
     queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       sink(probeBatch(spark, dir, batch))
     }
+
+  /** Online near-dup check for ONE micro-batch of (query_id,
+    * embedding) rows: every standing-index member above 0.95 cosine
+    * within each vector's probed cells ([[Similarity.ivfDupProbe]] —
+    * no top-k cap, exact re-ingested clones always flag). The same
+    * kernel the batch `dd_embedding_incremental` runs, so batch ≡
+    * stream; the embedding-modality sibling of
+    * [[StreamDedup.probeBatch]]'s LSH text probe.
+    */
+  def dupBatch(spark: SparkSession, dir: String,
+      batchQueries: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batchQueries.sparkSession)
+    graft.functions.GraftFunctions.register(spark)
+    val q = batchQueries
+      .select(col("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    Similarity.ivfDupProbe(spark, dir, q)
+  }
+
+  /** [[attach]] for the near-dup check: `sink` receives each
+    * micro-batch's (new_vec, index_vec, cosine) match rows. */
+  def attachDup(spark: SparkSession, dir: String, queries: DataFrame)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(dupBatch(spark, dir, batch))
+    }
 }

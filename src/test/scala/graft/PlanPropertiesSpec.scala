@@ -80,6 +80,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
     */
   private val intendedNestedLoop = Set("sim_brute_topk", "sim_lsh_topk",
     "sim_ivf_topk", "sim_pq_topk", "sim_kmeans_step", "tx_tfidf",
+    // incremental embedding dup probe: batch × K broadcast centroid
+    // scoring (the same query-cell assignment sim_ivf_topk runs)
+    "dd_embedding_incremental",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join",
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
