@@ -562,8 +562,12 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** E5h — SemDeDup-style semantic dedup (keep one representative per
-    * cluster of mutually >0.95-cosine embeddings): the pair graph is
+  /** E5h — SemDeDup-style semantic dedup (public method: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication" — cluster embeddings with k-means, drop
+    * within-cluster near-duplicates keeping one representative; our
+    * coarse quantizer plays the k-means role): keep one representative
+    * per cluster of mutually >0.95-cosine embeddings. The pair graph is
     * the IVF-cell-blocked near-dup join ([[ddEmbeddingNeardupIvf]]'s
     * base stage plus the same bounded planted clones, which give the
     * small-SF oracle real multi-member clusters), components come from
