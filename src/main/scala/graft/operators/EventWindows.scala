@@ -82,6 +82,29 @@ object EventWindows extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
+  /** E2 — session windows via Spark's NATIVE `session_window`
+    * aggregation — the streaming-capable operator (the same node
+    * `readStream.groupBy(session_window(...))` runs with state):
+    * session consolidation happens inside the aggregate, replacing the
+    * gaps-and-islands twin's two analytic-window passes. Same 30-min
+    * inactivity-gap sessions as [[e2Session]] (an event extends a
+    * session iff it arrives within the gap of the previous event —
+    * identical split rule); the native window's end is last-event+gap,
+    * so session bounds are re-derived as min/max event time and the
+    * DuckDB oracle replays the islands form — value-for-value parity
+    * between the two formulations IS the check.
+    */
+  def e2SessionNative(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "session_value")
+      .orderBy("user_id", "session_start")
+
   /** E3 — watermark-style late-data handling, batch-checkable: drop
     * events older than (max event time − 1 hour), then aggregate — the
     * same cutoff `withWatermark("ts", "1 hour")` enforces in streaming.
@@ -211,6 +234,7 @@ object EventWindows extends QueryPack {
     "e1_tumbling_native" -> e1TumblingNative _,
     "e2_sliding" -> e2Sliding _,
     "e2_session" -> e2Session _,
+    "e2_session_native" -> e2SessionNative _,
     "e3_watermark" -> e3Watermark _,
     "e4_dedup_first" -> e4DedupFirst _,
     "e5_funnel" -> e5Funnel _,
@@ -328,6 +352,30 @@ object EventWindows extends QueryPack {
              ${sqlDsum("value")} AS session_value
       FROM sessions GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
+    "e2_session_native" -> s"""
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               lag(epoch_ms(ts)) OVER w AS prev_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL
+                         OR epoch_ms(ts) - prev_ms > 1800000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM marked
+      ),
+      sessions AS (
+        SELECT *, CAST(sum(is_new) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, ${sqlDsum("value")} AS session_value
+      FROM sessions GROUP BY user_id, session_seq
+      ORDER BY user_id, session_start""",
     "e3_watermark" -> s"""
       SELECT event_type, count(*) AS n_events,
              ${sqlDsum("value")} AS sum_value
