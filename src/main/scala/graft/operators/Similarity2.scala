@@ -60,10 +60,73 @@ object Similarity2 extends QueryPack {
       .orderBy("cluster", "dim")
   }
 
+  /** E6e — int8 embedding quantization, the STORAGE path of a 100 TB
+    * embedding pipeline (raw float32 × 64 dims = 256 B/vector; symmetric
+    * absmax-scaled int8 codes are 64 B + one float scale — the standard
+    * 4× shrink every large vector store applies before indexing): per
+    * vector, scale = 127/max|x|, codes = round(x·scale), plus the
+    * reconstruction squared error as the quality readout. One
+    * codegen'd/HOF map pass, no shuffle beyond the output sort; pairs
+    * with the PQ path ([[Similarity.simPqTopk]]) as the two standard
+    * compression tiers.
+    *
+    * Fully oracle-checked bitwise: absmax is an exact fold, the scale
+    * is one division, each code is floor(x·scale + 0.5) (exact in both
+    * engines, half-up for negatives too), and the error is a
+    * sequential-fold dot product of exact elementwise differences —
+    * every operand computes to identical bits in DuckDB.
+    */
+  def simInt8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("amax", expr(
+        "aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("amax") > 0.0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("codes", expr(
+        "transform(emb, x -> CAST(floor(x * scale + 0.5D) AS INT))"))
+      .withColumn("diff", expr(
+        "zip_with(emb, codes, (x, c) -> x - CAST(c AS DOUBLE) / scale)"))
+      .select(col("vec_id"), col("scale"), col("codes"),
+        expr("graft_dot_product(diff, diff)").as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_kmeans_step" -> simKmeansStep _)
+    "sim_kmeans_step" -> simKmeansStep _,
+    "sim_int8_quantize" -> simInt8Quantize _)
 
   val oracles: Map[String, String] = Map(
+    "sim_int8_quantize" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ),
+      s AS (
+        SELECT vec_id, emb,
+               127.0 / list_aggregate(list_transform(emb,
+                 x -> abs(x)), 'max') AS scale
+        FROM e
+        WHERE list_aggregate(list_transform(emb, x -> abs(x)), 'max')
+              > 0.0
+      ),
+      q AS (
+        SELECT vec_id, scale,
+               list_transform(emb,
+                 x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
+               emb
+        FROM s
+      ),
+      d AS (
+        SELECT vec_id, scale, codes,
+               list_transform(range(1, len(emb) + 1),
+                 i -> emb[i] - CAST(codes[i] AS DOUBLE) / scale) AS diff
+        FROM q
+      )
+      SELECT vec_id, scale, codes,
+             list_dot_product(diff, diff) AS recon_err
+      FROM d ORDER BY vec_id""",
     "sim_kmeans_step" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
