@@ -230,12 +230,17 @@ object PyBridge {
     envDir.resolve("bin").resolve("python").toString
   }
 
+  // cache keys are flavor-namespaced: a pip requirement list that
+  // happens to sort to List("conda", ...) must never share an entry
+  // with the conda declaration of the same elements
   def pythonFor(requirements: Seq[String]): String =
     if (requirements.isEmpty) "python3"
     else if (requirements.head == "conda")
-      envCache.getOrElseUpdate(requirements.toList,
+      envCache.getOrElseUpdate(
+        "flavor:conda" :: requirements.tail.sorted.toList,
         condaFor(requirements.tail))
-    else envCache.getOrElseUpdate(requirements.sorted.toList, {
+    else envCache.getOrElseUpdate(
+      "flavor:venv" :: requirements.sorted.toList, {
       val reqs = requirements.sorted
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(reqs.mkString("\n").getBytes(UTF_8))

@@ -524,7 +524,27 @@ object Dedup extends QueryPack {
     * through [[Similarity.sqlIvfCtes]] and then the identical
     * cell-blocked pair join.
     */
-  def ddEmbeddingNeardupIvf(spark: SparkSession,
+  /** The cell-blocked embedding pair stream shared by
+    * [[ddEmbeddingNeardupIvf]] and [[ddSemantic]]: every within-cell
+    * (vec_a < vec_b) pair of the standing IVF index with its cosine,
+    * PLUS pairs against the planted verification clones.
+    *
+    * Planted verification clones: the generated fixtures carry no
+    * natural >0.95-cosine pair at small SF, which left these oracles
+    * comparing empty sets. Re-emit a BOUNDED, id-deterministic subset
+    * of the index (neighbor_id % 97 = 0, id < 1000 — at most 10 rows
+    * at any corpus size) as exact clones shifted to id+1,000,000;
+    * a clone is bit-identical, so it lands in its original's cell by
+    * construction and the (original, clone) pair scores cosine 1.0 —
+    * the oracle checks real pair rows, not the all-empty fixed point.
+    * (A production fork simply deletes this block — consumers that
+    * must ignore plants filter ids ≥ 1,000,000, as ApproxQualitySpec
+    * does.) The clone side is O(1) rows and BROADCAST into the
+    * bucketed index, so the corpus side stays exchange-free; DuckDB
+    * replays the same two-part pair stream (cell self-join ∪
+    * cell-joined clones).
+    */
+  private def ivfBlockedPairs(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = Similarity.ivfIndexModel(spark, dir)
@@ -534,18 +554,6 @@ object Dedup extends QueryPack {
       col("c_emb").as("eb"), col("c_norm").as("nb"))
     val base = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-    // Planted verification clones: the generated fixtures carry no
-    // natural >0.95-cosine pair at small SF, which left this oracle
-    // comparing empty sets. Re-emit a BOUNDED, id-deterministic subset
-    // of the index (neighbor_id % 97 = 0, id < 1000 — at most 10 rows
-    // at any corpus size) as exact clones shifted to id+1,000,000;
-    // a clone is bit-identical, so it lands in its original's cell by
-    // construction and the (original, clone) pair scores cosine 1.0 —
-    // the oracle now checks real pair rows, not the all-empty fixed
-    // point. The clone side is O(1) rows and BROADCAST into the
-    // bucketed index, so the corpus side stays exchange-free; DuckDB
-    // replays the same two-part pair stream (cell self-join ∪
-    // cell-joined clones).
     val plantedB = idx
       .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
       .select(col("cell"),
@@ -557,10 +565,14 @@ object Dedup extends QueryPack {
       .withColumn("cosine",
         clampCos(expr("graft_dot_product(ea, eb)") /
           (col("na") * col("nb"))))
+  }
+
+  def ddEmbeddingNeardupIvf(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfBlockedPairs(spark, dir)
       .filter(col("cosine") > 0.95)
       .select(col("vec_a"), col("vec_b"), col("cell"), col("cosine"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** E5h — SemDeDup-style semantic dedup (public method: Abbas et al.
     * 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -589,33 +601,20 @@ object Dedup extends QueryPack {
     */
   def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
     val idx = Similarity.ivfIndexModel(spark, dir)
-    val a = idx.select(col("cell"), col("neighbor_id").as("vec_a"),
-      col("c_emb").as("ea"), col("c_norm").as("na"))
-    val plantedRows = idx
-      .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
-      .select(col("cell"),
-        (col("neighbor_id") + 1000000L).as("neighbor_id"),
-        col("c_emb"), col("c_norm"))
-    val b0 = idx.select(col("cell"), col("neighbor_id").as("vec_b"),
-      col("c_emb").as("eb"), col("c_norm").as("nb"))
-    val bP = plantedRows.select(col("cell"),
-      col("neighbor_id").as("vec_b"), col("c_emb").as("eb"),
-      col("c_norm").as("nb"))
-    val cos = clampCos(expr("graft_dot_product(ea, eb)") /
-      (col("na") * col("nb")))
-    val edges = a.join(b0, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b")).filter(cos > 0.95)
+    // same pair stream as the near-dup query — one definition, so a
+    // threshold or plant change can never diverge between the two
+    val edges = ivfBlockedPairs(spark, dir)
+      .filter(col("cosine") > 0.95)
       .select(col("vec_a"), col("vec_b"))
-      .unionByName(a.join(broadcast(bP), Seq("cell"))
-        .filter(col("vec_a") < col("vec_b")).filter(cos > 0.95)
-        .select(col("vec_a"), col("vec_b")))
       .as[(Long, Long)]
     val labels = connectedComponents(edges)
       .toDF("vec_id", "cluster_rep")
+    val plantedIds = idx
+      .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
+      .select((col("neighbor_id") + 1000000L).as("vec_id"))
     idx.select(col("neighbor_id").as("vec_id"))
-      .unionByName(plantedRows.select(col("neighbor_id").as("vec_id")))
+      .unionByName(plantedIds)
       .join(broadcast(labels), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))

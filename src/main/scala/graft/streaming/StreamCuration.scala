@@ -39,8 +39,12 @@ object StreamCuration {
         TextAnalysis.langidOf(TextAnalysis.qualityOf(batchDocs)))
       .filter(col("passes_gate"))
       .withColumn("n_pii",
+        // phone_intl is EXCLUDED from the sum: every +1-form match
+        // also matches the plain phone pattern on its 10-digit tail
+        // (the documented count overlap in piiPatterns), so summing
+        // both would double-count international numbers
         graft.operators.TextAnalysis3.piiPatterns
-          .map { case (n, _, _) => col(s"n_$n") }
+          .collect { case (n, _, _) if n != "phone_intl" => col(s"n_$n") }
           .reduce(_ + _))
     val dups = StreamDedup.probeBatch(spark, dir,
         gated.select(col("doc_id"), col("redacted").as("text")))
@@ -103,7 +107,15 @@ object StreamCuration {
     * collect); watermark semantics match the batch e3_watermark
     * operator: the FIRST batch has no watermark and quarantines
     * nothing, exactly like Spark's own eventTime watermark starting
-    * at zero.
+    * at zero. A NULL event_ts makes no event-time claim and is routed
+    * on-time at every batch (never silently dropped).
+    *
+    * Operational rule (same as [[StreamIngest]]'s commit log): the
+    * checkpoint dir and the model's registry dir live and die
+    * TOGETHER. Restarting with a fresh checkpoint against an existing
+    * model resets batch ids below the recorded commit, which no-ops
+    * the replays and derives watermarks from the previous run's state
+    * — delete (or version) both, or neither.
     */
   private[streaming] def applyBatchWatermarked(spark: SparkSession,
       dir: String, api: graft.api.FalApi, name: String,
@@ -116,26 +128,37 @@ object StreamCuration {
         Option(prior.getTimestamp(0))
           .map(t => new java.sql.Timestamp(t.getTime - delaySeconds * 1000L))
       } else None
-    val late = watermark
-      .map(w => batch.filter(col("event_ts") < lit(w)))
-      .getOrElse(batch.limit(0))
-    val onTime = watermark
-      .map(w => batch.filter(col("event_ts") >= lit(w)))
-      .getOrElse(batch)
-    if (!late.isEmpty)
-      StreamIngest.applyBatch(api, s"${name}_quarantine",
-        late.withColumn("batch_id", lit(batchId)), batchId)
-    StreamIngest.applyBatch(api, name,
-      curateBatch(spark, dir, onTime.select("doc_id", "text")), batchId)
-    // advance the state LAST: a crash before this line replays the
-    // batch against the same watermark; the data appends above are
-    // already committed and no-op on the replay
-    val mx = batch.agg(max(col("event_ts"))).collect()(0).getTimestamp(0)
-    if (mx != null) {
-      import spark.implicits._
-      StreamIngest.applyBatch(api, wmName,
-        Seq((batchId, mx)).toDF("batch_id", "max_ts"), batchId)
-    }
+    // one materialization of the micro-batch for all four consumers
+    // below (late routing, curation, the max-ts scalar) — an
+    // unpersisted batch would re-evaluate its source lineage per use
+    val cached = batch.persist()
+    try {
+      // a NULL event_ts is "no event-time claim": route it on-time
+      // (curated) at every batch, matching the no-watermark behavior
+      // of batch 0 — a null must never silently match neither filter
+      val late = watermark
+        .map(w => cached.filter(col("event_ts") < lit(w)))
+        .getOrElse(cached.limit(0))
+      val onTime = watermark
+        .map(w => cached.filter(col("event_ts") >= lit(w) ||
+          col("event_ts").isNull))
+        .getOrElse(cached)
+      if (!late.isEmpty)
+        StreamIngest.applyBatch(api, s"${name}_quarantine",
+          late.withColumn("batch_id", lit(batchId)), batchId)
+      StreamIngest.applyBatch(api, name,
+        curateBatch(spark, dir, onTime.select("doc_id", "text")), batchId)
+      // advance the state LAST: a crash before this line replays the
+      // batch against the same watermark; the data appends above are
+      // already committed and no-op on the replay
+      val mx = cached.agg(max(col("event_ts"))).collect()(0)
+        .getTimestamp(0)
+      if (mx != null) {
+        import spark.implicits._
+        StreamIngest.applyBatch(api, wmName,
+          Seq((batchId, mx)).toDF("batch_id", "max_ts"), batchId)
+      }
+    } finally { cached.unpersist(); () }
   }
 
   /** [[toModel]] with the watermark discipline of

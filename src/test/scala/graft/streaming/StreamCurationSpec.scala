@@ -111,7 +111,7 @@ class StreamCurationSpec extends AnyFunSuite {
     val docs = graft.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 9)
       .select("doc_id", "text").as[(Long, String)].collect()
-    assert(docs.length >= 8)
+    assert(docs.length >= 9)
     val api = new FalApi(spark,
       new Registry(Files.createTempDirectory("graft-wm").toString),
       new RunLedger)
@@ -128,13 +128,15 @@ class StreamCurationSpec extends AnyFunSuite {
       q.processAllAvailable()
       // batch 1: watermark = 10:00 − 10 min = 09:50. One row at 09:40
       // (late → quarantine), one at 09:55 (inside the allowed lateness
-      // → curated), rest at 10:05 (on time)
-      val Array(d4, d5, d6, d7) = docs.slice(4, 8)
+      // → curated), rest at 10:05 (on time), plus one with NO event
+      // time (null → on-time by definition, never silently dropped)
+      val Array(d4, d5, d6, d7, d8) = docs.slice(4, 9)
       input.addData(Seq(
         (d4._1, d4._2, ts("2021-01-01 09:40:00")),
         (d5._1, d5._2, ts("2021-01-01 09:55:00")),
         (d6._1, d6._2, ts("2021-01-01 10:05:00")),
-        (d7._1, d7._2, ts("2021-01-01 10:05:00"))))
+        (d7._1, d7._2, ts("2021-01-01 10:05:00")),
+        (d8._1, d8._2, null)))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -144,11 +146,12 @@ class StreamCurationSpec extends AnyFunSuite {
       .select("doc_id", "batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(quarantined.toSeq == Seq((docs(4)._1, 1L)))
-    // everything else (batch 0 + the on-time and allowed-late batch-1
-    // rows) went through curation — the curated model holds exactly
-    // the gate survivors of those 7 docs, late one excluded
+    // everything else (batch 0 + the on-time, allowed-late, and
+    // null-ts batch-1 rows) went through curation — the curated model
+    // holds exactly the gate survivors of those 8 docs, late one
+    // excluded
     val expected = StreamCuration.curateBatch(spark, dir,
-        (docs.take(4) ++ docs.slice(5, 8)).toSeq.toDF("doc_id", "text"))
+        (docs.take(4) ++ docs.slice(5, 9)).toSeq.toDF("doc_id", "text"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val stored = api.ref("wm_curated").select("doc_id").collect()
       .map(_.getLong(0)).toSet
