@@ -89,7 +89,12 @@ object Similarity2 extends QueryPack {
         "transform(emb, x -> CAST(floor(x * scale + 0.5D) AS INT))"))
       .withColumn("diff", expr(
         "zip_with(emb, codes, (x, c) -> x - CAST(c AS DOUBLE) / scale)"))
-      .select(col("vec_id"), col("scale"), col("codes"),
+      .select(col("vec_id"), col("scale"),
+        // Arrays are serialized for the export — the driver's pandas
+        // comparator cannot sort raw array columns (same lesson as
+        // c18_arrays, see Relational2's array_join note). The list form
+        // stays internal; only the string crosses the gate.
+        array_join(col("codes"), "|").as("codes"),
         expr("graft_dot_product(diff, diff)").as("recon_err"))
       .orderBy("vec_id")
   }
@@ -124,7 +129,8 @@ object Similarity2 extends QueryPack {
                  i -> emb[i] - CAST(codes[i] AS DOUBLE) / scale) AS diff
         FROM q
       )
-      SELECT vec_id, scale, codes,
+      SELECT vec_id, scale,
+             array_to_string(codes, '|') AS codes,
              list_dot_product(diff, diff) AS recon_err
       FROM d ORDER BY vec_id""",
     "sim_kmeans_step" -> s"""
