@@ -526,8 +526,10 @@ final class FalApi(
     require(allowWrites, "write_to_source is not allowed in hooks")
     val df = applySchema(df0, schema)
     val src = registry.source(sourceName, tableName)
-    df.write.format(src.format).options(src.options).mode(mode)
-      .save(src.path)
+    val writer = df.write.format(src.format).options(src.options).mode(mode)
+    // path-less formats (jdbc) carry the target in options, same as the
+    // read side in `source`
+    if (src.path.nonEmpty) writer.save(src.path) else writer.save()
     val rows = source(sourceName, tableName).count()
     WriteResult(s"$sourceName.$tableName", rows, mode)
   }

@@ -37,6 +37,20 @@ object Tests {
         .join(api.ref(refModel),
           col(column) === col(refColumn), "left_anti").count())
 
+  /** Generic `accepted_values` (ref jaffle fixture,
+    * `cli_tests/projects/002_jaffle_shop/models/schema.yml:75` and
+    * `models/staging/schema.yml:25,37`): a violation is a non-NULL
+    * value outside the accepted set — dbt compiles `where column not
+    * in (...)`, under which NULL is three-valued-logic filtered out,
+    * so NULLs pass here too (pair with `not_null` to forbid them).
+    */
+  def acceptedValues(model: String, column: String,
+      values: Seq[Any]): TestDef =
+    TestDef(s"accepted_values_${model}_$column", model,
+      api => api.ref(model)
+        .filter(col(column).isNotNull && !col(column).isin(values: _*))
+        .count())
+
   /** Singular test: any returned row is a violation (ref
     * `tests/customer_lifetime_value.sql`).
     */

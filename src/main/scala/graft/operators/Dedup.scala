@@ -731,12 +731,18 @@ object Dedup extends QueryPack {
   /** Connected components over an undirected edge list by hierarchical
     * contraction (see [[ddCluster]] scaladoc for the scale argument);
     * returns one (node, component_min) row per node appearing in any
-    * edge. `singleTaskEdges` is the final-level size bound — lowered in
-    * tests to force multi-level contraction.
+    * edge. `singleTaskEdges` is the hard size bound on the final
+    * single-task pass — exceeding it after the level cap is a clean
+    * error, not a one-executor OOM. `contractAbove` (defaults to the
+    * cap) is the star-edge count that triggers another contraction
+    * level — lowered in tests to force the multi-level loop.
     */
   private[graft] def connectedComponents(
       edges: org.apache.spark.sql.Dataset[(Long, Long)],
-      singleTaskEdges: Long = 4L << 20): DataFrame = {
+      singleTaskEdges: Long = 4L << 20,
+      contractAbove: Long = -1L): DataFrame = {
+    val contractTrigger =
+      if (contractAbove >= 0) contractAbove else singleTaskEdges
     val session = edges.sparkSession
     import session.implicits._
     // first contraction consumes the (possibly expensive) edge input
@@ -745,7 +751,7 @@ object Dedup extends QueryPack {
     var stars = edges.mapPartitions(unionFind).cache()
     var n = stars.count()
     var level = 0
-    while (n > singleTaskEdges && level < 10) {
+    while (n > contractTrigger && level < 10) {
       // co-locate components progressively: fold 8 partitions into one
       // per level, then contract again; release the prior level's cache
       // once the new one is materialized
@@ -757,6 +763,15 @@ object Dedup extends QueryPack {
       prev.unpersist()
       level += 1
     }
+    // fail fast rather than coalesce an oversized edge set into one
+    // task (VERDICT r8 #6): a graph that refuses to contract within the
+    // level cap would otherwise OOM one executor instead of erroring
+    // cleanly with an actionable knob
+    require(n <= singleTaskEdges,
+      s"connectedComponents: $n star edges remain after $level " +
+        s"contraction levels (bound $singleTaskEdges) — the pair graph " +
+        "is too dense to funnel through one task; raise singleTaskEdges " +
+        "or pre-filter the edge list")
     stars.coalesce(1).mapPartitions(unionFind)
       .toDF("doc_id", "cluster_rep")
   }

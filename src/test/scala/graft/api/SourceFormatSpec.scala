@@ -118,6 +118,45 @@ class SourceFormatSpec extends AnyFunSuite {
       s"expected the status filter pushed into the JDBC scan:\n$plan")
   }
 
+  test("jdbc write-back: source -> transform -> writeToSource round-trip") {
+    // A6's external-DB leg (VERDICT r8 #5): read a jdbc source, run a
+    // transform as a model, write the result BACK to the external
+    // database through the same path-less writeToSource branch the
+    // file formats use. This is the reference's `write_to_source` on a
+    // warehouse backend (lib.py:539-558 readers + the write twin).
+    val api = freshApi()
+    val dbDir = Files.createTempDirectory("graft-jdbc-wb")
+    val url = s"jdbc:derby:${dbDir.resolve("wbdb")};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE raw_orders (id INT, qty INT)")
+      st.execute("INSERT INTO raw_orders VALUES (1, 5), (2, 7), (1, 3)")
+      st.close()
+    } finally conn.close()
+    api.registry.register(SourceDef("warehouse", "raw_orders", path = "",
+      format = "jdbc",
+      options = Map("url" -> url, "dbtable" -> "RAW_ORDERS",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")))
+    // the write target is its own SourceDef: jdbc writes create the
+    // table on overwrite, so no DDL is needed up front
+    api.registry.register(SourceDef("warehouse", "order_totals",
+      path = "", format = "jdbc",
+      options = Map("url" -> url, "dbtable" -> "ORDER_TOTALS",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")))
+
+    val totals = api.source("warehouse", "raw_orders")
+      .groupBy("ID").agg(org.apache.spark.sql.functions.sum("QTY")
+        .cast("int").as("TOTAL_QTY"))
+    val res = api.writeToSource(totals, "warehouse", "order_totals",
+      mode = "overwrite")
+    assert(res.rowsAffected == 2)
+    val back = api.source("warehouse", "order_totals")
+      .orderBy("ID").collect()
+    assert(back.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 8), (2, 7)))
+  }
+
   test("write_to_source round-trips through the declared format") {
     val api = freshApi()
     import spark.implicits._

@@ -40,14 +40,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val edges = Seq.fill(nEdges)(
         (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
       val expected = referenceComponents(edges)
-      // threshold 4 forces several contraction levels; the default
+      // trigger 4 forces several contraction levels; the default
       // (single-level) path is exercised by the dd_cluster oracle
       val got = Dedup.connectedComponents(
-        edges.toDS().repartition(parts), singleTaskEdges = 4)
+        edges.toDS().repartition(parts), contractAbove = 4)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected,
         s"nodes=$nNodes edges=$nEdges parts=$parts")
     }
+  }
+
+  test("oversized final edge set fails cleanly, not via one-task OOM") {
+    // VERDICT r8 #6: a giant component is irreducible (k nodes contract
+    // to k star edges, never fewer), so when the contracted set still
+    // exceeds the single-task cap after the level cap, the operator
+    // must error with an actionable message instead of coalescing an
+    // unbounded edge list into one task.
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)) // one 41-node component
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDS().repartition(4),
+        singleTaskEdges = 8).collect()
+    }
+    assert(ex.getMessage.contains("singleTaskEdges"))
+    // the same graph under the default cap resolves fine
+    val ok = Dedup.connectedComponents(chain.toDS().repartition(4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 41)
   }
 
   test("self-loops and duplicate edges are harmless") {

@@ -109,6 +109,41 @@ class RunnerSpec extends AnyFunSuite {
     assert(!api.registry.relationExists("downstream"))
   }
 
+  /** VERDICT r8 #4: `accepted_values` — the jaffle fixture's third
+    * generic test (ref `002_jaffle_shop/models/schema.yml:75`). NULL
+    * passes (dbt's `not in` is three-valued), off-list values fail.
+    */
+  test("accepted_values promotes on clean data and fails on off-list") {
+    val api = freshApi()
+    import spark.implicits._
+    api.writeToModel(
+      Seq((1L, Some("placed")), (2L, Some("shipped")), (3L, None))
+        .toDF("id", "status"), "orders_ok")
+    val ok = Tests.acceptedValues("orders_ok", "status",
+      Seq("placed", "shipped", "completed"))
+    assert(ok.name == "accepted_values_orders_ok_status")
+    assert(ok.violations(api) == 0) // NULL row is not a violation
+
+    val src = Files.createTempDirectory("graft-src-av")
+    Seq((1L, "placed"), (2L, "bogus"), (3L, "shipped"))
+      .toDF("id", "status")
+      .write.mode("overwrite").parquet(src.resolve("t").toString)
+    api.registry.register(SourceDef("ext", "t", src.resolve("t").toString))
+    api.registry.register(ModelDef("orders_bad",
+      ModelKind.Sql("SELECT * FROM {{ source('ext', 't') }}")))
+    api.registry.registerTest(Tests.acceptedValues("orders_bad",
+      "status", Seq("placed", "shipped", "completed")))
+    assert(Runner.run(api, Runner.RunConfig()) == 1)
+    assert(api.ledger.all.exists(r =>
+      r.node == "accepted_values_orders_bad_status" &&
+        r.status == Status.Failure))
+
+    // numeric values work unquoted, like dbt's `quote: false`
+    api.writeToModel(Seq((1L, 1), (2L, 7)).toDF("id", "code"), "coded")
+    assert(Tests.acceptedValues("coded", "code", Seq(1, 2, 3))
+      .violations(api) == 1)
+  }
+
   test("per-model scheduler pool is set during execution (B12 analogue)") {
     val api = freshApi()
     @volatile var seenPool: String = null
