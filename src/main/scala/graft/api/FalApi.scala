@@ -254,7 +254,8 @@ final class FalApi(
   def writeToModel(df0: DataFrame, name: String,
       mode: String = "overwrite",
       schema: Map[String, org.apache.spark.sql.types.DataType] =
-        Map.empty): WriteResult = {
+        Map.empty,
+      pointerMeta: Map[String, String] = Map.empty): WriteResult = {
     require(allowWrites,
       "write_to_model is not allowed in hooks (ref fal_script.py:290-296)")
     val df = applySchema(df0, schema)
@@ -277,7 +278,10 @@ final class FalApi(
       case other => throw new IllegalArgumentException(
         s"unknown write mode: $other")
     }
-    registry.swapPointer(name, target)
+    // data + pointerMeta commit in ONE atomic pointer move: a crash
+    // anywhere above leaves the old pointer (and old meta) — the
+    // orphaned version dir is harmless and vacuumed later
+    registry.swapPointer(name, target, pointerMeta)
     val rows = readVersion(target).count()
     val res = WriteResult(name, rows, mode)
     ledger.record(name, Status.Success,

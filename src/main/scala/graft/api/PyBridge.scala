@@ -198,13 +198,23 @@ object PyBridge {
     * a zero-egress sandbox draws on the local package cache instead of
     * hanging on a channel fetch.
     */
+  /** True when a conda spec's NAME token pins python-the-interpreter:
+    * `python`, `python=3.11`, `python==3.11`, `python3`, `Python>=3`…
+    * — but not a package that merely starts with the word
+    * (`python-dateutil`), hence the name-token regex rather than a
+    * bare startsWith.
+    */
+  private[graft] def pinsPythonInterpreter(spec: String): Boolean =
+    spec.takeWhile(c => c != '=' && c != '<' && c != '>').trim
+      .toLowerCase(java.util.Locale.ROOT)
+      .matches("python[0-9.]*")
+
   private def condaFor(packages: Seq[String]): String = {
     val conda = condaExe.getOrElse(throw new IllegalStateException(
       "model declares a conda environment but no conda executable found"))
     val pkgs0 = packages.sorted
     val pkgs =
-      if (pkgs0.exists(_.takeWhile(c => c != '=' && c != '<' && c != '>')
-        == "python")) pkgs0
+      if (pkgs0.exists(pinsPythonInterpreter)) pkgs0
       else pkgs0 :+ "python"
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(pkgs.mkString(" ").getBytes(UTF_8))

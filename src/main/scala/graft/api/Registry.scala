@@ -71,12 +71,35 @@ final class Registry(val root: String) {
   private def pointerFile(name: String): Path =
     modelDir(name).resolve("_current")
 
-  /** Live parquet path for a materialized relation, or None. */
+  /** Live parquet path for a materialized relation, or None. The
+    * version name is the pointer file's FIRST line; later `k=v` lines
+    * are pointer metadata ([[pointerMeta]]).
+    */
   def currentPath(name: String): Option[String] = {
     val p = pointerFile(name)
     if (Files.exists(p))
-      Some(modelDir(name).resolve(Files.readString(p).trim).toString)
+      Some(modelDir(name).resolve(
+        Files.readString(p).linesIterator.next().trim).toString)
     else None
+  }
+
+  /** Pointer metadata: the `k=v` lines after the version line. Written
+    * atomically WITH the pointer swap (one temp-write + ATOMIC_MOVE),
+    * so a record here commits in the same instant as the data it
+    * describes — the streaming sink's batch-id log rides this to get
+    * exactly-once appends with no marker-file crash window. Carried
+    * forward across rewrites (overwrite, compaction) by
+    * [[swapPointer]] unless explicitly overridden.
+    */
+  def pointerMeta(name: String): Map[String, String] = {
+    val p = pointerFile(name)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.drop(1).flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
   }
 
   def relationExists(name: String): Boolean = currentPath(name).isDefined
@@ -112,12 +135,19 @@ final class Registry(val root: String) {
 
   /** Atomically point `name` at `versionDir` (must be under the model's
     * dir). Pointer swap is temp-write + ATOMIC_MOVE — readers see either
-    * the old or the new version, never a partial write.
+    * the old or the new version, never a partial write. `meta` entries
+    * commit in the SAME move (merged over the existing [[pointerMeta]],
+    * which otherwise carries forward — a compaction or overwrite of a
+    * stream-fed model must not erase its committed batch id).
     */
-  def swapPointer(name: String, versionDir: String): Unit = {
+  def swapPointer(name: String, versionDir: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val version = Paths.get(versionDir).getFileName.toString
+    val merged = pointerMeta(name) ++ meta
+    val content = (version +: merged.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }).mkString("\n")
     val tmp = modelDir(name).resolve(s"_current.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, version)
+    Files.writeString(tmp, content)
     Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

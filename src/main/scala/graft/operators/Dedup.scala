@@ -415,19 +415,25 @@ object Dedup extends QueryPack {
       .cache()
   }
 
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val simhashes = simhashSigs(spark, dir)
-    // 3 bands × 20 bits: two flipped bits can dirty at most two of the
-    // three bands (pigeonhole), so every hamming ≤ 2 pair shares at
-    // least one clean band — candidate recall for the operator's own
-    // hamming ≤ 2 contract is exactly 1.0 (pinned by ApproxQualitySpec;
-    // the earlier 2×30 banding measured 0.72 — ~half the hamming-2
-    // pairs straddled the band boundary). Both engines apply the
-    // identical rule, so the check stays exact.
-    val banded = simhashes
-      .select(col("doc_id"), col("simhash"),
+  /** Banded hamming ≤ 2 candidate pairs over any `(id, simhash)`
+    * relation — the join core shared by [[ddSimhash]] (ids are docs)
+    * and [[ddSimhashResolve]] (ids are distinct-signature
+    * representatives). Returns `(id_a, id_b, hamming)` with
+    * `id_a < id_b`, each pair emitted exactly once.
+    *
+    * 3 bands × 20 bits: two flipped bits can dirty at most two of the
+    * three bands (pigeonhole), so every hamming ≤ 2 pair shares at
+    * least one clean band — candidate recall for the hamming ≤ 2
+    * contract is exactly 1.0 (pinned by ApproxQualitySpec; the earlier
+    * 2×30 banding measured 0.72 — ~half the hamming-2 pairs straddled
+    * the band boundary). Both engines apply the identical rule, so the
+    * oracle check stays exact.
+    */
+  private def simhashPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs
+      .select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(2))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
+      .select(col("id"), col("simhash"), col("band"),
         expr("shiftright(simhash, CAST(band * 20 AS INT)) & 1048575")
           .as("band_val"))
     // emit each pair only from its FIRST matching band (for band > 0,
@@ -454,12 +460,62 @@ object Dedup extends QueryPack {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id") && firstMatch)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.id") < col("b.id") && firstMatch)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
           .as("hamming"))
       .filter(col("hamming") <= 2)
+  }
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSigs(spark, dir)
+        .withColumnRenamed("doc_id", "id"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
       .orderBy("doc_a", "doc_b")
+
+  /** E5 headline form — SimHash dedup with a BOUNDED output contract:
+    * one `(doc_id, cluster_rep, is_kept)` row per corpus doc, where
+    * `cluster_rep` is the min doc_id of the doc's hamming ≤ 2
+    * connected component. [[ddSimhash]]'s all-pairs listing stays as
+    * the oracle-exact secondary — at 100 TB a pair list is itself the
+    * scale-killer (one 10k-clone boilerplate cluster alone yields
+    * 5×10⁷ pairs), while this output is corpus-linear by construction.
+    *
+    * The compute side is bounded too: docs sharing a signature are
+    * hamming-0 clones, so the pair join runs over one representative
+    * (min doc_id) per DISTINCT signature — a hash-agg collapse that
+    * turns a 10k-clone cluster into ONE banded row. Band-bucket cost
+    * scales with distinct signatures, not documents, and the component
+    * labels transfer to docs through the signature (a doc's component
+    * is its signature-representative's component). Label propagation
+    * uses the same hierarchical union-find contraction as
+    * [[ddCluster]].
+    */
+  def ddSimhashResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = simhashSigs(spark, dir)
+    val sigRep = sigs.groupBy("simhash").agg(min("doc_id").as("id"))
+    val edges = simhashPairs(sigRep)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)]
+    // component labels over signature representatives; the label map
+    // covers only pair-touched reps (near-dup signatures) → broadcast,
+    // as in ddCluster, so the corpus-sized sides never shuffle for it
+    val repLabel = connectedComponents(edges)
+      .select(col("doc_id").as("rep"), col("cluster_rep").as("comp"))
+    val docLabel = sigs
+      .join(sigRep.withColumnRenamed("id", "rep"), Seq("simhash"))
+      .join(broadcast(repLabel), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("rep")).as("lbl"))
+    // token-less docs never enter the signature table; they are their
+    // own singleton clusters (mirrors the oracle's corpus-based reach)
+    corpus(spark, dir).select("doc_id")
+      .join(docLabel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
   }
 
   /** E5e — embedding-cosine near-dup: pairs above 0.95 cosine, blocked on
@@ -468,6 +524,32 @@ object Dedup extends QueryPack {
     * Sequential-fold double dot product matches DuckDB's
     * list_cosine_similarity bitwise → fully oracle-checked.
     */
+  /** Id floor for planted verification clones (the `+ 1,000,000` shift
+    * used by the embedding near-dup family): a plant's id is its
+    * original's id + this floor, and consumers that must ignore plants
+    * filter `vec_id < PlantIdFloor` (as ApproxQualitySpec does). That
+    * filter is only sound while every NATURAL vec_id sits below the
+    * floor, so [[guardPlantFloor]] turns the assumption into a per-row
+    * runtime assertion on the natural side of every planting query — a
+    * corpus whose ids ever grow past the floor fails loudly instead of
+    * silently colliding plant ids with real rows.
+    */
+  val PlantIdFloor: Long = 1000000L
+
+  /** Per-row floor assertion on the natural (un-planted) side; a plain
+    * codegen'd comparison in the scan filter, so the guard costs one
+    * branch per row and actually fires the moment the hazard exists.
+    * (A `withColumn` guard would be column-pruned away; the filter
+    * form survives optimization because `assert_true` is not foldable
+    * on a non-literal input.)
+    */
+  private[operators] def guardPlantFloor(df: DataFrame,
+      idCol: String): DataFrame =
+    df.filter(assert_true(col(idCol) < PlantIdFloor,
+      lit(s"natural $idCol >= PlantIdFloor ($PlantIdFloor): planted " +
+        "verification-clone ids would collide with real rows; raise " +
+        "PlantIdFloor")).isNull)
+
   def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // Precompute each vector's norm once (linear) so the quadratic pair
@@ -477,7 +559,7 @@ object Dedup extends QueryPack {
     // [[graft.operators.clampCos]]: identical-vector pairs (exact
     // duplicates in the corpus) land 1 ulp above 1.0, which DuckDB's
     // list_cosine_similarity clamps away.
-    val e = t(spark, dir, "embeddings")
+    val e = guardPlantFloor(t(spark, dir, "embeddings"), "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("norm",
         sqrt(expr("graft_dot_product(embedding, embedding)")))
@@ -495,7 +577,7 @@ object Dedup extends QueryPack {
     val plantedB = e
       .filter(col("vec_id") % 97 === 0 && col("vec_id") >= 10 &&
         col("vec_id") < 1000)
-      .select((col("vec_id") + 1000000L).as("vec_b"), col("label"),
+      .select((col("vec_id") + PlantIdFloor).as("vec_b"), col("label"),
         col("embedding").as("emb_b"), col("norm").as("norm_b"))
     val planted = a.join(broadcast(plantedB), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
@@ -547,7 +629,8 @@ object Dedup extends QueryPack {
   private def ivfBlockedPairs(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val idx = Similarity.ivfIndexModel(spark, dir)
+    val idx = guardPlantFloor(
+      Similarity.ivfIndexModel(spark, dir), "neighbor_id")
     val a = idx.select(col("cell"), col("neighbor_id").as("vec_a"),
       col("c_emb").as("ea"), col("c_norm").as("na"))
     val b = idx.select(col("cell"), col("neighbor_id").as("vec_b"),
@@ -557,7 +640,7 @@ object Dedup extends QueryPack {
     val plantedB = idx
       .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
       .select(col("cell"),
-        (col("neighbor_id") + 1000000L).as("vec_b"),
+        (col("neighbor_id") + PlantIdFloor).as("vec_b"),
         col("c_emb").as("eb"), col("c_norm").as("nb"))
     val planted = a.join(broadcast(plantedB), Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
@@ -601,7 +684,8 @@ object Dedup extends QueryPack {
     */
   def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val idx = Similarity.ivfIndexModel(spark, dir)
+    val idx = guardPlantFloor(
+      Similarity.ivfIndexModel(spark, dir), "neighbor_id")
     // same pair stream as the near-dup query — one definition, so a
     // threshold or plant change can never diverge between the two
     val edges = ivfBlockedPairs(spark, dir)
@@ -612,7 +696,7 @@ object Dedup extends QueryPack {
       .toDF("vec_id", "cluster_rep")
     val plantedIds = idx
       .filter(col("neighbor_id") % 97 === 0 && col("neighbor_id") < 1000)
-      .select((col("neighbor_id") + 1000000L).as("vec_id"))
+      .select((col("neighbor_id") + PlantIdFloor).as("vec_id"))
     idx.select(col("neighbor_id").as("vec_id"))
       .unionByName(plantedIds)
       .join(broadcast(labels), Seq("vec_id"), "left")
@@ -642,7 +726,7 @@ object Dedup extends QueryPack {
   def ddEmbeddingIncremental(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = t(spark, dir, "embeddings")
+    val base = guardPlantFloor(t(spark, dir, "embeddings"), "vec_id")
       .select(col("vec_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
       .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
@@ -651,7 +735,7 @@ object Dedup extends QueryPack {
     val reingested = base
       .filter(col("vec_id") % 97 === 0 && col("vec_id") >= 10 &&
         col("vec_id") < 1000)
-      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("vec_id", col("vec_id") + PlantIdFloor)
     Similarity.ivfDupProbe(spark, dir,
         natural.unionByName(reingested)
           .select(col("vec_id").as("query_id"), col("emb"), col("norm")))
@@ -835,6 +919,7 @@ object Dedup extends QueryPack {
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
+    "dd_simhash_resolve" -> ddSimhashResolve _,
     "dd_embedding_neardup" -> ddEmbeddingNeardup _,
     "dd_embedding_neardup_ivf" -> ddEmbeddingNeardupIvf _,
     "dd_semantic" -> ddSemantic _,
@@ -867,6 +952,43 @@ object Dedup extends QueryPack {
         $bands
       )"""
   }
+
+  /** Shared DuckDB CTEs (corpus → tok → th → votes → sig → banded)
+    * replaying [[simhashSigs]]'s 60-bit signature votes and
+    * [[simhashPairs]]'s 3×20 banding — one definition per engine,
+    * consumed by the dd_simhash and dd_simhash_resolve oracles.
+    */
+  private lazy val sqlSimhashSig: String = s"""$sqlCorpus,
+      tok AS (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> x != '')) AS t
+          FROM corpus)
+      ),
+      th AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM tok
+      ),
+      votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 60)) AS j) bits
+        GROUP BY doc_id, j
+      ),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id
+      ),
+      banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 20)) & 1048575 AS band_val
+        FROM sig, (SELECT unnest([0, 1, 2]) AS band) bands
+      )"""
 
   /** DuckDB twin of [[scoreCandidates]]'s 16-way signature match. */
   private lazy val sqlMatch16: String = (1 to 16)
@@ -1037,37 +1159,7 @@ object Dedup extends QueryPack {
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
       ORDER BY new_doc, index_doc""",
     "dd_simhash" -> s"""
-      WITH $sqlCorpus,
-      tok AS (
-        SELECT DISTINCT doc_id, t FROM (
-          SELECT doc_id,
-                 unnest(list_filter(string_split_regex(text, '\\s+'),
-                   x -> x != '')) AS t
-          FROM corpus)
-      ),
-      th AS (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-        FROM tok
-      ),
-      votes AS (
-        SELECT doc_id, j,
-               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM th, (SELECT unnest(range(0, 60)) AS j) bits
-        GROUP BY doc_id, j
-      ),
-      sig AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN v > 0
-                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
-                 AS simhash
-        FROM votes GROUP BY doc_id
-      ),
-      banded AS (
-        SELECT doc_id, simhash, band,
-               (simhash >> (band * 20)) & 1048575 AS band_val
-        FROM sig, (SELECT unnest([0, 1, 2]) AS band) bands
-      )
+      WITH $sqlSimhashSig
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                AS hamming
@@ -1076,9 +1168,31 @@ object Dedup extends QueryPack {
           AND a.doc_id < b.doc_id
       WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
       ORDER BY doc_a, doc_b""",
-    "dd_embedding_neardup" -> """
+    "dd_simhash_resolve" -> s"""
+      WITH RECURSIVE $sqlSimhashSig,
+      jp AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+        WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT src AS doc_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src ORDER BY doc_id""",
+    "dd_embedding_neardup" -> s"""
       WITH planted AS (
-        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        SELECT vec_id + $PlantIdFloor AS vec_id, label, embedding
         FROM embeddings
         WHERE vec_id % 97 = 0 AND vec_id >= 10 AND vec_id < 1000
       ),
@@ -1103,7 +1217,7 @@ object Dedup extends QueryPack {
     "dd_embedding_neardup_ivf" -> s"""
       ${Similarity.sqlIvfCtes}
       planted AS (
-        SELECT neighbor_id + 1000000 AS neighbor_id, c_emb, cell
+        SELECT neighbor_id + $PlantIdFloor AS neighbor_id, c_emb, cell
         FROM corpus
         WHERE neighbor_id % 97 = 0 AND neighbor_id < 1000
       ),
@@ -1123,7 +1237,7 @@ object Dedup extends QueryPack {
     "dd_semantic" -> s"""
       WITH RECURSIVE ${Similarity.sqlIvfCtes.stripPrefix("WITH ")}
       planted AS (
-        SELECT neighbor_id + 1000000 AS neighbor_id, c_emb, cell
+        SELECT neighbor_id + $PlantIdFloor AS neighbor_id, c_emb, cell
         FROM corpus
         WHERE neighbor_id % 97 = 0 AND neighbor_id < 1000
       ),
@@ -1160,7 +1274,7 @@ object Dedup extends QueryPack {
         SELECT vec_id, emb FROM e
         WHERE vec_id >= 10 AND vec_id % 13 = 12
         UNION ALL
-        SELECT vec_id + 1000000, emb FROM e
+        SELECT vec_id + $PlantIdFloor, emb FROM e
         WHERE vec_id % 97 = 0 AND vec_id >= 10 AND vec_id < 1000
       ),
       qs AS (

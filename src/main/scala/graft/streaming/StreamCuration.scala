@@ -97,6 +97,14 @@ object StreamCuration {
     * pipelines audit quarantines rather than absorbing stragglers that
     * would retroactively shift published corpus statistics.
     *
+    * Each of the THREE models a batch may touch (quarantine, curated,
+    * watermark state) commits its append atomically and independently
+    * — the batch id rides each model's pointer metadata in the same
+    * ATOMIC_MOVE as its version flip (see [[StreamIngest]]) — so a
+    * crash anywhere mid-batch replays the whole batch and the
+    * already-committed sibling appends no-op; no interleaving
+    * duplicates rows.
+    *
     * The watermark state is itself replay-safe: each batch appends its
     * (batch_id, max_ts) row to `<name>_wm_state` through the same
     * idempotent commit chain, and the watermark for batch B derives

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -18,31 +16,38 @@ import graft.api.FalApi
   *
   * Exactly-once: `foreachBatch` replays the in-flight batch after a
   * restart, so the sink keeps its own commit log (the canonical
-  * idempotent-foreachBatch recipe) — `_stream_commit` under the model
-  * dir records the last applied batch id and replayed ids are no-ops.
-  * The pointer swap is atomic, so a crash between append and commit
-  * re-appends the same batch; the commit check runs FIRST, making the
-  * window a duplicate-append risk only if the crash lands exactly
-  * between swapPointer and the commit write — the same at-least-once
-  * corner every file-sink + external-log pairing has without a
-  * transactional catalog.
+  * idempotent-foreachBatch recipe) — the last applied batch id rides
+  * the model's pointer METADATA (`Registry.pointerMeta`), which the
+  * pointer swap writes in the same ATOMIC_MOVE as the version flip.
+  * Data and commit record therefore change in one atomic step: a
+  * crash before the swap leaves old pointer + old batch id (the
+  * replay re-appends into a fresh version dir; the orphan is
+  * vacuumed), a crash after it leaves both committed and the replay
+  * no-ops. There is no marker-file window — the r8-documented
+  * "crash between swapPointer and the commit write duplicates the
+  * batch" corner no longer exists, and maintenance rewrites
+  * (compaction, overwrite) carry the meta forward.
   */
 object StreamIngest {
+
+  /** Key under `Registry.pointerMeta` recording the last applied
+    * streaming batch id for a model. */
+  val BatchMetaKey = "stream_batch"
+
+  /** Last committed streaming batch id for `name`, -1 if none. */
+  def lastCommitted(api: FalApi, name: String): Long =
+    api.registry.pointerMeta(name).get(BatchMetaKey)
+      .map(_.toLong).getOrElse(-1L)
 
   /** Apply one micro-batch idempotently; returns true if appended,
     * false if `batchId` was already committed (a restart replay).
     */
   def applyBatch(api: FalApi, name: String, batch: DataFrame,
       batchId: Long): Boolean = {
-    val commit = Paths.get(api.registry.root, name, "_stream_commit")
-    val last =
-      if (Files.exists(commit)) Files.readString(commit).trim.toLong
-      else -1L
-    if (batchId <= last) false
+    if (batchId <= lastCommitted(api, name)) false
     else {
-      api.writeToModel(batch, name, mode = "append")
-      Files.createDirectories(commit.getParent)
-      Files.writeString(commit, batchId.toString)
+      api.writeToModel(batch, name, mode = "append",
+        pointerMeta = Map(BatchMetaKey -> batchId.toString))
       true
     }
   }

@@ -189,7 +189,7 @@ class ApproxQualitySpec extends AnyFunSuite {
     // natural corpus, and the brute-force side never sees the plants
     val blocked = pairs(Dedup.ddEmbeddingNeardup(spark, sf1)
       .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0 &&
-        col("vec_b") < 1000000L),
+        col("vec_b") < Dedup.PlantIdFloor),
       "vec_a", "vec_b")
     assert(truth.nonEmpty, "sf1 tiling should plant clone pairs")
     info(s"label blocking: ${truth.size} true pairs in subsample")
@@ -202,10 +202,28 @@ class ApproxQualitySpec extends AnyFunSuite {
     val truthCorpus = truth.filter(p => p._1 >= 10 && p._2 >= 10)
     val ivfBlocked = pairs(Dedup.ddEmbeddingNeardupIvf(spark, sf1)
       .filter(col("vec_a") % 7 === 0 && col("vec_b") % 7 === 0 &&
-        col("vec_b") < 1000000L),
+        col("vec_b") < Dedup.PlantIdFloor),
       "vec_a", "vec_b")
     assert(ivfBlocked == truthCorpus,
       "IVF-cell-blocked near-dup must find exactly the brute-force pairs")
+  }
+
+  test("plant-id floor guard fails loudly on a colliding natural id") {
+    // the `vec_b < PlantIdFloor` filters above are only sound while no
+    // NATURAL id reaches the floor; guardPlantFloor turns that
+    // assumption into a per-row assertion on every planting query
+    import spark.implicits._
+    val clean = Seq(5L, 42L).toDF("vec_id")
+    assert(Dedup.guardPlantFloor(clean, "vec_id").count() == 2)
+    val colliding = Seq(5L, Dedup.PlantIdFloor + 3).toDF("vec_id")
+    val ex = intercept[Throwable] {
+      Dedup.guardPlantFloor(colliding, "vec_id").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("PlantIdFloor"))),
+      s"expected the guard's message in: $ex")
   }
 
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {

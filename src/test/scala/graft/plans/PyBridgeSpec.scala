@@ -172,4 +172,16 @@ class PyBridgeSpec extends AnyFunSuite {
     assert(api.ledger.statusOf(NodeGraph.modelId("boom"))
       .contains(Status.Failure))
   }
+
+  test("conda python-pin detection matches interpreter specs only") {
+    // ADVICE r8: `python3` / `python==3.11` must count as pins (no
+    // second bare `python` appended → no conflicting interpreter),
+    // while `python-dateutil` must NOT
+    import graft.api.PyBridge.pinsPythonInterpreter
+    for (pin <- Seq("python", "python=3.11", "python==3.11", "python3",
+        "Python>=3", "python3.11"))
+      assert(pinsPythonInterpreter(pin), pin)
+    for (pkg <- Seq("python-dateutil", "pythonnet=3", "numpy", "pandas>=2"))
+      assert(!pinsPythonInterpreter(pkg), pkg)
+  }
 }

@@ -53,5 +53,22 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.applyBatch(api, "ingested",
       Seq(4L).toDF("x"), batchId = 2L))
     assert(api.ref("ingested").count() == 4)
+
+    // the commit record rides the pointer metadata (ADVICE r8: the
+    // append + marker-file sequence had a crash window; data and batch
+    // id now flip in one ATOMIC_MOVE) …
+    assert(StreamIngest.lastCommitted(api, "ingested") == 2L)
+    // … and maintenance rewrites must CARRY it: a compaction that
+    // dropped the batch id would make the next restart replay
+    // duplicate every in-flight batch
+    api.compactModel("ingested")
+    assert(StreamIngest.lastCommitted(api, "ingested") == 2L)
+    assert(!StreamIngest.applyBatch(api, "ingested",
+      Seq(99L).toDF("x"), batchId = 2L))
+    assert(api.ref("ingested").count() == 4)
+    assert(StreamIngest.applyBatch(api, "ingested",
+      Seq(5L).toDF("x"), batchId = 3L))
+    assert(api.ref("ingested").orderBy("x")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 }
