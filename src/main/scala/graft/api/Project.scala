@@ -22,7 +22,8 @@ import scala.jdk.CollectionConverters._
   *     models/<name>.tests          optional test lines (the schema.yml
   *                                  analogue): `not_null <col>`,
   *                                  `unique <col>`,
-  *                                  `relationship <col> <model> <col>`
+  *                                  `relationship <col> <model> <col>`,
+  *                                  `accepted_values <col> <v1> <v2> …`
   *     sources.conf                 srcName table path [format]
   * }}}
   */
@@ -110,6 +111,11 @@ object Project {
             case Seq("unique", c) => Tests.unique(model, c)
             case Seq("relationship", c, refModel, refCol) =>
               Tests.relationship(model, c, refModel, refCol)
+            // `accepted_values <col> <v1> <v2> …` — the jaffle
+            // fixture's third generic test (ref
+            // `002_jaffle_shop/models/schema.yml:75`)
+            case "accepted_values" +: c +: vals if vals.nonEmpty =>
+              Tests.acceptedValues(model, c, vals)
             case other => throw new IllegalArgumentException(
               s"bad test line in $p: $line")
           }

@@ -495,12 +495,15 @@ object Dedup extends QueryPack {
     // distinct was shuffling 3× the pair volume; first-band emission
     // produces the identical pair set with no dedup pass. Measured
     // sf1 numbers for the same 40.2M-pair output disagree only by
-    // WHAT they time, not by host noise: SCALING.md's ~31-34 s is the
-    // FULL plan at local[8] (noop-sink write, so the final
-    // 40.2M-row ORDER BY runs); count()-pruned steady states (the
-    // sort dropped by Catalyst) are ~21 s at local[4] and ~5.2 s at
-    // the bench's local[32]. The join itself is output-bound either
-    // way, oracle-verified row-for-row.
+    // WHAT they time, not by host noise: SCALING.md's ~31-52 s
+    // (session-dependent) is the FULL plan at local[8] (noop-sink
+    // write, so the final 40.2M-row ORDER BY runs); count()-pruned
+    // steady states (the sort dropped by Catalyst) are ~21 s at
+    // local[4] and ~5.2 s at the bench's local[32]. The join is
+    // output-bound either way, oracle-verified row-for-row — which is
+    // exactly why the pair LIST is the secondary contract and
+    // [[ddSimhashResolve]]'s bounded doc→representative output (sf1
+    // ~1.5 s, slope 0.10) is the headline.
     def bandOf(side: String, b: Int) =
       expr(s"shiftright($side.simhash, ${b * 20}) & 1048575")
     val firstMatch = (col("a.band") === 0) ||

@@ -47,10 +47,15 @@ class ProjectSpec extends AnyFunSuite {
       Set("not_null_customer_orders_customer_id",
         "unique_customer_orders_customer_id",
         "relationships_customer_orders_customer_id__stg_orders"))
+    // the jaffle fixture's third generic test shape (ref
+    // `002_jaffle_shop/models/staging/schema.yml:25`)
+    assert(registry.testsFor("stg_orders").map(_.name).toSet ==
+      Set("accepted_values_stg_orders_o_orderstatus"))
     val api = new FalApi(TestSpark.spark, registry, new RunLedger)
     assert(Runner.run(api, Runner.RunConfig(
       select = Seq("+customer_orders"))) == 0)
     assert(registry.status("customer_orders") == Status.Tested)
+    assert(registry.status("stg_orders") == Status.Tested)
   }
 
   test("seed roots the DAG and materializes typed rows") {
