@@ -9,10 +9,12 @@ import graft.plans.{NodeGraph, Runner}
   * (`fal_runner.py:34`)):
   *
   * {{{
-  *   sbt "runMain graft.Cli <projectDir> [--select S]... [--exclude X]...
-  *        [--threads N] [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
+  *   sbt "runMain graft.Cli <projectDir> [--select|-s|--models|-m S]...
+  *        [--exclude X]... [--selector NAME] [--threads N]
+  *        [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
   *        [--full-refresh] [--defer --state DIR]
-  *        [--run-scripts before|after] [--globals]"
+  *        [--run-scripts before|after] [--globals] [--all]
+  *        [--scripts f1.sql[,f2.sql]...]"
   * }}}
   *
   * Default mode runs the project's model DAG, prints per-node statuses,
@@ -43,6 +45,9 @@ object Cli {
     var stateDir: Option[String] = None
     var runScriptsTiming: Option[String] = None
     var runGlobals = false
+    var allModels = false
+    var scriptsOnly = Vector.empty[String]
+    var selectorName: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -54,8 +59,19 @@ object Cli {
             s"--run-scripts expects before|after, got: $t")
           runScriptsTiming = Some(t); i += 2
         case "--globals" => runGlobals = true; i += 1
-        case "--select" => select :+= args(i + 1); i += 2
+        // -s/--select/-m/--models are interchangeable in the reference
+        // (`_build_dbt_selectors`, args.py:122-134 — both dest=select)
+        case "--select" | "-s" | "--models" | "-m" =>
+          select :+= args(i + 1); i += 2
+        // named selector from <project>/selectors.conf (the
+        // selectors.yml analogue; ref args.py:134-137)
+        case "--selector" => selectorName = Some(args(i + 1)); i += 2
         case "--exclude" => exclude :+= args(i + 1); i += 2
+        case "--all" => allModels = true; i += 1
+        case "--scripts" => // comma-separated (ref args.py --scripts)
+          scriptsOnly ++= args(i + 1).split(",").map(_.trim)
+            .filter(_.nonEmpty)
+          i += 2
         case "--threads" => threads = args(i + 1).toInt; i += 2
         case "--storage" => storage = args(i + 1); i += 2
         case "--chunk" => chunk = true; i += 1
@@ -82,6 +98,14 @@ object Cli {
     val registry = Project.load(projectDir, storage)
     if (deferToState) require(stateDir.isDefined,
       "--defer requires --state DIR (ref args.py:70-83)")
+    // --selector NAME expands to its expression list from
+    // <project>/selectors.conf before the selection algebra runs
+    selectorName.foreach { n =>
+      val defs = Project.loadSelectors(projectDir)
+      select ++= defs.getOrElse(n, throw new IllegalArgumentException(
+        s"unknown selector '$n' — defined: ${defs.keys.toSeq.sorted
+          .mkString(", ")}"))
+    }
     val api = new FalApi(spark, registry, new RunLedger,
       defer = if (deferToState) stateDir.map(new Registry(_)) else None)
     val tags = registry.listModels.map(m => m.name -> m.tags).toMap
@@ -99,7 +123,8 @@ object Cli {
       scriptFns = scriptFns ++ gFns,
       pools = pools, tags = tags, vars = vars, fullRefresh = fullRefresh,
       globalScriptsBefore = gBefore, globalScriptsAfter = gAfter,
-      runGlobals = runGlobals)
+      runGlobals = runGlobals, allModels = allModels,
+      scriptsOnly = scriptsOnly)
     val status = runScriptsTiming match {
       case Some(timing) =>
         // standalone `fal run`: scripts over the prior run's statuses

@@ -101,6 +101,26 @@ object Project {
     registry
   }
 
+  /** Named selectors (`<project>/selectors.conf`, the selectors.yml
+    * analogue — ref `--selector`, `args.py:134-137`): one `name =
+    * expr expr …` line per selector; the expressions are ordinary
+    * selection-algebra strings unioned like repeated `--select`s.
+    */
+  def loadSelectors(projectDir: String): Map[String, Seq[String]] = {
+    val p = Paths.get(projectDir, "selectors.conf")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        line.split("=", 2) match {
+          case Array(name, exprs) =>
+            name.trim -> exprs.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          case _ => throw new IllegalArgumentException(
+            s"bad selector line in $p: $line")
+        }
+      }.toMap
+  }
+
   private def readTests(p: Path, model: String): Seq[TestDef] =
     if (Files.exists(p))
       Files.readAllLines(p).asScala.toSeq

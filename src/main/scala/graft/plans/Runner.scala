@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.api.{FalApi, ModelKind}
+import graft.api.{FalApi, ModelKind, Status}
 
 /** The `fal flow run` lifecycle (SURVEY.md §3.1), Spark-native: registry
   * definitions → DAG (B1) → selection (B2) → filter + script rewiring
@@ -50,7 +50,18 @@ object Runner {
         * global scripts even when a selector narrows the run —
         * without it, globals run only on unselected runs.
         */
-      runGlobals: Boolean = false)
+      runGlobals: Boolean = false,
+      /** `--all` (ref `args.py` "Run scripts for all models" /
+        * `fal_runner._get_filtered_models`): standalone `fal run` over
+        * EVERY model instead of the default "models that ran in the
+        * last dbt run"; mutually exclusive with selection flags.
+        */
+      allModels: Boolean = false,
+      /** `--scripts f1 f2 …` (ref `args.py` "overrides schema.yml" /
+        * `fal_runner._select_scripts`): restrict the standalone run to
+        * the named script files (model-attached and global alike).
+        */
+      scriptsOnly: Seq[String] = Nil)
 
   private val varPat =
     raw"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*'([^']*)'\s*)?\)\s*\}\}".r
@@ -231,14 +242,41 @@ object Runner {
   def runScripts(api: FalApi, config: RunConfig, before: Boolean,
       priorStatuses: Map[String, String] = Map.empty): Int = {
     priorStatuses.foreach { case (n, s) => api.registry.setStatus(n, s) }
+    val selectorFlags = config.select.nonEmpty || config.exclude.nonEmpty
+    // ref `fal_run` (fal_runner.py:37-41): --all with selection flags
+    // is an error, not a silent union
+    require(!(config.allModels && selectorFlags),
+      "Cannot pass --all flag alongside selection flags " +
+        "(--select/--models, --exclude, --selector)")
     val graph = NodeGraph.build(api.registry.listModels, config.scripts,
       preHooks = config.preHooks, postHooks = config.postHooks)
     val selected = Selectors.plan(graph, config.select, config.exclude,
       config.tags)
-    val models = api.registry.listModels.map(_.name)
-      .filter(n => selected.contains(NodeGraph.modelId(n)))
+    // model filter, the reference's `_get_filtered_models` ladder:
+    // selectors win; else before-mode keeps script-bearing models; else
+    // --all keeps everything; else "models that ran in the last dbt
+    // run" = prior status recorded and not skipped — and having NO
+    // prior artifact in that default mode is an error (ref
+    // fal_runner.py:128-158)
+    val models = api.registry.listModels.map(_.name).filter { n =>
+      if (selectorFlags) selected.contains(NodeGraph.modelId(n))
+      else if (before)
+        config.scripts.exists(s => s.before && s.model == n)
+      else if (config.allModels) true
+      else {
+        require(priorStatuses.nonEmpty,
+          "Cannot define models to run without selection flags or a " +
+            "prior run_results artifact or --run-scripts before " +
+            "(ref fal_runner.py:148-151)")
+        priorStatuses.get(n).exists(_ != Status.Skipped)
+      }
+    }
+    // --scripts narrows to the named files (ref _select_scripts)
+    def wantFile(f: String): Boolean =
+      config.scriptsOnly.isEmpty || config.scriptsOnly.contains(f)
     def scriptTasks(b: Boolean): Seq[Task] =
-      config.scripts.filter(s => s.before == b && models.contains(s.model))
+      config.scripts.filter(s => s.before == b && models.contains(s.model)
+          && wantFile(s.file))
         .map { s =>
           val id = if (b) NodeGraph.beforeScriptId(s.model, s.file)
             else NodeGraph.afterScriptId(s.model, s.file)
@@ -249,13 +287,15 @@ object Runner {
       models.flatMap(m => hooks.getOrElse(m, Nil).map(h =>
         HookTask(s"hook.${NodeGraph.modelId(m)}.$phase.$h",
           config.hookFns.getOrElse(h, (_, _) => ()))))
-    // globals run on unselected invocations, or under --globals
-    // (ref `_handle_global_scripts`, fal_runner.py:66-79)
-    val globalsOn = (config.select.isEmpty && config.exclude.isEmpty) ||
-      config.runGlobals
+    // globals run on unselected, un-script-narrowed invocations, or
+    // under --globals (ref `_handle_global_scripts`, fal_runner.py:
+    // 66-79 — a --scripts flag suppresses globals exactly like a
+    // selector does); a --scripts list also narrows WHICH globals run
+    val globalsOn =
+      (!selectorFlags && config.scriptsOnly.isEmpty) || config.runGlobals
     def globalTasks(files: Seq[String], phase: String): Seq[Task] =
       if (!globalsOn) Nil
-      else files.map { f =>
+      else files.filter(wantFile).map { f =>
         val id = s"script.GLOBAL.$phase.$f"
         HookTask(id, config.scriptFns.getOrElse(id, (_, _) => ()))
       }

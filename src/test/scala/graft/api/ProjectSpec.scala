@@ -40,6 +40,13 @@ class ProjectSpec extends AnyFunSuite {
       .toSet == Set(("warehouse", "orders"), ("warehouse", "customer")))
   }
 
+  test("named selectors load from selectors.conf (--selector analogue)") {
+    val defs = Project.loadSelectors("examples/jaffle")
+    assert(defs("staging") == Seq("tag:staging"))
+    assert(defs("orders_flow") == Seq("+customer_orders", "vip_customers"))
+    assert(Project.loadSelectors("examples").isEmpty) // no conf file
+  }
+
   test("project-declared tests load and run, promoting status to tested") {
     val storage = Files.createTempDirectory("graft-proj-t").toString
     val registry = Project.load("examples/jaffle", storage)

@@ -329,6 +329,42 @@ class RunnerSpec extends AnyFunSuite {
       gConfig.copy(select = Seq("a"), runGlobals = true),
       before = false, priorStatuses = prior) == 0)
     assert(seen.toSeq == Seq(s"after:${Status.Success}", "global"))
+
+    // --all runs every model's scripts without a prior artifact (ref
+    // fal_runner._get_filtered_models), but is an ERROR next to
+    // selection flags (ref fal_runner.py:37-41)
+    seen.clear()
+    api.registry.setStatus("a", Status.Pending)
+    assert(Runner.runScripts(api, config.copy(allModels = true),
+      before = false) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Pending}"))
+    intercept[IllegalArgumentException] {
+      Runner.runScripts(api,
+        config.copy(allModels = true, select = Seq("a")), before = false)
+    }
+    // default after-mode without a prior artifact is the reference's
+    // parse error, not a silent no-op (ref fal_runner.py:148-151)
+    intercept[IllegalArgumentException] {
+      Runner.runScripts(api, config, before = false)
+    }
+    // a skipped prior status excludes the model in default mode
+    seen.clear()
+    assert(Runner.runScripts(api, config, before = false,
+      priorStatuses = Map("a" -> Status.Skipped)) == 0)
+    assert(seen.isEmpty)
+
+    // --scripts narrows to the named files and suppresses globals
+    // like a selector does (ref _select_scripts/_handle_global_scripts)
+    seen.clear()
+    assert(Runner.runScripts(api,
+      gConfig.copy(scriptsOnly = Seq("post.sql")),
+      before = false, priorStatuses = prior) == 0)
+    assert(seen.toSeq == Seq(s"after:${Status.Success}"))
+    seen.clear()
+    assert(Runner.runScripts(api,
+      gConfig.copy(scriptsOnly = Seq("nope.sql")),
+      before = false, priorStatuses = prior) == 0)
+    assert(seen.isEmpty)
   }
 
   /** VERDICT r4 #4 (runner level, mirroring `test_cli.py:132-147`): a
