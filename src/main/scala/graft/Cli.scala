@@ -98,6 +98,12 @@ object Cli {
     val registry = Project.load(projectDir, storage)
     if (deferToState) require(stateDir.isDefined,
       "--defer requires --state DIR (ref args.py:70-83)")
+    // --all/--scripts exist only on the `fal run` subcommand in the
+    // reference (args.py:151-166) — rejecting them here matches its
+    // argparse error instead of silently running a full flow
+    require(runScriptsTiming.isDefined || (!allModels && scriptsOnly.isEmpty),
+      "--all/--scripts require --run-scripts before|after " +
+        "(`fal run`-only flags, ref args.py:151-166)")
     // --selector NAME expands to its expression list from
     // <project>/selectors.conf before the selection algebra runs
     selectorName.foreach { n =>

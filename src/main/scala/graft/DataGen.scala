@@ -125,6 +125,11 @@ object DataGen {
     * sub-second at 10× sf0.1. The full multi-table fixture is still
     * `sbt "runMain graft.DataGen"`.
     */
+  /* Keep the shift rule here in lockstep with main's tile(): both are
+   * `key + copy * (max(key)+1)` with the same per-field cast-back; a
+   * change to the tiling rule must land in both or the on-demand
+   * embeddings tile diverges from the full fixture's copy of the same
+   * table. */
   def tileEmbeddings(spark: SparkSession, src: String, dest: String,
       copies: Int): Unit = {
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")

@@ -113,10 +113,15 @@ object Project {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         line.split("=", 2) match {
-          case Array(name, exprs) =>
+          case Array(name, exprs)
+              if exprs.trim.split("\\s+").exists(_.nonEmpty) =>
             name.trim -> exprs.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          // an EMPTY expression list must be a parse error: empty
+          // select means "everything" downstream, so a truncated
+          // selector line would silently turn a narrow named selection
+          // into a full-project run
           case _ => throw new IllegalArgumentException(
-            s"bad selector line in $p: $line")
+            s"bad selector line in $p (need 'name = expr …'): $line")
         }
       }.toMap
   }

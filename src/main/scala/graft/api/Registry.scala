@@ -142,6 +142,15 @@ final class Registry(val root: String) {
     */
   def swapPointer(name: String, versionDir: String,
       meta: Map[String, String] = Map.empty): Unit = {
+    // the pointer file is line-oriented `k=v`: a newline in either
+    // side or '=' in a key would silently truncate or shift the
+    // parse, so reject malformed meta at the write
+    meta.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('=') &&
+          !k.exists(c => c == '\n' || c == '\r') &&
+          !v.exists(c => c == '\n' || c == '\r'),
+        s"pointer meta must be newline-free with '='-free keys: $k=$v")
+    }
     val version = Paths.get(versionDir).getFileName.toString
     val merged = pointerMeta(name) ++ meta
     val content = (version +: merged.toSeq.sorted

@@ -317,12 +317,15 @@ object Dedup extends QueryPack {
     val nMatch = (1 to 16)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
+    // no ORDER BY here: the pair-LISTING queries sort for the export
+    // contract themselves, while ddMinhashResolve pipes this straight
+    // into the order-insensitive union-find — a sort the optimizer
+    // could not drop ahead of a typed mapPartitions
     cands.join(broadcast(sigA), aCol).join(broadcast(sigB), bCol)
       .withColumn("n_match", nMatch)
       .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
       .filter(col("est_jaccard") >= 0.5)
       .select(aCol, bCol, "n_match", "est_jaccard")
-      .orderBy(aCol, bCol)
   }
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -341,6 +344,7 @@ object Dedup extends QueryPack {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     scoreCandidates(cands, sigs, "doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** E5c headline form — MinHash dedup with the same BOUNDED output
@@ -438,6 +442,7 @@ object Dedup extends QueryPack {
         col("b.doc_id").as("index_doc"))
       .distinct()
     scoreCandidates(cands, sigs, "new_doc", "index_doc")
+      .orderBy("new_doc", "index_doc")
   }
 
   /** E5d — SimHash near-dup: 60-bit signature from per-token md5-prefix

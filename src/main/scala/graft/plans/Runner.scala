@@ -257,7 +257,11 @@ object Runner {
     // --all keeps everything; else "models that ran in the last dbt
     // run" = prior status recorded and not skipped — and having NO
     // prior artifact in that default mode is an error (ref
-    // fal_runner.py:128-158)
+    // fal_runner.py:128-158). Hooks deliberately follow the SAME
+    // filtered list (ref `_get_hooks_for_model(models, …)`,
+    // fal_runner.py:52/61): a hook-only model is dropped in before
+    // mode, and a --scripts narrowing filters scripts but NOT the
+    // surviving models' hooks — both exactly as the reference behaves.
     val models = api.registry.listModels.map(_.name).filter { n =>
       if (selectorFlags) selected.contains(NodeGraph.modelId(n))
       else if (before)

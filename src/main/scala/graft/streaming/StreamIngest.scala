@@ -34,10 +34,24 @@ object StreamIngest {
     * streaming batch id for a model. */
   val BatchMetaKey = "stream_batch"
 
-  /** Last committed streaming batch id for `name`, -1 if none. */
+  /** Last committed streaming batch id for `name`, -1 if none. Falls
+    * back to the pre-pointer-meta `_stream_commit` marker file so
+    * state written before the atomic-commit change keeps its record (a
+    * lost record would make a restart replay duplicate the in-flight
+    * batch); the next applyBatch writes pointer meta and the legacy
+    * file is never consulted again for ids below it.
+    */
   def lastCommitted(api: FalApi, name: String): Long =
     api.registry.pointerMeta(name).get(BatchMetaKey)
-      .map(_.toLong).getOrElse(-1L)
+      .map(_.toLong)
+      .orElse {
+        val legacy = java.nio.file.Paths.get(
+          api.registry.root, name, "_stream_commit")
+        if (java.nio.file.Files.exists(legacy))
+          Some(java.nio.file.Files.readString(legacy).trim.toLong)
+        else None
+      }
+      .getOrElse(-1L)
 
   /** Apply one micro-batch idempotently; returns true if appended,
     * false if `batchId` was already committed (a restart replay).

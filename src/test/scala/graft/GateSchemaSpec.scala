@@ -13,8 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * list results with `array_join(col, "|")` (oracle twin:
   * `array_to_string(col, '|')`), the documented c18 lesson.
   *
-  * Schema resolution is lazy (no action is triggered beyond whatever a
-  * query's standing-model bootstrap already does), so the walk is fast.
+  * The walk itself only reads `.schema`, but CONSTRUCTING some queries
+  * runs real jobs (standing-model builds on first touch; the union-find
+  * queries run an eager `count()` inside connectedComponents), so this
+  * suite costs a few sf0.001 pipeline executions, not zero — acceptable
+  * for the gate it buys, just not the "lazy walk" it looks like.
   */
 class GateSchemaSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

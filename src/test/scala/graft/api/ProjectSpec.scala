@@ -45,6 +45,13 @@ class ProjectSpec extends AnyFunSuite {
     assert(defs("staging") == Seq("tag:staging"))
     assert(defs("orders_flow") == Seq("+customer_orders", "vip_customers"))
     assert(Project.loadSelectors("examples").isEmpty) // no conf file
+    // an empty expression list must be a parse error, not an
+    // accidental select-everything
+    val dir = Files.createTempDirectory("graft-selconf")
+    Files.writeString(dir.resolve("selectors.conf"), "nightly =\n")
+    intercept[IllegalArgumentException] {
+      Project.loadSelectors(dir.toString)
+    }
   }
 
   test("project-declared tests load and run, promoting status to tested") {

@@ -70,5 +70,18 @@ class StreamIngestSpec extends AnyFunSuite {
       Seq(5L).toDF("x"), batchId = 3L))
     assert(api.ref("ingested").orderBy("x")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // state written before the atomic-commit change carried its record
+    // in a _stream_commit marker file — a restart must still honor it
+    // (or replays would duplicate), and the next applyBatch migrates
+    // the record into pointer meta, which takes precedence after
+    val legacy = Paths.get(api.registry.root, "ingested", "_stream_commit")
+    Files.writeString(legacy, "7")
+    assert(StreamIngest.lastCommitted(api, "ingested") == 3L,
+      "pointer meta must win over the legacy marker")
+    Files.deleteIfExists(
+      Paths.get(api.registry.root, "ingested", "_current"))
+    // (no pointer at all → only the legacy marker speaks)
+    assert(StreamIngest.lastCommitted(api, "ingested") == 7L)
   }
 }
