@@ -128,23 +128,33 @@ object DataGen {
   /* Keep the shift rule here in lockstep with main's tile(): both are
    * `key + copy * (max(key)+1)` with the same per-field cast-back; a
    * change to the tiling rule must land in both or the on-demand
-   * embeddings tile diverges from the full fixture's copy of the same
-   * table. */
-  def tileEmbeddings(spark: SparkSession, src: String, dest: String,
-      copies: Int): Unit = {
-    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
-    val vStride = embeddings.agg(max(col("vec_id"))).head
+   * single-table tiles diverge from the full fixture's copies of the
+   * same tables. */
+  private def tileOne(spark: SparkSession, src: String, dest: String,
+      copies: Int, table: String, key: String): Unit = {
+    val df = spark.read.parquet(s"$src/$table.parquet")
+    val stride = df.agg(max(col(key))).head
       .getAs[Number](0).longValue() + 1L
-    val shifted = embeddings
+    val shifted = df
       .crossJoin(broadcast(spark.range(copies).toDF("__copy")))
-      .select(embeddings.schema.fields.map { f =>
-        if (f.name == "vec_id")
-          (col(f.name) + col("__copy") * lit(vStride)).cast(f.dataType)
+      .select(df.schema.fields.map { f =>
+        if (f.name == key)
+          (col(f.name) + col("__copy") * lit(stride)).cast(f.dataType)
             .as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
     shifted.repartition(1).write.mode("overwrite")
-      .parquet(s"$dest/embeddings.parquet")
-    println(s"[datagen] embeddings -> $dest/embeddings.parquet (1 files)")
+      .parquet(s"$dest/$table.parquet")
+    println(s"[datagen] $table -> $dest/$table.parquet (1 files)")
   }
+
+  def tileEmbeddings(spark: SparkSession, src: String, dest: String,
+      copies: Int): Unit =
+    tileOne(spark, src, dest, copies, "embeddings", "vec_id")
+
+  /** On-demand tile of the documents table — the dedup twins' at-scale
+    * fixture, same never-skip rationale as [[tileEmbeddings]]. */
+  def tileDocuments(spark: SparkSession, src: String, dest: String,
+      copies: Int): Unit =
+    tileOne(spark, src, dest, copies, "documents", "doc_id")
 }

@@ -484,7 +484,7 @@ object Dedup extends QueryPack {
     * the band boundary). Both engines apply the identical rule, so the
     * oracle check stays exact.
     */
-  private def simhashPairs(sigs: DataFrame): DataFrame = {
+  private[operators] def simhashPairs(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(2))).as("band"))
@@ -549,6 +549,15 @@ object Dedup extends QueryPack {
     * is its signature-representative's component). Label propagation
     * uses the same hierarchical union-find contraction as
     * [[ddCluster]].
+    *
+    * Oracle coverage: exact DuckDB reach at sf0.01 (driver gate) and
+    * sf0.1 (audited). At sf1 the graph develops a ~44k-doc giant
+    * component whose transitive-closure oracle (~2×10⁹ reach rows) no
+    * SQL engine replays — the very quadratic blowup this bounded
+    * contract avoids — so sf1 is covered by ResolveConsistencySpec's
+    * property checks (corpus cover, min-label, full-pair edge
+    * consistency) on top of ConnectedComponentsSpec's exhaustive
+    * random-graph equivalence.
     */
   def ddSimhashResolve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
