@@ -24,12 +24,25 @@ import scala.jdk.CollectionConverters._
   *                                  `unique <col>`,
   *                                  `relationship <col> <model> <col>`,
   *                                  `accepted_values <col> <v1> <v2> …`
+  *     models/<name>.py             pure-python model (`def model(dbt,
+  *                                  fal)`); meta `environment=<name>`
+  *                                  picks a named isolated env
+  *     environments.conf            name = venv|conda [pkg …]
+  *     selectors.conf               name = selection-expr …
   *     sources.conf                 srcName table path [format]
   * }}}
   */
 object Project {
 
   private val refPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+  // python-model dep extraction: `dbt.ref("x")` / `dbt.ref('x')` —
+  // the reference's source-text scan of generated shims and pure
+  // python models (`model_generator.py` / `project.py` `_map_nodes`)
+  private val pyRefPat =
+    raw"""dbt\.ref\(\s*['"]([^'"]+)['"]\s*\)""".r
+
+  private def extractPyRefs(src: String): Seq[String] =
+    pyRefPat.findAllMatchIn(src).map(_.group(1)).toSeq.distinct
   private val srcPat =
     raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
 
@@ -68,6 +81,40 @@ object Project {
         .foreach(registry.registerTest)
     }
 
+    // models/<name>.py → a reference-style pure-python model (ref
+    // `008_pure_python_models`, loaded from `fal-models-paths`,
+    // `dbt_project.yml:12`): `def model(dbt, fal)` over pandas, deps
+    // regex-extracted from dbt.ref(...)/dbt.source(...) exactly as the
+    // reference reads them from the source text; meta
+    // `environment=<name>` resolves a requirement set from
+    // environments.conf (the fal_project.yml `environments:` list)
+    val envs = loadEnvironments(projectDir)
+    val pyFiles = scala.util.Using.resource(Files.list(modelsDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".py")).toSeq
+    }.sortBy(_.getFileName.toString)
+    pyFiles.foreach { f =>
+      val name = f.getFileName.toString.stripSuffix(".py")
+      require(registry.modelOpt(name).isEmpty,
+        s"duplicate resource name: python model $name collides")
+      val src = Files.readString(f)
+      val meta = readMeta(modelsDir.resolve(s"$name.meta"))
+      val env = meta.get("environment")
+        .map(n => envs.getOrElse(n, throw new IllegalArgumentException(
+          s"model $name names unknown environment '$n' — defined: " +
+            envs.keys.toSeq.sorted.mkString(", "))))
+        .getOrElse(Nil)
+      registry.register(ModelDef(
+        name,
+        ModelKind.Python(f.toString, environment = env),
+        deps = extractPyRefs(src),
+        tags = meta.get("tags")
+          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+        meta = meta -- Seq("tags", "environment")))
+      readTests(modelsDir.resolve(s"$name.tests"), name)
+        .foreach(registry.registerTest)
+    }
+
     // seeds/<name>.csv → a seed model (dbt's `seed-paths`; the
     // reference's jaffle fixture ships raw_customers/orders/payments
     // this way). Seeds have no deps — they root the DAG.
@@ -99,6 +146,36 @@ object Project {
         }
     }
     registry
+  }
+
+  /** Named isolated environments (`<project>/environments.conf`, the
+    * `fal_project.yml environments:` analogue — ref
+    * `013_structured_hooks/fal_project.yml`, parsed by
+    * `parse.load_environments` via `project.py:894-896`): one
+    * `name = venv|conda [pkg …]` line per environment, resolved into
+    * the requirement encoding [[ModelKind.Python]] carries (`conda`
+    * flavor = a leading "conda" element; an empty venv runs the host
+    * interpreter in its own process, the reference's bare-env case).
+    */
+  def loadEnvironments(projectDir: String): Map[String, Seq[String]] = {
+    val p = Paths.get(projectDir, "environments.conf")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        line.split("=", 2) match {
+          case Array(name, spec) =>
+            spec.trim.split("\\s+").toSeq.filter(_.nonEmpty) match {
+              case "venv" +: pkgs => name.trim -> pkgs
+              case "conda" +: pkgs => name.trim -> ("conda" +: pkgs)
+              case _ => throw new IllegalArgumentException(
+                s"bad environment line in $p (need 'name = venv|conda " +
+                  s"[pkg …]'): $line")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"bad environment line in $p: $line")
+        }
+      }.toMap
   }
 
   /** Named selectors (`<project>/selectors.conf`, the selectors.yml

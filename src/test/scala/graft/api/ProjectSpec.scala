@@ -54,6 +54,53 @@ class ProjectSpec extends AnyFunSuite {
     }
   }
 
+  test("python models load with extracted deps and named environments") {
+    // ref 008_pure_python_models + 013_structured_hooks'
+    // fal_project.yml environments list
+    val dir = Files.createTempDirectory("graft-proj-py")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/base.sql"),
+      "SELECT 1 AS x")
+    Files.writeString(dir.resolve("models/enrich.py"),
+      """import pandas as pd
+        |def model(dbt, fal):
+        |    df = dbt.ref("base")
+        |    other = dbt.ref('base')  # same dep, both quote styles
+        |    return df
+        |""".stripMargin)
+    Files.writeString(dir.resolve("models/enrich.meta"),
+      "environment=funny\ntags=py\n")
+    Files.writeString(dir.resolve("environments.conf"),
+      """# fal_project.yml environments analogue
+        |not-funny = venv
+        |funny = venv pyjokes==0.6.0
+        |funny-conda = conda pyjokes=0.6.0
+        |""".stripMargin)
+    val storage = Files.createTempDirectory("graft-proj-py-st").toString
+    val registry = Project.load(dir.toString, storage)
+    val m = registry.modelOpt("enrich").get
+    assert(m.deps == Seq("base"))
+    assert(m.tags == Set("py"))
+    m.kind match {
+      case ModelKind.Python(path, env) =>
+        assert(path.endsWith("enrich.py"))
+        assert(env == Seq("pyjokes==0.6.0"))
+      case other => fail(s"expected Python kind, got $other")
+    }
+    assert(Project.loadEnvironments(dir.toString)("funny-conda") ==
+      Seq("conda", "pyjokes=0.6.0"))
+    assert(Project.loadEnvironments(dir.toString)("not-funny").isEmpty)
+
+    // unknown environment name is a load-time error, not a silent
+    // bare-interpreter fallback
+    Files.writeString(dir.resolve("models/enrich.meta"),
+      "environment=bogus\n")
+    intercept[IllegalArgumentException] {
+      Project.load(dir.toString,
+        Files.createTempDirectory("graft-proj-py-st2").toString)
+    }
+  }
+
   test("project-declared tests load and run, promoting status to tested") {
     val storage = Files.createTempDirectory("graft-proj-t").toString
     val registry = Project.load("examples/jaffle", storage)
