@@ -58,6 +58,8 @@ object Cli {
           require(t == "before" || t == "after",
             s"--run-scripts expects before|after, got: $t")
           runScriptsTiming = Some(t); i += 2
+        // the reference's `fal run --before` spelling (args.py:160-165)
+        case "--before" => runScriptsTiming = Some("before"); i += 1
         case "--globals" => runGlobals = true; i += 1
         // -s/--select/-m/--models are interchangeable in the reference
         // (`_build_dbt_selectors`, args.py:122-134 — both dest=select)
