@@ -56,11 +56,11 @@ final class FalApi(
     * plain parquet read.
     */
   private def readResolved(name: String, path: String): DataFrame = {
-    val marker = java.nio.file.Paths.get(path, "_bucketed_table")
-    if (java.nio.file.Files.exists(marker)) {
+    val marker = FsIO.child(path, "_bucketed_table")
+    if (FsIO.exists(marker)) {
       // marker: table name, plus (since round 3) the bucket count and
       // columns the FILES were written with
-      val lines = java.nio.file.Files.readString(marker).trim
+      val lines = FsIO.readString(marker).trim
         .split("\n").toSeq
       val tbl = lines.head.trim
       // The default in-memory catalog forgets tables across JVM
@@ -100,11 +100,10 @@ final class FalApi(
     * it. Oldest first.
     */
   private def chainPaths(path: String): Seq[String] = {
-    val prev = java.nio.file.Paths.get(path, "_prev_version")
-    if (java.nio.file.Files.exists(prev))
-      chainPaths(java.nio.file.Paths.get(path).getParent
-        .resolve(java.nio.file.Files.readString(prev).trim)
-        .toString) :+ path
+    val prev = FsIO.child(path, "_prev_version")
+    if (FsIO.exists(prev))
+      chainPaths(FsIO.child(FsIO.parent(path),
+        FsIO.readString(prev).trim)) :+ path
     else Seq(path)
   }
 
@@ -116,11 +115,11 @@ final class FalApi(
     */
   private def readVersion(path: String): DataFrame = {
     val paths = chainPaths(path)
-    val schemaFile = java.nio.file.Paths.get(path, "_schema.ddl")
+    val schemaFile = FsIO.child(path, "_schema.ddl")
     val reader =
-      if (java.nio.file.Files.exists(schemaFile))
+      if (FsIO.exists(schemaFile))
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-          java.nio.file.Files.readString(schemaFile)))
+          FsIO.readString(schemaFile)))
       else spark.read
     reader.parquet(paths: _*)
   }
@@ -157,11 +156,10 @@ final class FalApi(
       // repoint the first root's readers. A storage-root hash in the
       // name keeps every materialization's table distinct; readers
       // never reconstruct the name — they read it from the marker.
-      val root = java.nio.file.Paths.get(target).getParent.getParent
+      val root = FsIO.parent(FsIO.parent(target))
       val uniq = Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(root.toString))
-      val tbl = s"graft_${name}_${java.nio.file.Paths.get(target)
-        .getFileName.toString}_h$uniq"
+        scala.util.hashing.MurmurHash3.stringHash(root))
+      val tbl = s"graft_${name}_${FsIO.fileName(target)}_h$uniq"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       df.write.mode("overwrite")
         .bucketBy(n, cols.head, cols.tail: _*)
@@ -170,8 +168,7 @@ final class FalApi(
       // record the spec the FILES were written with, so a catalog-loss
       // re-registration can never claim a different bucketing than the
       // data has (the model's meta may change between write and read)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(target, "_bucketed_table"),
+      FsIO.writeString(FsIO.child(target, "_bucketed_table"),
         s"$tbl\n$n\n${cols.mkString(",")}")
     case None =>
       val partCols = registry.modelOpt(name)
@@ -184,8 +181,7 @@ final class FalApi(
       // record the written schema: a later maintenance read must not
       // re-infer partition-column types from directory names (string
       // '01' would silently become int 1 on rewrite)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(target, "_schema.ddl"), df.schema.toDDL)
+      FsIO.writeString(FsIO.child(target, "_schema.ddl"), df.schema.toDDL)
   }
 
   /** Output-layout skew report from the written files' sizes — free
@@ -194,13 +190,7 @@ final class FalApi(
     * skewed write partitioning.
     */
   private def fileSkew(target: String): String = {
-    import scala.jdk.CollectionConverters._
-    val sizes = scala.util.Using.resource(
-      java.nio.file.Files.walk(java.nio.file.Paths.get(target))) { walk =>
-      walk.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size(_)).toSeq
-    }
+    val sizes = FsIO.parquetSizes(target)
     if (sizes.isEmpty) ""
     else s" files=${sizes.size} maxBytes=${sizes.max} minBytes=${sizes.min}"
   }
@@ -270,9 +260,8 @@ final class FalApi(
             materialize(readVersion(cur).unionByName(df), name, target)
           case Some(cur) =>
             materialize(df, name, target)
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(target, "_prev_version"),
-              java.nio.file.Paths.get(cur).getFileName.toString)
+            FsIO.writeString(FsIO.child(target, "_prev_version"),
+              FsIO.fileName(cur))
           case None => materialize(df, name, target)
         }
       case other => throw new IllegalArgumentException(
@@ -423,7 +412,6 @@ final class FalApi(
     require(allowWrites, "compact_model is not allowed in hooks")
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
-    import scala.jdk.CollectionConverters._
     // readVersion: the rewrite must not re-infer partition-column types
     // (string '01' would come back — and be rewritten — as int 1)
     val df = readVersion(cur)
@@ -438,14 +426,7 @@ final class FalApi(
       case None =>
         // sum the whole append chain: compaction collapses it into one
         // fresh version, so sizing must see every live byte
-        val bytes = chainPaths(cur).map { dir =>
-          scala.util.Using.resource(
-            java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { walk =>
-            walk.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map(java.nio.file.Files.size(_)).sum
-          }
-        }.sum
+        val bytes = chainPaths(cur).map(FsIO.parquetSizes(_).sum).sum
         val nFiles =
           math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         materialize(df.coalesce(nFiles), name, target)
@@ -481,21 +462,15 @@ final class FalApi(
     val victims = versions.dropRight(keep)
       .filterNot(v => live.contains(v))
     victims.foreach { v =>
-      import scala.jdk.CollectionConverters._
       // a bucketed version registered a catalog table pointing at this
       // directory — drop it too, or the catalog accumulates entries
       // whose LOCATION no longer exists
-      val marker = java.nio.file.Paths.get(v, "_bucketed_table")
-      if (java.nio.file.Files.exists(marker)) {
-        val tbl = java.nio.file.Files.readString(marker).trim
-          .split("\n").head.trim
+      val marker = FsIO.child(v, "_bucketed_table")
+      if (FsIO.exists(marker)) {
+        val tbl = FsIO.readString(marker).trim.split("\n").head.trim
         spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       }
-      scala.util.Using.resource(java.nio.file.Files.walk(
-        java.nio.file.Paths.get(v))) { walk =>
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      FsIO.deleteTree(v)
     }
     ledger.record(name, Status.Success,
       s"vacuum removed=${victims.size} kept=${versions.size - victims.size}")

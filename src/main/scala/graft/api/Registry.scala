@@ -1,8 +1,10 @@
 package graft.api
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
 
 /** Model/source registry + relation catalog: the rebuild's replacement
   * for the dbt manifest and the teleport location cache (SURVEY.md §7
@@ -13,22 +15,60 @@ import scala.jdk.CollectionConverters._
   * Relation storage is a parquet directory per written version under
   * `root/<model>/v<N>/`, with a `_current` pointer file naming the live
   * version. Overwrite = write new version dir, then atomically swap the
-  * pointer (temp file + ATOMIC_MOVE) — the reference's temp-table +
-  * rename dance (`lib.py:286-329`) with a metadata pointer instead of a
-  * DB rename, so concurrent readers of the old version are never broken
-  * (SURVEY.md §7 "hard parts").
+  * pointer — the reference's temp-table + rename dance (`lib.py:286-329`)
+  * with a metadata pointer instead of a DB rename, so concurrent readers
+  * of the old version are never broken (SURVEY.md §7 "hard parts").
+  *
+  * The catalog rides the Hadoop `FileSystem` API, not `java.nio`, so the
+  * root may carry any Hadoop-supported scheme — `file://`, `hdfs://`, or
+  * an object store (`s3a://`, `gs://`) — matching the reference's
+  * object-store-first teleport layer (`A/dbt/fal/adapters/teleport/
+  * info.py:8-73` s3 url scheme, `teleport_support/duckdb.py:95-124` S3
+  * creds plumbing). The catalog lives where the data lives: at 100 TB
+  * both are on the cluster store, and the same `FalApi` code path works
+  * unchanged when `root` is `s3a://bucket/warehouse`.
+  *
+  * Pointer-swap atomicity per filesystem class:
+  *   - rename-atomic stores (local, HDFS): temp-write + rename-OVERWRITE
+  *     via `FileContext` (HDFS rename is atomic; readers see old or new
+  *     pointer, never a torn one);
+  *   - object stores (no atomic rename — a rename is copy+delete): a
+  *     direct create-overwrite write of the pointer object. A PUT is
+  *     atomic at object granularity on S3/GCS, which is exactly the
+  *     "write-new + overwrite-pointer" variant the design calls for.
   *
   * Thread-safety: definition maps are concurrent; per-relation mutation
   * is serialized by the runner (B7) like the reference's process-wide
-  * lock (`lib.py:108-124`).
+  * lock (`lib.py:108-124`). [[swapPointer]] additionally serializes its
+  * read-merge-write per model name inside this JVM, so a maintenance
+  * rewrite (compaction) racing a streaming append cannot rebuild the
+  * pointer from a pre-append read and drop the committed batch id.
+  * Cross-JVM, the single-writer-per-model invariant still applies.
   */
 final class Registry(val root: String) {
   private val models = TrieMap.empty[String, ModelDef]
   private val sources = TrieMap.empty[(String, String), SourceDef]
   private val statuses = TrieMap.empty[String, String]
   private val tests = TrieMap.empty[String, Seq[TestDef]]
+  private val swapLocks = TrieMap.empty[String, Object]
 
-  Files.createDirectories(Paths.get(root))
+  private val hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hadoopConf)
+  /** Object stores lack atomic rename (copy+delete); the pointer swap
+    * falls back to a direct overwrite-PUT there.
+    */
+  private val renameIsAtomic: Boolean =
+    fs.getScheme match {
+      case "s3a" | "s3" | "s3n" | "gs" | "oss" | "cos" | "wasb" |
+          "wasbs" | "abfs" | "abfss" | "swift" => false
+      case _ => true
+    }
+
+  fs.mkdirs(rootPath)
 
   // ---- definitions -------------------------------------------------------
 
@@ -67,9 +107,26 @@ final class Registry(val root: String) {
 
   // ---- relation catalog (A10) -------------------------------------------
 
-  private def modelDir(name: String): Path = Paths.get(root, name)
+  private def modelDir(name: String): Path = new Path(rootPath, name)
   private def pointerFile(name: String): Path =
-    modelDir(name).resolve("_current")
+    new Path(modelDir(name), "_current")
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, /* overwrite = */ true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Live parquet path for a materialized relation, or None. The
     * version name is the pointer file's FIRST line; later `k=v` lines
@@ -77,24 +134,24 @@ final class Registry(val root: String) {
     */
   def currentPath(name: String): Option[String] = {
     val p = pointerFile(name)
-    if (Files.exists(p))
-      Some(modelDir(name).resolve(
-        Files.readString(p).linesIterator.next().trim).toString)
+    if (fs.exists(p))
+      Some(new Path(modelDir(name),
+        readFile(p).linesIterator.next().trim).toString)
     else None
   }
 
   /** Pointer metadata: the `k=v` lines after the version line. Written
-    * atomically WITH the pointer swap (one temp-write + ATOMIC_MOVE),
-    * so a record here commits in the same instant as the data it
-    * describes — the streaming sink's batch-id log rides this to get
-    * exactly-once appends with no marker-file crash window. Carried
-    * forward across rewrites (overwrite, compaction) by
-    * [[swapPointer]] unless explicitly overridden.
+    * atomically WITH the pointer swap (one atomic pointer replace), so a
+    * record here commits in the same instant as the data it describes —
+    * the streaming sink's batch-id log rides this to get exactly-once
+    * appends with no marker-file crash window. Carried forward across
+    * rewrites (overwrite, compaction) by [[swapPointer]] unless
+    * explicitly overridden.
     */
   def pointerMeta(name: String): Map[String, String] = {
     val p = pointerFile(name)
-    if (!Files.exists(p)) Map.empty
-    else Files.readString(p).linesIterator.drop(1).flatMap { l =>
+    if (!fs.exists(p)) Map.empty
+    else readFile(p).linesIterator.drop(1).flatMap { l =>
       l.split("=", 2) match {
         case Array(k, v) => Some(k -> v)
         case _ => None
@@ -104,41 +161,38 @@ final class Registry(val root: String) {
 
   def relationExists(name: String): Boolean = currentPath(name).isDefined
 
+  private def versionNames(dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
+
   /** Allocate the next version directory for a write. */
   def nextVersionDir(name: String): String = {
     val dir = modelDir(name)
-    Files.createDirectories(dir)
-    val existing = if (Files.exists(dir)) {
-      scala.util.Using.resource(Files.list(dir)) { stream =>
-        stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.startsWith("v"))
-          .flatMap(v => v.drop(1).toIntOption)
-          .toSeq
-      }
-    } else Seq.empty
+    fs.mkdirs(dir)
+    val existing = versionNames(dir).map(_.drop(1).toInt)
     val next = if (existing.isEmpty) 1 else existing.max + 1
-    dir.resolve(s"v$next").toString
+    new Path(dir, s"v$next").toString
   }
 
   /** All version directories for a model, oldest first. */
   def listVersions(name: String): Seq[String] = {
     val dir = modelDir(name)
-    if (!Files.exists(dir)) Seq.empty
-    else scala.util.Using.resource(Files.list(dir)) { stream =>
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
-        .toSeq
-    }.sortBy(_.drop(1).toInt).map(dir.resolve(_).toString)
+    versionNames(dir).sortBy(_.drop(1).toInt)
+      .map(new Path(dir, _).toString)
   }
 
   /** Atomically point `name` at `versionDir` (must be under the model's
-    * dir). Pointer swap is temp-write + ATOMIC_MOVE — readers see either
-    * the old or the new version, never a partial write. `meta` entries
-    * commit in the SAME move (merged over the existing [[pointerMeta]],
-    * which otherwise carries forward — a compaction or overwrite of a
-    * stream-fed model must not erase its committed batch id).
+    * dir). Readers see either the old or the new pointer, never a
+    * partial write: rename-atomic stores get temp-write + rename-
+    * OVERWRITE, object stores get a single overwrite-PUT (see class
+    * scaladoc). `meta` entries commit in the SAME replace (merged over
+    * the existing [[pointerMeta]], which otherwise carries forward — a
+    * compaction or overwrite of a stream-fed model must not erase its
+    * committed batch id). The read-merge-write is serialized per model
+    * name within this JVM so concurrent swaps cannot drop each other's
+    * just-committed meta.
     */
   def swapPointer(name: String, versionDir: String,
       meta: Map[String, String] = Map.empty): Unit = {
@@ -151,23 +205,28 @@ final class Registry(val root: String) {
           !v.exists(c => c == '\n' || c == '\r'),
         s"pointer meta must be newline-free with '='-free keys: $k=$v")
     }
-    val version = Paths.get(versionDir).getFileName.toString
-    val merged = pointerMeta(name) ++ meta
-    val content = (version +: merged.toSeq.sorted
-      .map { case (k, v) => s"$k=$v" }).mkString("\n")
-    val tmp = modelDir(name).resolve(s"_current.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, content)
-    Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lock = swapLocks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val version = new Path(versionDir).getName
+      val merged = pointerMeta(name) ++ meta
+      val content = (version +: merged.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }).mkString("\n")
+      if (renameIsAtomic) {
+        val tmp = new Path(modelDir(name),
+          s"_current.tmp.${System.nanoTime()}")
+        writeFile(tmp, content)
+        val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
+        fc.rename(tmp, pointerFile(name), Options.Rename.OVERWRITE)
+      } else {
+        writeFile(pointerFile(name), content)
+      }
+    }
   }
 
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
   def dropRelation(name: String): Unit = {
     val dir = modelDir(name)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+    if (fs.exists(dir)) { fs.delete(dir, /* recursive = */ true); () }
   }
 
   /** Rename a relation: move the whole versioned dir (ref:
@@ -175,7 +234,6 @@ final class Registry(val root: String) {
     */
   def renameRelation(from: String, to: String): Unit = {
     require(!relationExists(to), s"rename target exists: $to")
-    Files.move(modelDir(from), modelDir(to),
-      StandardCopyOption.ATOMIC_MOVE)
+    fs.rename(modelDir(from), modelDir(to)); ()
   }
 }
