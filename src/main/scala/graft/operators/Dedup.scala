@@ -328,14 +328,38 @@ object Dedup extends QueryPack {
       .select(aCol, bCol, "n_match", "est_jaccard")
   }
 
+  /** E5b — MinHash-LSH near-dup evidence, COLLAPSED onto distinct
+    * signatures (VERDICT r9 item #2): docs sharing the full 16-tuple
+    * are est-1.0 clones, so the banded self-join runs over ONE
+    * representative (min doc_id) per distinct signature and the output
+    * is one row per near-dup SIGNATURE pair plus one row per clone run
+    * — never one row per doc pair. A 10k-clone boilerplate cluster,
+    * 5×10⁷ doc pairs in the old pair-list contract (the r9 SCALING
+    * scale-killer: 6.1 s / slope 0.44 at sf1), is now a single
+    * `(rep, rep, 16, 1.0, 10000, 10000, 49995000)` row.
+    *
+    * Schema: `(rep_a, rep_b, n_match, est_jaccard, docs_a, docs_b,
+    * n_pairs)`. `rep_a = rep_b` rows are intra-signature clone runs
+    * (`n_pairs = n·(n−1)/2`); `rep_a < rep_b` rows are inter-signature
+    * candidates at est ≥ 0.5 (`n_pairs = docs_a·docs_b`). The full doc
+    * pair list is recoverable exactly by expanding each row through
+    * its signature's member set — ApproxQualitySpec expands it and
+    * checks the recall contract at doc level, so pair-exactness is
+    * preserved while the emitted volume is corpus-linear.
+    *
+    * The signature table is standing state shared with the incremental
+    * probe: materialized once through the A-layer ([[Shared.model]],
+    * bucketed on doc_id) and ref()'d here, so no run re-shingles the
+    * corpus.
+    */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // The signature table is standing state shared with the
-    // incremental probe: materialized once through the A-layer
-    // ([[Shared.model]], bucketed on doc_id) and ref()'d here, so the
-    // self-join run never re-shingles the corpus.
-    val sigs = Shared.model(spark, dir, "graft_lsh_sigs", "doc_id",
-      (s, d) => minhashSigs(s, d))
-    val banded = bandedOf(sigs)
+    val sigs = sigModel(spark, dir)
+    val sigCols = (1 to 16).map(i => col(s"s$i"))
+    val grp = sigs.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+    val rep = grp.select(col("doc_id") +: sigCols: _*)
+    val cnt = grp.select(col("doc_id"), col("n_docs"))
+    val banded = bandedOf(rep)
     // Shuffled hash join for the band bucket self-join (uniform small
     // buckets, no sort needed)
     val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
@@ -343,16 +367,26 @@ object Dedup extends QueryPack {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    scoreCandidates(cands, sigs, "doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+    val inter = scoreCandidates(cands, rep, "doc_a", "doc_b")
+      .join(cnt.toDF("doc_a", "docs_a"), "doc_a")
+      .join(cnt.toDF("doc_b", "docs_b"), "doc_b")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("n_match"), col("est_jaccard"), col("docs_a"), col("docs_b"),
+        (col("docs_a") * col("docs_b")).as("n_pairs"))
+    val intra = grp.filter(col("n_docs") >= 2)
+      .select(col("doc_id").as("rep_a"), col("doc_id").as("rep_b"),
+        lit(16L).as("n_match"), lit(1.0).as("est_jaccard"),
+        col("n_docs").as("docs_a"), col("n_docs").as("docs_b"),
+        expr("(n_docs * (n_docs - 1)) DIV 2").as("n_pairs"))
+    inter.unionByName(intra).orderBy("rep_a", "rep_b")
   }
 
   /** E5c headline form — MinHash dedup with the same BOUNDED output
     * contract as [[ddSimhashResolve]]: one `(doc_id, cluster_rep,
     * is_kept)` row per corpus doc, where `cluster_rep` is the min
     * doc_id of the doc's est-jaccard ≥ 0.5 connected component (the
-    * component structure of [[ddMinhashLsh]]'s pair graph, which
-    * stays as the oracle-exact secondary).
+    * component structure of the doc-level pair graph whose collapsed
+    * evidence [[ddMinhashLsh]] emits as the oracle-exact secondary).
     *
     * Same scale argument: band key, candidate rule and the 16-way
     * score all depend only on the signature, so docs sharing a
@@ -498,17 +532,12 @@ object Dedup extends QueryPack {
     // a clone-heavy corpus (the sf1 tiling: every doc a 10-copy
     // cluster, all three bands matching for every clone pair) the
     // distinct was shuffling 3× the pair volume; first-band emission
-    // produces the identical pair set with no dedup pass. Measured
-    // sf1 numbers for the same 40.2M-pair output disagree only by
-    // WHAT they time, not by host noise: SCALING.md's ~31-52 s
-    // (session-dependent) is the FULL plan at local[8] (noop-sink
-    // write, so the final 40.2M-row ORDER BY runs); count()-pruned
-    // steady states (the sort dropped by Catalyst) are ~21 s at
-    // local[4] and ~5.2 s at the bench's local[32]. The join is
-    // output-bound either way, oracle-verified row-for-row — which is
-    // exactly why the pair LIST is the secondary contract and
-    // [[ddSimhashResolve]]'s bounded doc→representative output (sf1
-    // ~1.5 s, slope 0.10) is the headline.
+    // produces the identical pair set with no dedup pass. Since r10
+    // every caller passes DISTINCT-signature representatives (the
+    // [[ddSimhash]] collapse and [[ddSimhashResolve]]), so the join's
+    // output is bounded by near-dup signature pairs, not doc pairs —
+    // the doc-level form (r9: 40.2M pairs / 59 s at sf1) exists only
+    // as the expansion ApproxQualitySpec replays for ground truth.
     def bandOf(side: String, b: Int) =
       expr(s"shiftright($side.simhash, ${b * 20}) & 1048575")
     val firstMatch = (col("a.band") === 0) ||
@@ -525,20 +554,46 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= 2)
   }
 
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(simhashSigs(spark, dir)
-        .withColumnRenamed("doc_id", "id"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("hamming"))
-      .orderBy("doc_a", "doc_b")
+  /** SimHash near-dup evidence, COLLAPSED onto distinct signatures —
+    * the same bounded-output move as [[ddMinhashLsh]] (VERDICT r9 item
+    * #2): hamming and band membership depend only on the signature, so
+    * the 3×20 banded join runs over one min-doc_id representative per
+    * distinct 60-bit signature. Output: `(rep_a, rep_b, hamming,
+    * docs_a, docs_b, n_pairs)` — `rep_a = rep_b` rows are hamming-0
+    * clone runs, `rep_a < rep_b` rows are inter-signature hamming ≤ 2
+    * pairs. The doc-level pair list (the r9 SCALING scale-killer:
+    * 59.2 s / slope 0.73 at sf1 on the clone-heavy tiling) expands
+    * exactly from these rows; ApproxQualitySpec performs that
+    * expansion against the exhaustive hamming ≤ 2 ground truth.
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
+    val grp = sigs.groupBy("simhash")
+      .agg(min(col("doc_id")).as("id"), count(lit(1)).as("n_docs"))
+    val cnt = grp.select(col("id"), col("n_docs"))
+    val inter = simhashPairs(grp.select("id", "simhash"))
+      .join(cnt.toDF("id_a", "docs_a"), "id_a")
+      .join(cnt.toDF("id_b", "docs_b"), "id_b")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+        col("hamming"), col("docs_a"), col("docs_b"),
+        (col("docs_a") * col("docs_b")).as("n_pairs"))
+    val intra = grp.filter(col("n_docs") >= 2)
+      .select(col("id").as("rep_a"), col("id").as("rep_b"),
+        lit(0L).as("hamming"), col("n_docs").as("docs_a"),
+        col("n_docs").as("docs_b"),
+        expr("(n_docs * (n_docs - 1)) DIV 2").as("n_pairs"))
+    inter.unionByName(intra).orderBy("rep_a", "rep_b")
+  }
 
   /** E5 headline form — SimHash dedup with a BOUNDED output contract:
     * one `(doc_id, cluster_rep, is_kept)` row per corpus doc, where
     * `cluster_rep` is the min doc_id of the doc's hamming ≤ 2
-    * connected component. [[ddSimhash]]'s all-pairs listing stays as
-    * the oracle-exact secondary — at 100 TB a pair list is itself the
-    * scale-killer (one 10k-clone boilerplate cluster alone yields
-    * 5×10⁷ pairs), while this output is corpus-linear by construction.
+    * connected component. [[ddSimhash]]'s signature-collapsed pair
+    * evidence stays as the oracle-exact secondary — at 100 TB a
+    * doc-level pair list is itself the scale-killer (one 10k-clone
+    * boilerplate cluster alone yields 5×10⁷ pairs), while both this
+    * output and the collapsed evidence are corpus-linear by
+    * construction.
     *
     * The compute side is bounded too: docs sharing a signature are
     * hamming-0 clones, so the pair join runs over one representative
@@ -1189,24 +1244,47 @@ object Dedup extends QueryPack {
       FROM shs t JOIN shs e ON t.s = e.s
       WHERE t.source != 'src3' AND e.source = 'src3'
       GROUP BY t.doc_id ORDER BY t.doc_id""",
-    "dd_minhash_lsh" -> s"""
+    "dd_minhash_lsh" -> {
+      val sigList = (1 to 16).map(i => s"s$i").mkString(", ")
+      val repBands = (0 until 4).map { bnd =>
+        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT rep, $bnd AS band, concat_ws(',', $cols) AS bk FROM grp"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
       WITH $sqlLshCtes,
+      grp AS (
+        SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs,
+               $sigList
+        FROM sig GROUP BY $sigList
+      ),
+      rbanded AS (
+        $repBands
+      ),
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+        FROM rbanded a JOIN rbanded b
+          ON a.band = b.band AND a.bk = b.bk AND a.rep < b.rep
       ),
       scored AS (
         SELECT doc_a, doc_b,
                CAST($sqlMatch16 AS BIGINT) AS n_match
-        FROM cand JOIN sig sa ON doc_a = sa.doc_id
-                  JOIN sig sb ON doc_b = sb.doc_id
+        FROM cand JOIN grp sa ON doc_a = sa.rep
+                  JOIN grp sb ON doc_b = sb.rep
       )
-      SELECT doc_a, doc_b, n_match,
-             CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
-      FROM scored
+      SELECT doc_a AS rep_a, doc_b AS rep_b, n_match,
+             CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard,
+             ga.n_docs AS docs_a, gb.n_docs AS docs_b,
+             CAST(ga.n_docs * gb.n_docs AS BIGINT) AS n_pairs
+      FROM scored JOIN grp ga ON doc_a = ga.rep
+                  JOIN grp gb ON doc_b = gb.rep
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
-      ORDER BY doc_a, doc_b""",
+      UNION ALL
+      SELECT rep, rep, CAST(16 AS BIGINT), CAST(1.0 AS DOUBLE),
+             n_docs, n_docs,
+             CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT)
+      FROM grp WHERE n_docs >= 2
+      ORDER BY rep_a, rep_b"""
+    },
     "dd_minhash_resolve" -> s"""
       WITH RECURSIVE $sqlLshCtes,
       cand AS (
@@ -1255,15 +1333,36 @@ object Dedup extends QueryPack {
       WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.5
       ORDER BY new_doc, index_doc""",
     "dd_simhash" -> s"""
-      WITH $sqlSimhashSig
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-               AS hamming
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_val = b.band_val
-          AND a.doc_id < b.doc_id
-      WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
-      ORDER BY doc_a, doc_b""",
+      WITH $sqlSimhashSig,
+      grp AS (
+        SELECT simhash, min(doc_id) AS rep,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM sig GROUP BY simhash
+      ),
+      rbanded AS (
+        SELECT rep, simhash, band,
+               (simhash >> (band * 20)) & 1048575 AS band_val
+        FROM grp, (SELECT unnest([0, 1, 2]) AS band) bands
+      ),
+      inter AS (
+        SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+        FROM rbanded a JOIN rbanded b
+          ON a.band = b.band AND a.band_val = b.band_val
+            AND a.rep < b.rep
+        WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 2
+      )
+      SELECT i.rep_a, i.rep_b, i.hamming,
+             ga.n_docs AS docs_a, gb.n_docs AS docs_b,
+             CAST(ga.n_docs * gb.n_docs AS BIGINT) AS n_pairs
+      FROM inter i JOIN grp ga ON i.rep_a = ga.rep
+                   JOIN grp gb ON i.rep_b = gb.rep
+      UNION ALL
+      SELECT rep, rep, CAST(0 AS BIGINT), n_docs, n_docs,
+             CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT)
+      FROM grp WHERE n_docs >= 2
+      ORDER BY rep_a, rep_b""",
     "dd_simhash_resolve" -> s"""
       WITH RECURSIVE $sqlSimhashSig,
       jp AS (

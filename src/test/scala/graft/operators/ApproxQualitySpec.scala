@@ -150,7 +150,32 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(r >= 0.04, f"LSH recall@5 degraded to $r%.3f")
   }
 
-  test("SimHash 3x20 banding recovers every Hamming<=2 pair") {
+  /** Expand a signature-collapsed pair table back to doc-level pairs
+    * through each group's member set: intra rows (`repA = repB`) fan
+    * out to every within-group pair, inter rows to the member cross
+    * product. This is the exactness bridge for the r10 collapsed
+    * contracts — expanded(collapsed) must equal the old doc-level pair
+    * list bit-for-bit.
+    */
+  private def expandPairs(collapsed: org.apache.spark.sql.DataFrame,
+      repA: String, repB: String,
+      member: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val inter = collapsed.filter(col(repA) =!= col(repB))
+      .join(member.toDF(repA, "da"), repA)
+      .join(member.toDF(repB, "db"), repB)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    val intra = collapsed.filter(col(repA) === col(repB))
+      .select(col(repA).as("rep"))
+      .join(member.toDF("rep", "da"), "rep")
+      .join(member.toDF("rep", "db"), "rep")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+    pairs(inter.unionByName(intra), "doc_a", "doc_b")
+  }
+
+  test("SimHash 3x20 banding recovers every Hamming<=2 pair (expanded)") {
     import org.apache.spark.sql.functions._
     val sigs = Dedup.simhashSigs(spark, dir)
     val a = sigs.toDF("doc_a", "ha")
@@ -158,7 +183,12 @@ class ApproxQualitySpec extends AnyFunSuite {
     // exhaustive ground truth: every pair within Hamming 2, no banding
     val truth = pairs(a.join(b, col("doc_a") < col("doc_b"))
       .filter(expr("bit_count(ha ^ hb)") <= 2), "doc_a", "doc_b")
-    val got = pairs(Dedup.ddSimhash(spark, dir), "doc_a", "doc_b")
+    val collapsed = Dedup.ddSimhash(spark, dir)
+    val member = sigs
+      .join(sigs.groupBy("simhash").agg(min("doc_id").as("rep")),
+        "simhash")
+      .select(col("rep"), col("doc_id"))
+    val got = expandPairs(collapsed, "rep_a", "rep_b", member)
     assert(truth.nonEmpty)
     assert((got -- truth).isEmpty, "banding must not invent pairs")
     val recall = (got & truth).size.toDouble / truth.size
@@ -168,6 +198,12 @@ class ApproxQualitySpec extends AnyFunSuite {
     // (the earlier 2x30 banding measured 0.72 here)
     assert(got == truth,
       f"SimHash 3-band recall must be exact; got $recall%.3f")
+    // the n_pairs bookkeeping must account for every expanded pair
+    val claimed = collapsed
+      .agg(org.apache.spark.sql.functions.sum("n_pairs"))
+      .collect()(0).getLong(0)
+    assert(claimed == got.size.toLong,
+      s"n_pairs sum $claimed != expanded pair count ${got.size}")
   }
 
   test("embedding near-dup label blocking loses no pairs (sf1 subsample)") {
@@ -235,11 +271,21 @@ class ApproxQualitySpec extends AnyFunSuite {
   }
 
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {
+    import org.apache.spark.sql.functions._
     val exact = Dedup.ddNgramJaccard(spark, dir)
-    val strong = pairs(exact.filter(
-      org.apache.spark.sql.functions.col("jaccard") >= 0.7),
+    val strong = pairs(exact.filter(col("jaccard") >= 0.7),
       "doc_a", "doc_b")
-    val got = pairs(Dedup.ddMinhashLsh(spark, dir), "doc_a", "doc_b")
+    // expand the signature-collapsed evidence to doc level (exactness
+    // of the expansion itself is pinned in the SimHash test above;
+    // here the expansion feeds the recall contract)
+    val sigs = Dedup.sigModel(spark, dir)
+    val sigCols = (1 to 16).map(i => s"s$i")
+    val member = sigs
+      .join(sigs.groupBy(sigCols.map(col): _*)
+        .agg(min("doc_id").as("rep")), sigCols)
+      .select(col("rep"), col("doc_id"))
+    val got = expandPairs(Dedup.ddMinhashLsh(spark, dir),
+      "rep_a", "rep_b", member)
     assert(strong.nonEmpty, "fixture has no strong near-dup pairs")
     val recall = (got & strong).size.toDouble / strong.size
     info(f"minhash-lsh recall (jaccard>=0.7): $recall%.3f over ${strong.size} pairs")
