@@ -63,12 +63,20 @@ object Cli {
         case "--globals" => runGlobals = true; i += 1
         // -s/--select/-m/--models are interchangeable in the reference
         // (`_build_dbt_selectors`, args.py:122-134 — both dest=select)
+        // and take nargs="+" (args.py:123-141): greedily consume every
+        // following token up to the next -flag, so the reference-style
+        // `-s model_a model_b` spelling parses as two selectors
         case "--select" | "-s" | "--models" | "-m" =>
-          select :+= args(i + 1); i += 2
+          val vals = args.drop(i + 1).takeWhile(!_.startsWith("-"))
+          require(vals.nonEmpty, s"${args(i)} expects at least one value")
+          select ++= vals; i += 1 + vals.length
         // named selector from <project>/selectors.conf (the
         // selectors.yml analogue; ref args.py:134-137)
         case "--selector" => selectorName = Some(args(i + 1)); i += 2
-        case "--exclude" => exclude :+= args(i + 1); i += 2
+        case "--exclude" => // nargs="+" like --select (args.py:129-133)
+          val vals = args.drop(i + 1).takeWhile(!_.startsWith("-"))
+          require(vals.nonEmpty, "--exclude expects at least one value")
+          exclude ++= vals; i += 1 + vals.length
         case "--all" => allModels = true; i += 1
         case "--scripts" => // comma-separated (ref args.py --scripts)
           scriptsOnly ++= args(i + 1).split(",").map(_.trim)
@@ -202,13 +210,15 @@ object Cli {
 
   /** Execute one script file: .sql = one statement; .ipynb = its code
     * cells in order, magic lines stripped (graft.api.Notebook, the
-    * reference's _process_ipynb port).
+    * reference's _process_ipynb port). Files resolve against the
+    * project's scripts dir — `<project>/scripts` unless relocated by
+    * the `fal-scripts-path` project.meta key (ref parse.py:143-152).
     */
   private def scriptRunner(projectDir: String, file: String)
       : (FalApi, Map[String, String]) => Unit =
     (a, _) => {
       graft.api.Notebook.statementsFromFile(
-        java.nio.file.Paths.get(projectDir, "scripts", file))
+        graft.api.Project.scriptsDir(projectDir).resolve(file))
         .foreach(sql => a.executeSql(sql).count())
       ()
     }

@@ -131,7 +131,7 @@ object DataGen {
    * single-table tiles diverge from the full fixture's copies of the
    * same tables. */
   private def tileOne(spark: SparkSession, src: String, dest: String,
-      copies: Int, table: String, key: String): Unit = {
+      copies: Int, table: String, key: String, files: Int): Unit = {
     val df = spark.read.parquet(s"$src/$table.parquet")
     val stride = df.agg(max(col(key))).head
       .getAs[Number](0).longValue() + 1L
@@ -143,18 +143,22 @@ object DataGen {
             .as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
-    shifted.repartition(1).write.mode("overwrite")
+    // match the full fixture's canonical per-table file count (ADVICE
+    // r9): an on-demand tile with a different layout would give any
+    // timing-sensitive sf1 probe different scan parallelism than a
+    // DataGen-generated fixture over the same rows
+    shifted.repartition(files).write.mode("overwrite")
       .parquet(s"$dest/$table.parquet")
-    println(s"[datagen] $table -> $dest/$table.parquet (1 files)")
+    println(s"[datagen] $table -> $dest/$table.parquet ($files files)")
   }
 
   def tileEmbeddings(spark: SparkSession, src: String, dest: String,
       copies: Int): Unit =
-    tileOne(spark, src, dest, copies, "embeddings", "vec_id")
+    tileOne(spark, src, dest, copies, "embeddings", "vec_id", 1)
 
   /** On-demand tile of the documents table — the dedup twins' at-scale
     * fixture, same never-skip rationale as [[tileEmbeddings]]. */
   def tileDocuments(spark: SparkSession, src: String, dest: String,
       copies: Int): Unit =
-    tileOne(spark, src, dest, copies, "documents", "doc_id")
+    tileOne(spark, src, dest, copies, "documents", "doc_id", 2)
 }

@@ -234,6 +234,19 @@ object Project {
   def projectMeta(projectDir: String): Map[String, String] =
     readMeta(Paths.get(projectDir, "project.meta"))
 
+  /** Where a project keeps its script files: `<project>/scripts` by
+    * default, relocatable via the `fal-scripts-path` project.meta key —
+    * the reference's `fal-scripts-path` dbt_project var
+    * (`parse.py:143-152`, consumed relative to the project dir at
+    * `tasks.py:151-157`). An absolute value is taken as-is.
+    */
+  def scriptsDir(projectDir: String): Path = {
+    val rel = projectMeta(projectDir)
+      .getOrElse("fal-scripts-path", "scripts")
+    val p = Paths.get(rel)
+    if (p.isAbsolute) p else Paths.get(projectDir).resolve(rel)
+  }
+
   private def readMeta(p: Path): Map[String, String] =
     if (Files.exists(p))
       Files.readAllLines(p).asScala

@@ -262,18 +262,21 @@ object Runner {
     // fal_runner.py:52/61): a hook-only model is dropped in before
     // mode, and a --scripts narrowing filters scripts but NOT the
     // surviving models' hooks — both exactly as the reference behaves.
+    // default mode with no prior artifact errors BEFORE filtering (ref
+    // raises FalParseError unconditionally, fal_runner.py:146-158) — a
+    // lazy in-filter check would silently succeed on an empty model
+    // registry or when every model takes an earlier ladder branch
+    require(selectorFlags || before || config.allModels ||
+        priorStatuses.nonEmpty,
+      "Cannot define models to run without selection flags or a " +
+        "prior run_results artifact or --run-scripts before " +
+        "(ref fal_runner.py:148-151)")
     val models = api.registry.listModels.map(_.name).filter { n =>
       if (selectorFlags) selected.contains(NodeGraph.modelId(n))
       else if (before)
         config.scripts.exists(s => s.before && s.model == n)
       else if (config.allModels) true
-      else {
-        require(priorStatuses.nonEmpty,
-          "Cannot define models to run without selection flags or a " +
-            "prior run_results artifact or --run-scripts before " +
-            "(ref fal_runner.py:148-151)")
-        priorStatuses.get(n).exists(_ != Status.Skipped)
-      }
+      else priorStatuses.get(n).exists(_ != Status.Skipped)
     }
     // --scripts narrows to the named files (ref _select_scripts)
     def wantFile(f: String): Boolean =

@@ -212,4 +212,39 @@ class ProjectSpec extends AnyFunSuite {
     assert(api.ledger.statusOf("script.GLOBAL.AFTER.corpus_summary.sql")
       .contains(Status.Success))
   }
+
+  test("fal-scripts-path relocates the scripts dir (ref parse.py:143-152)") {
+    // a project whose scripts live under tools/sql instead of scripts/
+    val proj = Files.createTempDirectory("graft-proj-relocated")
+    Files.createDirectories(proj.resolve("models"))
+    Files.createDirectories(proj.resolve("tools/sql"))
+    Files.writeString(proj.resolve("models/m1.sql"), "SELECT 1 AS x")
+    Files.writeString(proj.resolve("models/m1.meta"),
+      "scripts_after=report.sql")
+    Files.writeString(proj.resolve("project.meta"),
+      "fal-scripts-path=tools/sql")
+    Files.writeString(proj.resolve("tools/sql/report.sql"),
+      "SELECT count(*) AS n FROM {{ ref('m1') }}")
+    assert(Project.scriptsDir(proj.toString) == proj.resolve("tools/sql"))
+    // default stays <project>/scripts when the key is absent
+    assert(Project.scriptsDir("examples/jaffle")
+      == java.nio.file.Paths.get("examples/jaffle").resolve("scripts"))
+
+    val storage = Files.createTempDirectory("graft-proj-reloc-store").toString
+    val registry = Project.load(proj.toString, storage)
+    val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+    val (scripts, fns) = graft.Cli.scriptConfig(registry, proj.toString)
+    val tags = registry.listModels.map(m => m.name -> m.tags).toMap
+    val config = Runner.RunConfig(
+      scripts = scripts, scriptFns = fns, tags = tags)
+    assert(Runner.run(api, config) == 0)
+    val ledgerPath = java.nio.file.Paths
+      .get(storage, "run_results.json").toString
+    api.ledger.writeJson(ledgerPath)
+    val scriptId = graft.plans.NodeGraph.afterScriptId("m1", "report.sql")
+    assert(api.ledger.statusOf(scriptId).contains(Status.Success))
+    // standalone --run-scripts after (fal run) resolves the same path
+    assert(Runner.runScripts(api, config, before = false,
+      priorStatuses = RunLedger.loadStatuses(ledgerPath)) == 0)
+  }
 }
