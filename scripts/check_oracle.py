@@ -91,8 +91,13 @@ def main():
     con = duckdb.connect()
     for tname in TABLES:
         # driver dirs hold single files; graft.DataGen dirs hold a
-        # part-file directory per table — glob in that case
+        # part-file directory per table — glob in that case. Partial
+        # fixtures (e.g. the documents-only mid-scale resolve tiling)
+        # just skip the absent tables.
         p = f"{sfdir}/{tname}.parquet"
+        if not os.path.exists(p):
+            print(f"  (no {tname}.parquet in {sfdir} — view skipped)")
+            continue
         src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
         sel = "*"
         if tname == "events":

@@ -185,7 +185,32 @@ package object operators {
     */
   def withRunningSums(df: DataFrame, key: String, valueCol: String,
       rankCol: String, nCol: String,
-      sumCols: Seq[(String, String)]): DataFrame = {
+      sumCols: Seq[(String, String)]): DataFrame =
+    runningSumsCore(df, key, valueCol, rankCol, nCol, sumCols, 0)
+
+  /** [[withRunningSums]] plus, for every sum column `S`, a lagged twin
+    * `<S>_lag` = the global inclusive prefix at rank − `lagOffset`
+    * (null when rank ≤ `lagOffset`) — the pair a bounded sliding frame
+    * needs (`frame sum over (rank−1−w, rank−1] = (S − own) − S_lag`)
+    * WITHOUT the corpus×corpus (key, rank − w) self-join d3_anomaly
+    * used to pay (VERDICT r9 item #4: two extra full hash exchanges,
+    * 8.5 s of the sf1 probe). The lag rides the SAME in-partition
+    * window pass (ranks are contiguous within a range partition, so
+    * rank − w lives in-partition for every row past the first w of its
+    * partition), and only the ≤ `lagOffset`·P·K partition-boundary
+    * rows resolve through two BROADCAST lookups over the cached
+    * layout — no additional exchange at any size.
+    */
+  def withLaggedRunningSums(df: DataFrame, key: String, valueCol: String,
+      rankCol: String, nCol: String, sumCols: Seq[(String, String)],
+      lagOffset: Int): DataFrame = {
+    require(lagOffset > 0, "lagOffset must be positive")
+    runningSumsCore(df, key, valueCol, rankCol, nCol, sumCols, lagOffset)
+  }
+
+  private def runningSumsCore(df: DataFrame, key: String,
+      valueCol: String, rankCol: String, nCol: String,
+      sumCols: Seq[(String, String)], lagOffset: Int): DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df.repartitionByRange(parts, col(key), col(valueCol))
@@ -196,10 +221,16 @@ package object operators {
       .cache()
     val inPart = Window.partitionBy(col("__pid"), col(key))
       .orderBy(col("__mord"))
+    val inPartFrame = inPart
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = sumCols.foldLeft(parted) { case (d, (out, in)) =>
-      d.withColumn(out, sum(col(in)).over(inPart))
+    val run0 = sumCols.foldLeft(parted) { case (d, (out, in)) =>
+      d.withColumn(out, sum(col(in)).over(inPartFrame))
     }
+    // in-partition lag of the LOCAL prefix; rides the same window sort
+    val run = if (lagOffset == 0) run0
+      else sumCols.foldLeft(run0) { case (d, (out, _)) =>
+        d.withColumn(s"__il_$out", lag(col(out), lagOffset).over(inPart))
+      }
     val cAggs = Seq(count(lit(1)).as("__cnt"),
       min(col("__mord")).as("__base")) ++
       sumCols.map { case (out, in) => sum(col(in)).as(s"__t_$out") }
@@ -216,16 +247,54 @@ package object operators {
       .join(broadcast(c.as("y")), col("x.__k") <=> col("y.__k"))
       .groupBy(col("x.__pid").as("__spid"), col("x.__k").as("__k"))
       .agg(sAggs.head, sAggs.tail: _*)
-    sumCols.foldLeft(
+    val globals0 = sumCols.foldLeft(
       run.join(broadcast(stats),
           run("__pid") === stats("__spid") && run(key) <=> stats("__k"))
         .withColumn(rankCol,
           col("__off") + (col("__mord") - col("__base")) + lit(1L))) {
         case (d, (out, _)) =>
-          d.withColumn(out, col(s"__o_$out") + col(out))
-            .drop(s"__o_$out")
+          // globalize BOTH the prefix and (when lagging) its
+          // in-partition lag — a row whose lag target is in-partition
+          // shares the target's partition offset
+          val g = d.withColumn(out, col(s"__o_$out") + col(out))
+          if (lagOffset == 0) g.drop(s"__o_$out")
+          else g.withColumn(s"${out}_lag",
+            col(s"__o_$out") + col(s"__il_$out"))
+            .drop(s"__o_$out", s"__il_$out")
       }
-      .drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
+    // the boundary resolution references the globalized frame three
+    // times (consumer scan, lookup probe, final join); uncached, each
+    // reference re-pays the window's hash exchange + sort — cache it
+    // so they are plain scans (measured sf1: 15 s uncached vs the
+    // cached form's sub-r9 time)
+    val globals = if (lagOffset == 0) globals0 else globals0.cache()
+    val resolved = if (lagOffset == 0) globals else {
+      // boundary rows (in-partition ordinal ≤ lagOffset but global
+      // rank past it) read their target from an EARLIER partition:
+      // at most lagOffset·P rows per key — broadcast the consumers
+      // against the cached layout, then broadcast the found targets
+      // back. No exchange either way.
+      val q = col(rankCol) - col("__off")
+      val consumers = globals
+        .filter(q <= lagOffset && col(rankCol) > lagOffset)
+        .select(col(key).as("__bk"),
+          (col(rankCol) - lagOffset).as("__brn"))
+      val lookup = globals
+        .join(broadcast(consumers),
+          col(key) <=> col("__bk") && col(rankCol) === col("__brn"))
+        .select(Seq(col("__bk"), (col(rankCol) + lagOffset).as("__crn")) ++
+          sumCols.map { case (out, _) => col(out).as(s"__b_$out") }: _*)
+      sumCols.foldLeft(
+        globals.join(broadcast(lookup),
+          col(key) <=> col("__bk") && col(rankCol) === col("__crn"),
+          "left")) { case (d, (out, _)) =>
+          d.withColumn(s"${out}_lag",
+            coalesce(col(s"${out}_lag"), col(s"__b_$out")))
+            .drop(s"__b_$out")
+        }
+        .drop("__bk", "__crn")
+    }
+    resolved.drop("__pid", "__spid", "__k", "__mord", "__off", "__base")
   }
 
   /** Exact interpolated median of `valueCol` per `key` via the rank

@@ -84,7 +84,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // scoring (the same query-cell assignment sim_ivf_topk runs)
     "dd_embedding_incremental",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
-    "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_bloom_join",
+    "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_pagerank_fast",
+    "q_bloom_join",
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
     "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
     // withGlobalNtile: P×P triangular pass over the P-row (P = shuffle

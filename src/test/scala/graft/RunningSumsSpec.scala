@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.withRunningSums
+import graft.operators.{withLaggedRunningSums, withRunningSums}
 
 /** The window-free per-key running sum must agree with
   * `sum(x) OVER (PARTITION BY key ORDER BY value ROWS UNBOUNDED
@@ -56,5 +56,29 @@ class RunningSumsSpec extends AnyFunSuite {
       Seq("S1" -> "d1", "S2" -> "d2"))
       .select("key", "v", "S1", "S2")
     assert(actual.except(expected).count() === 0L)
+  }
+
+  test("lagged prefixes match window lag across partition boundaries") {
+    import spark.implicits._
+    // enough rows per key that lag targets land both in-partition and
+    // across the 4 test range partitions (the broadcast boundary path)
+    val df = (0 until 523)
+      .map(i => (s"k${i % 3}", (i * 2654435761L % 99991L).toLong))
+      .toDF("key", "v")
+      .withColumn("d", col("v").cast("decimal(28,4)"))
+    for (off <- Seq(1, 7, 51)) {
+      val w = Window.partitionBy("key").orderBy("v")
+      val expected = df
+        .withColumn("S", sum(col("d")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("S_lag", lag(col("S"), off).over(w))
+        .select("key", "v", "S", "S_lag")
+      val actual = withLaggedRunningSums(df, "key", "v", "rn", "n",
+        Seq("S" -> "d"), off)
+        .select("key", "v", "S", "S_lag")
+      assert(actual.except(expected).count() === 0L &&
+        expected.except(actual).count() === 0L,
+        s"lagged running sums diverge from window lag at offset $off")
+    }
   }
 }
