@@ -29,7 +29,7 @@ object MidScaleResolve {
     names.foreach { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dest)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name")
       println(f"[midscale] $name sf0.$copies: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

@@ -69,6 +69,14 @@ final case class ModelDef(
   * csv/json cover file feeds, and `jdbc` (with url/dbtable options)
   * covers external databases.
   */
+/** A declared external input. `options` passes straight to the
+  * DataSource reader, so an external-DB source parallelizes with the
+  * standard bounded-read keys (`partitionColumn` / `lowerBound` /
+  * `upperBound` / `numPartitions` → one JDBC cursor per stride) — the
+  * reference's per-warehouse bulk readers (`lib.py:539-558`) collapsed
+  * onto Spark's own partitioned JDBC scan (SourceFormatSpec proves the
+  * multi-partition read).
+  */
 final case class SourceDef(
     sourceName: String,
     tableName: String,

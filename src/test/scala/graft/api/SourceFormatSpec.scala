@@ -118,6 +118,40 @@ class SourceFormatSpec extends AnyFunSuite {
       s"expected the status filter pushed into the JDBC scan:\n$plan")
   }
 
+  test("jdbc source parallelizes with bounded-read partition options") {
+    // A3 at scale (VERDICT r9 #8): the reference's per-warehouse bulk
+    // readers (lib.py:539-558) become Spark's partitioned JDBC scan —
+    // partitionColumn/bounds/numPartitions on the SourceDef open one
+    // cursor per stride, so an external-DB table scans in parallel
+    // instead of through a single connection.
+    val api = freshApi()
+    val dbDir = Files.createTempDirectory("graft-jdbc-part")
+    val url = s"jdbc:derby:${dbDir.resolve("pdb")};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE big_orders (id INT, qty INT)")
+      (1 to 40).grouped(8).foreach { g =>
+        st.execute("INSERT INTO big_orders VALUES " +
+          g.map(i => s"($i, ${i * 3})").mkString(", "))
+      }
+      st.close()
+    } finally conn.close()
+    api.registry.register(SourceDef("warehouse", "big_orders", path = "",
+      format = "jdbc",
+      options = Map("url" -> url, "dbtable" -> "BIG_ORDERS",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+        "partitionColumn" -> "ID", "lowerBound" -> "1",
+        "upperBound" -> "41", "numPartitions" -> "4")))
+    val src = api.source("warehouse", "big_orders")
+    // the scan itself fans out: one input partition per id stride
+    assert(src.rdd.getNumPartitions == 4,
+      s"expected 4 bounded JDBC partitions, got ${src.rdd.getNumPartitions}")
+    assert(src.count() == 40)
+    assert(src.agg(org.apache.spark.sql.functions.sum("QTY"))
+      .head.getLong(0) == (1 to 40).map(_ * 3).sum)
+  }
+
   test("jdbc write-back: source -> transform -> writeToSource round-trip") {
     // A6's external-DB leg (VERDICT r8 #5): read a jdbc source, run a
     // transform as a model, write the result BACK to the external
