@@ -18,7 +18,9 @@ object MidScaleResolve {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(3)
     val out = if (args.length > 1) args(1) else "/tmp/midscale_out"
-    val dest = s"testdata/sf0.$copies"
+    // copies=10 lands on the standard sf1 tiling (shared with the
+    // ScalingProbe / ApproxQualitySpec fixture)
+    val dest = if (copies == 10) "testdata/sf1" else s"testdata/sf0.$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,7 +32,7 @@ object MidScaleResolve {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dest)
         .write.mode("overwrite").parquet(s"$out/$name")
-      println(f"[midscale] $name sf0.$copies: " +
+      println(f"[midscale] $name $dest: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val json = names.map { n =>
