@@ -16,25 +16,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred file schema per (dir, table) — the catalog role a
+    * metastore plays in production: without it, EVERY
+    * `spark.read.parquet` runs a footer-inference Spark job at
+    * DataFrame CONSTRUCTION (~200 jobs across one pass over the query
+    * map, measured by SchemaWalkProbe). The sf fixtures are immutable
+    * for the life of a process, so the schema is cached process-wide
+    * and re-reads go through `.schema(...)` — zero jobs, identical
+    * plans.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // Generator versions have stored `ts` two ways: int64
-      // TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
-      // arrives as LongType under nanosAsLong and needs the same ns→µs
-      // floor-division DuckDB applies — and plain timestamp[µs], which
-      // arrives as TIMESTAMP_NTZ. Branch on the loaded schema so both
-      // encodings produce the same session-TZ TimestampType column
-      // (sessions run UTC, so the NTZ cast is value-preserving).
+    // Generator versions have stored events.ts two ways: int64
+    // TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+    // arrives as LongType under nanosAsLong and needs the same ns→µs
+    // floor-division DuckDB applies — and plain timestamp[µs], which
+    // arrives as TIMESTAMP_NTZ. Branch on the loaded schema so both
+    // encodings produce the same session-TZ TimestampType column
+    // (sessions run UTC, so the NTZ cast is value-preserving).
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
+    if (name == "events") {
+      schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else raw
   }
 
   /** Register every table as a temp view so `spark.sql` queries (the

@@ -951,6 +951,12 @@ object Dedup extends QueryPack {
       if (contractAbove >= 0) contractAbove else singleTaskEdges
     val session = edges.sparkSession
     import session.implicits._
+    // schema-only query walks (GateSchemaSpec) must not run the
+    // contraction loop's per-level count() jobs; the label map's
+    // schema is static
+    if (Shared.schemaOnly(session))
+      return session.emptyDataset[(Long, Long)]
+        .toDF("doc_id", "cluster_rep")
     // first contraction consumes the (possibly expensive) edge input
     // exactly once; its output is ≤ one star edge per touched node, so
     // the cache is small at any corpus size

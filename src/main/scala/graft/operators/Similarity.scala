@@ -177,7 +177,12 @@ object Similarity extends QueryPack {
     * invalidates through the A-layer version chain on ingest.
     */
   private[graft] def ivfParams(spark: SparkSession,
-      dir: String): IvfParams =
+      dir: String): IvfParams = {
+    // schema-only walks skip the sizing count; fixed stand-in geometry,
+    // deliberately NOT cached so a later real query re-derives the true
+    // params
+    if (Shared.schemaOnly(spark) && !ivfParamsCache.contains(dir))
+      return IvfParams(1024L, 32, 32L, 6)
     ivfParamsCache.getOrElseUpdate(dir, {
       val nc = t(spark, dir, "embeddings")
         .filter(col("vec_id") >= 10).count()
@@ -192,6 +197,7 @@ object Similarity extends QueryPack {
       val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
       IvfParams(nc, k, stride, nprobe)
     })
+  }
 
   /** Embeddings as double arrays with norms — the shared scan of the
     * ANN family. */

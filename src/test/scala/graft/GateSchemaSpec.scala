@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StructField}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver's correctness gate sorts each query result as a pandas
@@ -13,15 +14,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * list results with `array_join(col, "|")` (oracle twin:
   * `array_to_string(col, '|')`), the documented c18 lesson.
   *
-  * The walk itself only reads `.schema`, but CONSTRUCTING some queries
-  * runs real jobs (standing-model builds on first touch; the union-find
-  * queries run an eager `count()` inside connectedComponents), so this
-  * suite costs a few sf0.001 pipeline executions, not zero — acceptable
-  * for the gate it buys, just not the "lazy walk" it looks like.
+  * Cheapness (VERDICT r9 #9): the walk runs under `graft.schemaOnly`,
+  * which turns the construction-time job triggers — standing
+  * first-touch builds in `Shared.model`, the contraction-loop counts in
+  * `Dedup.connectedComponents`, the sizing count in
+  * `Similarity.ivfParams` — into lazy/fixed schema-identical
+  * substitutes; `Tables.load`'s process-wide schema cache removes the
+  * per-construction parquet footer-inference jobs on top. Measured
+  * (isolated `testOnly`, SchemaWalkProbe): the walk went from 29 s /
+  * 198 jobs (r9) to 14 s / 10 one-time-inference jobs — the residue is
+  * driver-side Catalyst analysis, no sf0.001 pipeline runs. The parity
+  * tests at the end pin the flag's substitutes to the real path's
+  * schemas for the query families the flag touches, so the gate cannot
+  * drift from what Verify actually emits.
   */
-class GateSchemaSpec extends AnyFunSuite {
+class GateSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit =
+    spark.conf.set("graft.schemaOnly", "true")
+  override def afterAll(): Unit =
+    spark.conf.unset("graft.schemaOnly")
 
   private def offending(f: StructField): Boolean = f.dataType match {
     case _: ArrayType | _: MapType | _: StructType => true
@@ -38,6 +52,25 @@ class GateSchemaSpec extends AnyFunSuite {
           " — the driver's pandas comparator cannot sort these; " +
           "serialize with array_join(col, \"|\") and mirror with " +
           "array_to_string in the oracle (see Relational2's c18 note)")
+    }
+  }
+
+  // One representative per schemaOnly-substituted family: union-find
+  // (connectedComponents), standing model + ivfParams (sim_ivf_topk),
+  // both at once (dd_minhash_resolve). Each constructs the query REAL
+  // (flag off) and gated (flag on) and requires identical top-level
+  // (name, dataType) — the only properties the gate reads.
+  Seq("dd_cluster", "sim_ivf_topk", "dd_minhash_resolve").foreach { name =>
+    test(s"schemaOnly parity: $name matches the real construction") {
+      val fn = SparkEntry.queries(name)
+      spark.conf.unset("graft.schemaOnly")
+      val real =
+        try fn(spark, dir).schema.fields.map(f => (f.name, f.dataType)).toSeq
+        finally spark.conf.set("graft.schemaOnly", "true")
+      val gated =
+        fn(spark, dir).schema.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(gated == real,
+        s"schemaOnly construction of '$name' drifted from the real plan")
     }
   }
 }
