@@ -215,8 +215,18 @@ final class Registry(val root: String) {
         val tmp = new Path(modelDir(name),
           s"_current.tmp.${System.nanoTime()}")
         writeFile(tmp, content)
-        val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
-        fc.rename(tmp, pointerFile(name), Options.Rename.OVERWRITE)
+        try {
+          val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
+          fc.rename(tmp, pointerFile(name), Options.Rename.OVERWRITE)
+        } catch {
+          // a scheme with a FileSystem impl but no AbstractFileSystem
+          // binding (common for third-party connectors) can't serve
+          // FileContext — degrade to the object-store overwrite-PUT
+          // rather than fail the swap
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            fs.delete(tmp, false)
+            writeFile(pointerFile(name), content)
+        }
       } else {
         writeFile(pointerFile(name), content)
       }

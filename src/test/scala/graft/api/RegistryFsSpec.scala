@@ -14,6 +14,40 @@ import graft.TestSpark
   * never torn), meta carry-forward, and — the ADVICE r9 race — two
   * concurrent swappers must not drop each other's just-committed meta.
   */
+/** Local-disk filesystem that reports the `s3a` scheme: Path URIs look
+  * like `s3a://bucket/abs/path` while bytes land at `/abs/path`, so the
+  * whole stack (Registry pointer swaps, Spark parquet commits) runs the
+  * object-store code path without a real object store. Instantiated by
+  * Hadoop via `fs.s3a.impl`, hence the public no-arg class.
+  */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI =
+    java.net.URI.create("s3a://graft-test-bucket")
+  // RawLocal's lazy permission loading does `new File(uri)` on the
+  // status path, which rejects a non-file scheme; return statuses with
+  // eager default permissions instead (object stores fake permissions
+  // anyway)
+  private def scrub(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      null, null, null, st.getPath)
+  override def getFileStatus(f: HPath): FileStatus =
+    scrub(super.getFileStatus(f))
+  override def listStatus(f: HPath): Array[FileStatus] =
+    super.listStatus(f).map(scrub)
+}
+
+/** A rename-atomic-looking custom scheme with NO AbstractFileSystem
+  * binding — FileContext.getFileContext must fail for it, driving
+  * swapPointer's degrade-to-PUT branch.
+  */
+class MockPlainSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class RegistryFsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -100,6 +134,59 @@ class RegistryFsSpec extends AnyFunSuite {
     val meta = reg.pointerMeta("c")
     assert(meta.get("a").contains(rounds.toString))
     assert(meta.get("b").contains(rounds.toString))
+  }
+
+  test("catalog + data path run on an object-store scheme (mock s3a)") {
+    // the real 100 TB posture: a bucket-scheme'd root where rename is
+    // NOT atomic. fs.s3a.impl points at a local-disk mock whose scheme
+    // reports s3a, so Registry takes the overwrite-PUT pointer branch
+    // and Spark's parquet writer commits through the same mock FS
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockObjectStoreFs].getName)
+    val local = Files.createTempDirectory("graft-s3reg")
+    val root = "s3a://graft-test-bucket" + local.toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    api.writeToModel(df(1, 2, 3), "m")
+    api.writeToModel(df(4, 5), "m", mode = "append")
+    assert(api.ref("m").count() == 5)
+    api.compactModel("m")
+    assert(api.ref("m").count() == 5)
+    // pointer swap on the PUT branch: meta still carries forward, and
+    // no rename-temp artifacts exist anywhere under the model dir
+    reg.swapPointer("m", reg.currentPath("m").get,
+      Map("stream_batch" -> "9"))
+    reg.swapPointer("m", reg.currentPath("m").get)
+    assert(reg.pointerMeta("m").get("stream_batch").contains("9"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(FsIO.hadoopConf)
+    assert(fs.isInstanceOf[MockObjectStoreFs])
+    val leftovers = fs
+      .listStatus(new org.apache.hadoop.fs.Path(root + "/m"))
+      .map(_.getPath.getName).filter(_.startsWith("_current.tmp"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("rename-atomic scheme without an AbstractFileSystem binding " +
+      "degrades the swap to overwrite-PUT") {
+    // third-party connectors often ship a FileSystem but no
+    // FileContext (AbstractFileSystem) binding; the swap must degrade
+    // to the PUT branch instead of throwing
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockPlainSchemeFs].getName)
+    val local = Files.createTempDirectory("graft-mockfsreg")
+    val reg = new Registry("mockfs:" + local.toString)
+    val v1 = reg.nextVersionDir("p")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    reg.swapPointer("p", v1, Map("k" -> "1"))
+    assert(reg.currentPath("p").exists(_.endsWith("v1")))
+    assert(reg.pointerMeta("p") == Map("k" -> "1"))
+    val fs = new org.apache.hadoop.fs.Path(reg.root)
+      .getFileSystem(FsIO.hadoopConf)
+    val leftovers = fs
+      .listStatus(new org.apache.hadoop.fs.Path(reg.root + "/p"))
+      .map(_.getPath.getName).filter(_.startsWith("_current.tmp"))
+    assert(leftovers.isEmpty)
   }
 
   test("main source tree keeps no java.nio path ops on registry roots") {

@@ -84,4 +84,38 @@ class StreamIngestSpec extends AnyFunSuite {
     // (no pointer at all → only the legacy marker speaks)
     assert(StreamIngest.lastCommitted(api, "ingested") == 7L)
   }
+
+  test("exactly-once ingest holds on an object-store root (PUT swap)") {
+    // the scaladoc's object-store claim, executed: on a store with no
+    // atomic rename the batch id still flips with the version in ONE
+    // overwrite-PUT of the pointer object, so replays after a restart
+    // are no-ops there too
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[graft.api.MockObjectStoreFs].getName)
+    val local = Files.createTempDirectory("graft-s3ingest")
+    val api = new FalApi(spark,
+      new Registry("s3a://graft-test-bucket" + local.toString),
+      new RunLedger)
+    val input = MemoryStream[Long]
+    val q = StreamIngest.toModel(
+      input.toDF().withColumnRenamed("value", "x"), api, "ing",
+      Files.createTempDirectory("graft-s3ingest-ckpt").toString)
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(api.ref("ing").orderBy("x")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // replay of a committed id: no-op; compaction carries the record
+    assert(!StreamIngest.applyBatch(api, "ing", Seq(99L).toDF("x"), 1L))
+    assert(api.ref("ing").count() == 3)
+    api.compactModel("ing")
+    assert(StreamIngest.lastCommitted(api, "ing") == 1L)
+    assert(StreamIngest.applyBatch(api, "ing", Seq(4L).toDF("x"), 2L))
+    assert(api.ref("ing").count() == 4)
+  }
 }
