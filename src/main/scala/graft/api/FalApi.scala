@@ -241,6 +241,52 @@ final class FalApi(
       }: _*)
     }
 
+  /** The schema governing a version's chain read: its recorded
+    * `_schema.ddl` when present, else the inferred parquet schema.
+    */
+  private def versionSchema(path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val schemaFile = FsIO.child(path, "_schema.ddl")
+    if (FsIO.exists(schemaFile))
+      org.apache.spark.sql.types.StructType.fromDDL(
+        FsIO.readString(schemaFile))
+    else spark.read.parquet(path).schema
+  }
+
+  /** Union-by-name schema evolution for a metadata-only append: keep
+    * every chain column (order-stable), add the batch's new columns at
+    * the end, and make any column absent from one side nullable (its
+    * missing files null-fill on read). A same-name type conflict is an
+    * error — the caller casts explicitly (the `schema` override) rather
+    * than discovering a broken chain at read time.
+    */
+  private def mergeChainSchema(
+      prior: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val conflicts = prior.fields.flatMap { pf =>
+      batch.fields.find(_.name == pf.name).collect {
+        case bf if bf.dataType != pf.dataType =>
+          s"${pf.name}: chain ${pf.dataType.simpleString} vs " +
+            s"batch ${bf.dataType.simpleString}"
+      }
+    }
+    require(conflicts.isEmpty,
+      "append batch schema conflicts with the model's chain " +
+        s"(cast explicitly via the schema override): " +
+        conflicts.mkString("; "))
+    val batchByName = batch.fields.map(f => f.name -> f).toMap
+    org.apache.spark.sql.types.StructType(
+      prior.fields.map { pf =>
+        batchByName.get(pf.name) match {
+          case Some(bf) => pf.copy(nullable = pf.nullable || bf.nullable)
+          case None     => pf.copy(nullable = true)
+        }
+      } ++
+        batch.fields.filterNot(bf => prior.fieldNames.contains(bf.name))
+          .map(_.copy(nullable = true)))
+  }
+
   def writeToModel(df0: DataFrame, name: String,
       mode: String = "overwrite",
       schema: Map[String, org.apache.spark.sql.types.DataType] =
@@ -257,9 +303,19 @@ final class FalApi(
       case "append" =>
         registry.currentPath(name) match {
           case Some(cur) if clustered =>
-            materialize(readVersion(cur).unionByName(df), name, target)
+            materialize(readVersion(cur)
+              .unionByName(df, allowMissingColumns = true), name, target)
           case Some(cur) =>
             materialize(df, name, target)
+            // schema evolution across the chain: the head version's
+            // _schema.ddl governs the whole multi-path read, so it must
+            // be the UNION of the chain's schema and this batch's — a
+            // narrower batch would otherwise hide older columns, and
+            // files missing a column null-fill only if the column is
+            // declared nullable. Type conflicts fail here, at the
+            // write, not at some later read.
+            FsIO.writeString(FsIO.child(target, "_schema.ddl"),
+              mergeChainSchema(versionSchema(cur), df.schema).toDDL)
             FsIO.writeString(FsIO.child(target, "_prev_version"),
               FsIO.fileName(cur))
           case None => materialize(df, name, target)
@@ -292,7 +348,7 @@ final class FalApi(
       case Some(cur) =>
         readVersion(cur)
           .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(df)
+          .unionByName(df, allowMissingColumns = true)
       case None => df
     }
     val target = registry.nextVersionDir(name)
@@ -318,7 +374,7 @@ final class FalApi(
         readVersion(cur)
           .join(df.select(partitionCol).distinct(), Seq(partitionCol),
             "left_anti")
-          .unionByName(df)
+          .unionByName(df, allowMissingColumns = true)
       case None => df
     }
     val target = registry.nextVersionDir(name)
