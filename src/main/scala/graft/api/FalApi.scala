@@ -51,6 +51,23 @@ final class FalApi(
     readResolved(name, path)
   }
 
+  /** Time-travel read: a model AT a specific retained version ("v3"),
+    * including that version's append chain. The overwrite protocol
+    * already guarantees old versions stay intact until [[vacuumModel]]
+    * drops them — this makes the guarantee usable: audits, A/B-ing a
+    * curation change against yesterday's corpus, or reproducing a
+    * training run pin the exact relation a past pointer served.
+    */
+  def refVersion(name: String, version: String): DataFrame = {
+    val dir = registry.listVersions(name)
+      .find(FsIO.fileName(_) == version)
+      .getOrElse(throw new NoSuchElementException(
+        s"model $name has no retained version '$version' " +
+          s"(have: ${registry.listVersions(name)
+            .map(FsIO.fileName).mkString(", ")})"))
+    readResolved(name, dir)
+  }
+
   /** Read a resolved version directory: through the bucketed catalog
     * table when the version was written clustered, else a (chain-aware)
     * plain parquet read.

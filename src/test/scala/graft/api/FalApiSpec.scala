@@ -157,6 +157,23 @@ class FalApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(before).count() == 80)
   }
 
+  test("refVersion time-travels to a retained version incl. its chain") {
+    val api = freshApi()
+    api.writeToModel(df(1), "tt")                      // v1
+    api.writeToModel(df(2), "tt", mode = "append")     // v2 (chain v1)
+    api.writeToModel(df(9), "tt")                      // v3 overwrite
+    assert(api.ref("tt").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(api.refVersion("tt", "v1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(api.refVersion("tt", "v2").orderBy("my_int")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "a past append version must read with its whole chain")
+    val e = intercept[NoSuchElementException] {
+      api.refVersion("tt", "v9")
+    }
+    assert(e.getMessage.contains("v9"))
+  }
+
   test("vacuumModel drops old versions, keeps current") {
     val api = freshApi()
     (1 to 5).foreach(i => api.writeToModel(df(i), "vac"))
