@@ -491,18 +491,28 @@ object Dedup extends QueryPack {
     * shape; the Spark side keeps the fixed-buffer one-pass aggregate).
     */
   /** Per-document 60-bit SimHash signatures (one-pass portable-hash bit
-    * votes); shared by [[ddSimhash]] and the banding-recall guard in
-    * ApproxQualitySpec. */
+    * votes) as a STANDING model bucketed on the signature — the same
+    * build-once/probe-many shape as the MinHash [[sigModel]] (since
+    * r10; previously computed inline per query, which re-tokenized the
+    * whole corpus on every dedup pass). At 100 TB signatures are
+    * computed at ingest and reused across every dedup run; bucketing on
+    * `simhash` makes the distinct-signature collapse
+    * (`groupBy("simhash")`) and the sig→rep join in
+    * [[ddSimhashResolve]] exchange-free on the corpus-sized side.
+    * Shared by [[ddSimhash]], [[ddSimhashResolve]] and the
+    * banding-recall guard in ApproxQualitySpec.
+    */
   private[graft] def simhashSigs(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val toks = TextAnalysis.tokens(col("text"))
-    corpus(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .groupBy("doc_id")
-      .agg(expr("graft_simhash(tok)").as("simhash"))
-      .cache()
-  }
+      dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_simhash_sigs", "simhash",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = TextAnalysis.tokens(col("text"))
+        corpus(s, d)
+          .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+          .groupBy("doc_id")
+          .agg(expr("graft_simhash(tok)").as("simhash"))
+      })
 
   /** Banded hamming ≤ 2 candidate pairs over any `(id, simhash)`
     * relation — the join core shared by [[ddSimhash]] (ids are docs)
