@@ -157,12 +157,244 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E5 (completion) — exact-substring SCRUB: the rewriting form of
+    * [[ddSubstring]]'s profile (Lee et al.'s dedup pass actually CUTS
+    * the duplicated spans; C4 likewise removes corpus-repeated lines).
+    * A word position is covered when any of the ≤k 10-gram windows
+    * containing it also occurs in another document; covered positions
+    * are removed and the survivors re-joined in order. Emits per doc
+    * the word/removal counts, the kept fraction, and the md5 of the
+    * scrubbed text (the [[TextAnalysis.txScrub]] hash convention — the
+    * rewritten corpus itself would be the model write).
+    *
+    * Scale: corpus-linear end to end. The (doc, start, gram) explode is
+    * map-side; gram sharing aggregates on the high-cardinality gram key
+    * with an O(1) partial (`min<>max`, no count-distinct state); the
+    * position explode is k× on DUPLICATED starts only; reassembly is
+    * one per-doc aggregation whose state is bounded by document length
+    * (collect_set of covered positions), then an in-row higher-order
+    * filter — no window, no global sort, nothing driver-side.
+    */
+  def ddSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = docs
+      .select(col("doc_id"), explode(when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("s"),
+            array_join(slice(col("w"), i, lit(k)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<s:int,g:string>>")))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"), col("sg.g").as("g"))
+    val shared = grams.groupBy("g")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("g")
+    val covered = grams.join(shared, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (k - 1))).as("pos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        // raw integer-operand quotient — no half-way rounding hazard
+        ((size(col("w")) - coalesce(size(col("cov")), lit(0)))
+          .cast("double") / size(col("w")).cast("double"))
+          .as("kept_frac"),
+        md5(concat_ws(" ", filter(col("w"), (word, i) =>
+          not(array_contains(
+            coalesce(col("cov"), array().cast("array<int>")),
+            i + 1))))).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer training — the first 3 BPE merges learned from the
+    * corpus (Sennrich et al. 2016): repeatedly count adjacent symbol
+    * pairs over the distinct-wordform table weighted by corpus
+    * frequency, take the argmax (ties broken lexicographically for
+    * determinism), and merge every non-overlapping occurrence
+    * left-to-right. Emits one row per learned merge.
+    *
+    * Scale: the only corpus-sized pass is the standing `doc_terms`
+    * aggregation — BPE training state is the (wordform, count) table
+    * (vocabulary-sized, millions of rows at 100 TB, never the corpus),
+    * so each iteration is per-term window work that shards on the term
+    * key plus one pair aggregation and a top-1 TakeOrdered. The argmax
+    * joins back as a 1-row broadcast — the merge table never routes
+    * through the driver.
+    *
+    * Left-to-right non-overlap is made window-expressible (identically
+    * in both engines) instead of a sequential fold: occurrences of the
+    * best pair at consecutive positions form a chain (possible when
+    * l = r, e.g. `aaaa`, or l/r alternate, e.g. `abab`); within each
+    * chain exactly the odd-ranked occurrences merge, and a position is
+    * dropped when its predecessor merged.
+    */
+  def txBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy("term").orderBy("pos")
+    def iter(seq: DataFrame): (DataFrame, DataFrame) = {
+      val s1 = seq.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val best = s1.filter(col("nxt").isNotNull)
+        .select(col("sym").as("l"), col("nxt").as("r"), col("tcnt"))
+        .groupBy("l", "r").agg(sum(col("tcnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .withColumn("merged", concat(col("l"), col("r")))
+      val occ = s1.crossJoin(broadcast(
+          best.select(col("l").as("bl"), col("r").as("br"),
+            col("merged").as("bm"))))
+        .filter(col("sym") === col("bl") && col("nxt") === col("br"))
+        .select(col("term"), col("pos"), col("bm"))
+      val merges = occ
+        .withColumn("grp", col("pos") - row_number().over(byPos))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("term", "grp").orderBy("pos")))
+        .filter(col("rn") % 2 === 1)
+        .select("term", "pos", "bm")
+      val next = s1.join(merges, Seq("term", "pos"), "left")
+        .withColumn("prevm", lag(col("bm"), 1).over(byPos))
+        .filter(col("prevm").isNull)
+        .select(col("term"), col("tcnt"), col("pos").as("opos"),
+          coalesce(col("bm"), col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("term").orderBy("opos")))
+        .select("term", "tcnt", "pos", "sym")
+      (next.cache(), best)
+    }
+    val tc = TextAnalysis.docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("tcnt"))
+    var seq = tc
+      .select(col("term"), col("tcnt"),
+        explode(sequence(lit(1), length(col("term")))).as("pos"))
+      .select(col("term"), col("tcnt"), col("pos"),
+        col("term").substr(col("pos"), lit(1)).as("sym"))
+    val bests = (1 to 3).map { it =>
+      val (next, best) = iter(seq)
+      seq = next
+      best.select(lit(it.toLong).as("it"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("merged"), col("pair_count"))
+    }
+    bests.reduce(_.union(_)).orderBy("it")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> ddSubstring _,
+    "dd_substring_scrub" -> ddSubstringScrub _,
+    "tx_bpe_merges" -> txBpeMerges _,
     "tx_pack" -> txPack _,
     "tx_dsir" -> txDsir _)
 
+  /** One BPE iteration as DuckDB CTEs: input seq CTE `in` (term, tcnt,
+    * pos, sym) → best-pair CTE `b$n` and merged seq CTE `q$n` — the
+    * textual twin of [[txBpeMerges]]' iter (same chain-parity merge
+    * rule).
+    */
+  private def sqlBpeIter(n: Int, in: String): String = s"""
+      s$n AS (
+        SELECT term, tcnt, pos, sym,
+               lead(sym) OVER (PARTITION BY term ORDER BY pos) AS nxt
+        FROM $in),
+      b$n AS (
+        SELECT sym AS l, nxt AS r, sym || nxt AS merged,
+               CAST(sum(tcnt) AS BIGINT) AS pair_count
+        FROM s$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
+        ORDER BY pair_count DESC, l, r LIMIT 1),
+      o$n AS (
+        SELECT s.term, s.pos FROM s$n s, b$n b
+        WHERE s.sym = b.l AND s.nxt = b.r),
+      g$n AS (
+        SELECT term, pos,
+               pos - row_number() OVER (PARTITION BY term ORDER BY pos)
+                 AS grp
+        FROM o$n),
+      m$n AS (
+        SELECT term, pos FROM (
+          SELECT term, pos, row_number() OVER
+                   (PARTITION BY term, grp ORDER BY pos) AS rn
+          FROM g$n)
+        WHERE rn % 2 = 1),
+      q$n AS (
+        SELECT term, tcnt,
+               row_number() OVER (PARTITION BY term ORDER BY opos)
+                 AS pos,
+               sym
+        FROM (
+          SELECT s.term, s.tcnt, s.pos AS opos,
+                 CASE WHEN m.pos IS NOT NULL THEN b.merged
+                      ELSE s.sym END AS sym,
+                 lag(CASE WHEN m.pos IS NOT NULL THEN 1 END) OVER
+                   (PARTITION BY s.term ORDER BY s.pos) AS prevm
+          FROM s$n s
+          LEFT JOIN m$n m ON m.term = s.term AND m.pos = s.pos
+          CROSS JOIN b$n b)
+        WHERE prevm IS NULL)"""
+
   val oracles: Map[String, String] = Map(
+    "dd_substring_scrub" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      grams AS (
+        SELECT doc_id, i AS s, array_to_string(w[i:i+9], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w)-9)) AS t(i)
+        WHERE len(w) >= 10
+      ),
+      shared AS (
+        SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+      ),
+      covered AS (
+        SELECT DISTINCT doc_id, s + d AS pos
+        FROM grams, UNNEST(generate_series(0, 9)) AS dd(d)
+        WHERE g IN (SELECT g FROM shared)
+      ),
+      cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        FROM covered GROUP BY doc_id
+      ),
+      words AS (
+        SELECT t.doc_id, p.i AS pos, t.w[p.i] AS word
+        FROM toks t, UNNEST(generate_series(1, len(t.w))) AS p(i)
+      ),
+      kept AS (
+        SELECT ww.doc_id, string_agg(ww.word, ' ' ORDER BY ww.pos)
+                 AS ktext
+        FROM words ww
+        LEFT JOIN covered c ON c.doc_id = ww.doc_id AND c.pos = ww.pos
+        WHERE c.pos IS NULL
+        GROUP BY ww.doc_id
+      )
+      SELECT t.doc_id,
+             CAST(len(t.w) AS BIGINT) AS n_words,
+             coalesce(cv.n_removed, 0) AS n_removed,
+             CAST(len(t.w) - coalesce(cv.n_removed, 0) AS DOUBLE) /
+               CAST(len(t.w) AS DOUBLE) AS kept_frac,
+             md5(coalesce(k.ktext, '')) AS scrub_hash
+      FROM toks t
+      LEFT JOIN cov cv USING (doc_id)
+      LEFT JOIN kept k USING (doc_id)
+      ORDER BY t.doc_id""",
+    "tx_bpe_merges" -> s"""
+      WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tcnt FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS term
+          FROM documents)
+        GROUP BY term),
+      s0 AS (
+        SELECT term, tcnt, i AS pos, term[i] AS sym
+        FROM tc, UNNEST(generate_series(1, length(term))) AS t(i)),
+      ${sqlBpeIter(1, "s0")},
+      ${sqlBpeIter(2, "q1")},
+      ${sqlBpeIter(3, "q2")}
+      SELECT CAST(1 AS BIGINT) AS it, l AS left_sym, r AS right_sym,
+             merged, pair_count FROM b1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), l, r, merged, pair_count FROM b2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), l, r, merged, pair_count FROM b3
+      ORDER BY it""",
     "tx_pack" -> """
       WITH d AS (
         SELECT doc_id,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the two round-10 curation additions to driver-side references:
+  *
+  *  - `tx_bpe_merges`' window-parity merge rule (chain of consecutive
+  *    occurrences → odd ranks merge) must equal the SEQUENTIAL
+  *    left-to-right fold a textbook BPE trainer uses — on the real
+  *    corpus and on crafted pathological runs (`aaaa`, `abab`) where
+  *    the two formulations are easiest to get wrong.
+  *  - `dd_substring_scrub`'s coverage/removal semantics on planted
+  *    duplicated spans, including the all-covered (empty scrub) and
+  *    untouched-document edges.
+  */
+class BpeScrubSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- reference BPE trainer (sequential fold semantics) ----
+
+  private def foldMerge(seq: Vector[String], l: String,
+      r: String): Vector[String] =
+    seq.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+      else acc :+ s
+    }
+
+  private def referenceBpe(texts: Seq[String],
+      iters: Int): Seq[(Long, String, String, String, Long)] = {
+    val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+    val counts = words.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    var seqs: Map[String, Vector[String]] =
+      counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    (1 to iters).flatMap { it =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for {
+        (w, seq) <- seqs
+        win <- seq.sliding(2) if win.size == 2
+      } pc((win(0), win(1))) =
+        pc.getOrElse((win(0), win(1)), 0L) + counts(w)
+      if (pc.isEmpty) None
+      else {
+        val ((l, r), c) = pc.toSeq
+          .minBy { case ((pl, pr), pcnt) => (-pcnt, pl, pr) }
+        seqs = seqs.map { case (w, s) => w -> foldMerge(s, l, r) }
+        Some((it.toLong, l, r, l + r, c))
+      }
+    }
+  }
+
+  private def runBpe(dir: String): Seq[(Long, String, String, String,
+      Long)] =
+    Curation2.txBpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  private def writeDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bpe_fix").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("tx_bpe_merges equals the sequential-fold trainer on the corpus") {
+    val texts = t(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(runBpe(sfDir) == referenceBpe(texts, 3))
+  }
+
+  test("chain-parity merging matches the fold on pathological runs") {
+    // same-char runs (odd/even lengths), alternating runs, and a tie
+    // on pair counts that the lexicographic break must resolve
+    val texts = Seq(
+      "aaaa aaaaa aab aa a baab",
+      "abab ababab baba ab ab",
+      "aaaa abab xyxy xyxy zq zq zq")
+    val dir = writeDocs(texts)
+    assert(runBpe(dir) == referenceBpe(texts, 3))
+  }
+
+  // ---- dd_substring_scrub on planted spans ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("dd_substring_scrub removes planted spans and nothing else") {
+    val span = (1 to 12).map(i => s"s$i")
+    def uniq(d: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"u${d}w$i")
+    val d0Keep = uniq(0, 5) ++ uniq(0, 5, 5)
+    val d1Keep = uniq(1, 7) ++ uniq(1, 3, 7)
+    val twin = (1 to 15).map(i => s"t$i")
+    val texts = Seq(
+      (uniq(0, 5) ++ span ++ uniq(0, 5, 5)).mkString(" "),
+      (uniq(1, 7) ++ span ++ uniq(1, 3, 7)).mkString(" "),
+      twin.mkString(" "),
+      twin.mkString(" "),
+      uniq(4, 20).mkString(" "))
+    val dir = writeDocs(texts)
+    val got = Curation2.ddSubstringScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4))).toSeq
+    assert(got == Seq(
+      (0L, 22L, 12L, md5hex(d0Keep.mkString(" "))),
+      (1L, 22L, 12L, md5hex(d1Keep.mkString(" "))),
+      (2L, 15L, 15L, md5hex("")),
+      (3L, 15L, 15L, md5hex("")),
+      (4L, 20L, 0L, md5hex(texts(4)))))
+  }
+}
