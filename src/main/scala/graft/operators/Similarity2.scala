@@ -99,11 +99,88 @@ object Similarity2 extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Hard negatives must be confusable but must NOT be near-duplicates:
+    * a clone of the anchor scored as a "negative" teaches the model to
+    * push apart identical content (a false negative), and a random
+    * low-similarity document teaches nothing. The band is the contract. */
+  private[operators] val HardNegLo = 0.25
+  private[operators] val HardNegHi = 0.95
+
+  /** E6 (extension) — hard-negative mining for contrastive training:
+    * for each anchor (vec_id < 10), the top-5 corpus candidates whose
+    * cosine lies in [[HardNegLo]] ≤ cos < [[HardNegHi]] — similar
+    * enough to be confusable, strictly below the near-duplicate cutoff
+    * (the same 0.95 the incremental dup probe uses, so a mined
+    * negative can never be a dup the dedup pass would remove). Probes
+    * the STANDING IVF index ([[Similarity.ivfIndexModel]]): candidate
+    * generation touches only the anchor's nprobe nearest cells, then
+    * the band filter and re-rank run on the probed rows.
+    *
+    * Non-vacuous at both gate scales: at sf0.01 the lower bound cuts
+    * sub-0.25 tails out of some anchors' unbanded top-5; at sf1 the
+    * planted clone clusters land at cosine ≈ 1.0 and the upper bound
+    * excludes them (HardNegSpec pins both directions on the fixture).
+    *
+    * Scale: identical shape to [[Similarity.ivfProbe]] — the corpus
+    * never moves (pre-bucketed standing index), queries broadcast, the
+    * band filter is a codegen'd predicate on the probed rows, and the
+    * per-anchor top-5 is a bounded window over candidate rows only.
+    * Fully oracle-checked: cosines are bitwise-portable quotients, so
+    * the band comparisons decide identically in both engines even at
+    * the boundaries.
+    */
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    val queryCells = Similarity.ivfQueryCells(spark, dir, queries)
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    Similarity.ivfIndexModel(spark, dir)
+      .join(broadcast(queryCells), Seq("cell"))
+      .withColumn("cosine",
+        clampCos(expr("graft_dot_product(q_emb, c_emb)") /
+          (col("q_norm") * col("c_norm"))))
+      .filter(col("cosine") >= lit(HardNegLo) &&
+        col("cosine") < lit(HardNegHi))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_step" -> simKmeansStep _,
-    "sim_int8_quantize" -> simInt8Quantize _)
+    "sim_int8_quantize" -> simInt8Quantize _,
+    "sim_hard_negatives" -> simHardNegatives _)
 
   val oracles: Map[String, String] = Map(
+    "sim_hard_negatives" -> s"""
+      ${Similarity.sqlIvfCtes}
+      q AS (
+        SELECT vec_id AS query_id, emb AS q_emb, cell
+        FROM assigned, ivf_params WHERE vec_id < 10 AND crank <= nprobe
+      ),
+      sc AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(q_emb, c_emb) AS cosine
+        FROM corpus JOIN q USING (cell)
+      ),
+      banded AS (
+        SELECT * FROM sc
+        WHERE cosine >= $HardNegLo AND cosine < $HardNegHi
+      ),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+          AS BIGINT) AS rank
+        FROM banded
+      )
+      SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_int8_quantize" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
