@@ -66,7 +66,13 @@ object ScalingProbe {
       "q_pagerank" -> "3 unrolled iterations on the standing edge model",
       "q_pagerank_fast" ->
         "PageRank production twin (double sums, no parity arithmetic)",
-      "tx_mad_outliers" -> "grouped exact-median MAD outlier gate")
+      "tx_mad_outliers" -> "grouped exact-median MAD outlier gate",
+      "dd_substring_scrub" ->
+        "exact-substring scrub (gram doc-freq agg + covered-position cut)",
+      "tx_bpe_merges" ->
+        "BPE merge training (3 iterations on the vocab-sized term table)",
+      "sim_hard_negatives" ->
+        "banded hard-negative mining on the standing IVF index")
 
     // Full-plan execution: a noop-sink write runs every operator
     // including the final sort/project that `.count()` would let

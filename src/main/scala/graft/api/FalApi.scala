@@ -68,6 +68,26 @@ final class FalApi(
     readResolved(name, dir)
   }
 
+  /** Row-level diff between two retained versions of a model: every
+    * row `to` added and every row it removed relative to `from`, tagged
+    * by a `change` column — the audit companion of [[refVersion]]
+    * (what did yesterday's overwrite actually change?). `exceptAll`
+    * keeps multiplicity: a row appearing twice in `to` and once in
+    * `from` reports exactly one added copy.
+    *
+    * Scale: both directions plan as one hash aggregation keyed on the
+    * full row (Spark rewrites exceptAll to a count-tagged union +
+    * aggregate + replicate), so the diff shuffles each side once on
+    * the row key — no join explosion, output bounded by the true
+    * change set.
+    */
+  def diffVersions(name: String, from: String, to: String): DataFrame = {
+    val a = refVersion(name, from)
+    val b = refVersion(name, to)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** Read a resolved version directory: through the bucketed catalog
     * table when the version was written clustered, else a (chain-aware)
     * plain parquet read.

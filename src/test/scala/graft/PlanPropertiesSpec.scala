@@ -83,6 +83,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // incremental embedding dup probe: batch × K broadcast centroid
     // scoring (the same query-cell assignment sim_ivf_topk runs)
     "dd_embedding_incremental",
+    // hard negatives: the same anchor × K broadcast cell assignment
+    "sim_hard_negatives",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_pagerank_fast",
     "q_bloom_join",

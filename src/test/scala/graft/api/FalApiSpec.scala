@@ -174,6 +174,23 @@ class FalApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("v9"))
   }
 
+  test("diffVersions reports added/removed rows with multiplicity") {
+    val api = freshApi()
+    import spark.implicits._
+    Seq(1L, 2L, 2L, 3L).toDF("my_int")
+      .createOrReplaceTempView("dv_v1")
+    api.writeToModel(spark.table("dv_v1"), "dv")            // v1
+    Seq(2L, 2L, 2L, 4L).toDF("my_int")
+      .createOrReplaceTempView("dv_v2")
+    api.writeToModel(spark.table("dv_v2"), "dv")            // v2
+    val d = api.diffVersions("dv", "v1", "v2")
+      .orderBy("change", "my_int")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // multiplicity: v2 has one MORE copy of 2 than v1 -> one added 2
+    assert(d == Seq((2L, "added"), (4L, "added"),
+      (1L, "removed"), (3L, "removed")))
+  }
+
   test("vacuumModel drops old versions, keeps current") {
     val api = freshApi()
     (1 to 5).foreach(i => api.writeToModel(df(i), "vac"))
