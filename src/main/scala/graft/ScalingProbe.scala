@@ -151,6 +151,14 @@ object ScalingProbe {
   doc-level pair lists (59.2 s / 6.1 s at sf1) no longer exist as
   queries; ApproxQualitySpec expands the collapsed rows to prove
   doc-level pair-exactness.
+- **dd_substring_scrub** sf1 cost is clone-driven, not a plan defect:
+  the sf1 tiling's planted clone clusters make most 10-gram starts
+  corpus-duplicated, so the k× covered-position explode runs on nearly
+  every start — the honest cost of the REWRITE contract on a
+  heavily-duplicated corpus (the profile-only dd_substring stays
+  cheap). State stays doc-bounded (collect_set ≤ doc length) and every
+  stage keys on gram or doc_id, so the 0.46 slope holds the same class
+  as d3_anomaly — heavy but sound.
 """)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)
