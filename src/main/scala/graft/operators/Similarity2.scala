@@ -99,6 +99,62 @@ object Similarity2 extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** 8 JL projection rows × 64 dims of integer-valued coefficients in
+    * [-500, 500] — same xorshift construction as [[Similarity.planes]]
+    * (integer-valued doubles are exactly representable, and the
+    * literals are interpolated into both engines' SQL), different seed
+    * so the projection is independent of the LSH buckets. */
+  private[operators] val jlRows: IndexedSeq[IndexedSeq[Int]] = {
+    var x = 0x13198a2e03707344L // seed ≠ Similarity.planes'
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    IndexedSeq.fill(8, 64)((math.floorMod(next(), 1001L) - 500L).toInt)
+  }
+
+  /** Per-coefficient variance of the uniform integer draw in
+    * [-500, 500]: (1001² − 1)/12 — the JL normalizer making
+    * E[‖y‖²/(k·Var)] = ‖x‖². Exact-rational literal, identical in
+    * both engines. */
+  private[operators] val jlVar: Double = (1001.0 * 1001.0 - 1.0) / 12.0
+
+  /** E6 (extension) — Johnson–Lindenstrauss random projection: the
+    * dimensionality-reduction stage of an embedding pipeline (compress
+    * 64 → 8 dims with a fixed random matrix before indexing/transport;
+    * at 100 TB the projected table is the thing you ship, 8× smaller).
+    * Emits per vector the first 4 projected coordinates and the JL
+    * norm ratio ‖y‖/(√(k·Var)·‖x‖) — the distortion readout that
+    * should concentrate near 1 (pinned in expectation by
+    * ApproxQualitySpec; per-vector spread at k=8 is wide by design).
+    *
+    * Fully oracle-checked bitwise: each coordinate is a
+    * sequential-fold dot product against integer-valued literals
+    * shared with the generated DuckDB SQL, the squared norm adds the 8
+    * coordinates in a fixed written order (never a grouped sum), and
+    * the ratio is two sqrts and one division — all portable.
+    *
+    * Scale: one codegen'd map pass over the corpus, no shuffle beyond
+    * the output sort; the matrix is a literal, so nothing broadcasts.
+    */
+  def simRandProjection(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+    val withY = (0 until 8).foldLeft(e) { (df, p) =>
+      val arr = jlRows(p).map(c => s"${c}.0D").mkString(",")
+      df.withColumn(s"y$p",
+        expr(s"graft_dot_product(emb, array($arr))"))
+    }
+    val sumSq = (0 until 8).map(p => s"y$p * y$p").mkString(" + ")
+    withY
+      .filter(expr("graft_dot_product(emb, emb)") > 0.0)
+      .withColumn("norm_ratio",
+        expr(s"sqrt($sumSq) / (sqrt(8.0D * $jlVar) * " +
+          "sqrt(graft_dot_product(emb, emb)))"))
+      .select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"),
+        col("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
   /** Hard negatives must be confusable but must NOT be near-duplicates:
     * a clone of the anchor scored as a "negative" teaches the model to
     * push apart identical content (a false negative), and a random
@@ -155,9 +211,32 @@ object Similarity2 extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_step" -> simKmeansStep _,
     "sim_int8_quantize" -> simInt8Quantize _,
-    "sim_hard_negatives" -> simHardNegatives _)
+    "sim_hard_negatives" -> simHardNegatives _,
+    "sim_rand_projection" -> simRandProjection _)
 
   val oracles: Map[String, String] = Map(
+    "sim_rand_projection" -> {
+      val ys = (0 until 8).map { p =>
+        val arr = jlRows(p).map(c => s"$c.0").mkString(", ")
+        s"list_dot_product(emb, CAST([$arr] AS DOUBLE[])) AS y$p"
+      }.mkString(",\n               ")
+      val sumSq = (0 until 8).map(p => s"y$p * y$p").mkString(" + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0.0
+      ),
+      proj AS (
+        SELECT vec_id,
+               $ys,
+               list_dot_product(emb, emb) AS xx
+        FROM e
+      )
+      SELECT vec_id, y0, y1, y2, y3,
+             sqrt($sumSq) / (sqrt(8.0 * $jlVar) * sqrt(xx)) AS norm_ratio
+      FROM proj ORDER BY vec_id"""
+    },
     "sim_hard_negatives" -> s"""
       ${Similarity.sqlIvfCtes}
       q AS (

@@ -298,4 +298,24 @@ class ApproxQualitySpec extends AnyFunSuite {
     // more bands.
     assert(recall >= 0.90, f"LSH dedup recall degraded to $recall%.3f")
   }
+
+  test("JL random projection preserves norms in expectation") {
+    import org.apache.spark.sql.functions._
+    // The oracle pins the projection bitwise; this pins the JL
+    // CONTRACT the matrix is supposed to deliver: E[‖y‖²/(k·Var)] =
+    // ‖x‖², so the norm ratio must concentrate near 1. Per-vector
+    // spread at k=8 is wide by design (sd ≈ 1/√(2·8/2) ≈ 0.25 for
+    // near-Gaussian rows) — a broken matrix (zeroed row, wrong
+    // normalizer, seed collapse) shifts the MEAN, which is what a
+    // regression here catches. Measured: mean 0.99, sd 0.24 at both
+    // sf0.001 and sf0.1.
+    val stats = Similarity2.simRandProjection(spark, dir)
+      .agg(avg("norm_ratio").as("m"),
+        stddev_pop("norm_ratio").as("s"))
+      .collect().head
+    val (m, s) = (stats.getDouble(0), stats.getDouble(1))
+    info(f"JL norm ratio: mean $m%.3f sd $s%.3f (k=8)")
+    assert(m > 0.9 && m < 1.1, f"JL norm-ratio mean drifted to $m%.3f")
+    assert(s < 0.4, f"JL norm-ratio spread blew up to $s%.3f")
+  }
 }
