@@ -153,12 +153,14 @@ object ScalingProbe {
   doc-level pair-exactness.
 - **dd_substring_scrub** sf1 cost is clone-driven, not a plan defect:
   the sf1 tiling's planted clone clusters make most 10-gram starts
-  corpus-duplicated, so the k× covered-position explode runs on nearly
-  every start — the honest cost of the REWRITE contract on a
+  corpus-duplicated — the honest cost of the REWRITE contract on a
   heavily-duplicated corpus (the profile-only dd_substring stays
-  cheap). State stays doc-bounded (collect_set ≤ doc length) and every
-  stage keys on gram or doc_id, so the 0.46 slope holds the same class
-  as d3_anomaly — heavy but sound.
+  cheap). The covered-position k× expansion happens in-row AFTER the
+  per-doc aggregate (only duplicated starts shuffle — a 10× narrower
+  exchange; the local[4] row moves modestly because gram-string
+  construction dominates locally, but the exchange is the contended
+  resource on a cluster). State stays doc-bounded and every stage keys
+  on gram or doc_id — heavy but sound, same class as d3_anomaly.
 """)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)

@@ -169,11 +169,17 @@ object Curation2 extends QueryPack {
     *
     * Scale: corpus-linear end to end. The (doc, start, gram) explode is
     * map-side; gram sharing aggregates on the high-cardinality gram key
-    * with an O(1) partial (`min<>max`, no count-distinct state); the
-    * position explode is k× on DUPLICATED starts only; reassembly is
-    * one per-doc aggregation whose state is bounded by document length
-    * (collect_set of covered positions), then an in-row higher-order
-    * filter — no window, no global sort, nothing driver-side.
+    * with an O(1) partial (`min<>max`, no count-distinct state); only
+    * the duplicated STARTS shuffle to the per-doc aggregation (state
+    * bounded by document length) — the k× window expansion happens
+    * in-row AFTER the aggregate (flatten∘transform over the collected
+    * starts), so the exchange never carries the position blowup — a
+    * 10× narrower shuffle on a clone-heavy corpus (the local[4] sf1
+    * probe moves only 8.7 → ~7.5 s because gram-string construction
+    * dominates there, but at cluster scale the exchange is the
+    * contended resource); reassembly is
+    * an in-row higher-order filter — no window, no global sort,
+    * nothing driver-side.
     */
   def ddSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
@@ -192,10 +198,12 @@ object Curation2 extends QueryPack {
       .filter(col("d0") =!= col("d1"))
       .select("g")
     val covered = grams.join(shared, Seq("g"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (k - 1))).as("pos"))
       .groupBy("doc_id")
-      .agg(collect_set(col("pos")).as("cov"))
+      .agg(collect_set(col("s")).as("starts"))
+      // expand starts → covered positions in-row, after the shuffle
+      .select(col("doc_id"), array_distinct(flatten(
+        transform(col("starts"),
+          s => sequence(s, s + (k - 1))))).as("cov"))
     docs.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
