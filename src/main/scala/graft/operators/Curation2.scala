@@ -219,6 +219,49 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E9 (completion) — corpus distribution drift: the admit/reject
+    * readout a production ingest pipeline runs BEFORE merging a new
+    * batch (does today's crawl look like the reference corpus, or did
+    * the mix shift?). The corpus splits deterministically by doc_id
+    * parity into a reference half and a candidate half; each side's
+    * hashed-unigram distribution lands in 256 md5 buckets (the same
+    * SQL-portable family tx_dsir uses), and the per-bucket add-one-
+    * smoothed log probability ratio ln(p_ref/p_cand) is the drift
+    * profile — the KL contribution per bucket, the thing a drift
+    * monitor thresholds. Probabilities are emitted raw (single double
+    * divisions, bitwise portable) and the log ratio through the
+    * round(·,9) ulp-collapse idiom, so the analyst-side KL sum is one
+    * multiply-accumulate away; the complement of [[graft.api.FalApi
+    * .diffVersions]]' row-level diff (rows vs distributions).
+    *
+    * Scale: the only corpus-sized input is the standing doc_terms
+    * model (tokenize-once); everything after is a 256-row aggregate —
+    * one hash-agg shuffle on the bucket key with map-side partials,
+    * then a 1-row totals broadcast. Corpus never moves.
+    */
+  def cuDrift(spark: SparkSession, dir: String): DataFrame = {
+    val byB = TextAnalysis.docTerms(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("is_ref"),
+        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
+          .as("b"),
+        col("cnt"))
+      .groupBy("b")
+      .agg(sum(when(col("is_ref"), col("cnt")).otherwise(0L))
+          .as("ref_cnt"),
+        sum(when(!col("is_ref"), col("cnt")).otherwise(0L))
+          .as("cand_cnt"))
+    val tot = byB.agg(sum(col("ref_cnt")).as("tot_r"),
+      sum(col("cand_cnt")).as("tot_c"))
+    byB.crossJoin(broadcast(tot))
+      .select(col("b"), col("ref_cnt"), col("cand_cnt"),
+        ((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)).as("p_ref"),
+        ((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)).as("p_cand"),
+        round(log((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)) -
+          log((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)), 9)
+          .as("log_ratio"))
+      .orderBy("b")
+  }
+
   /** Tokenizer training — the first 3 BPE merges learned from the
     * corpus (Sennrich et al. 2016): repeatedly count adjacent symbol
     * pairs over the distinct-wordform table weighted by corpus
@@ -292,7 +335,8 @@ object Curation2 extends QueryPack {
     "dd_substring_scrub" -> ddSubstringScrub _,
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_pack" -> txPack _,
-    "tx_dsir" -> txDsir _)
+    "tx_dsir" -> txDsir _,
+    "cu_drift" -> cuDrift _)
 
   /** One BPE iteration as DuckDB CTEs: input seq CTE `in` (term, tcnt,
     * pos, sym) → best-pair CTE `b$n` and merged seq CTE `q$n` — the
@@ -455,6 +499,33 @@ object Curation2 extends QueryPack {
       LEFT JOIN per_doc p USING (doc_id)
       LEFT JOIN dup u USING (doc_id)
       ORDER BY d.doc_id""",
+    "cu_drift" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 256
+                 AS b
+        FROM (SELECT doc_id, unnest($sqlToks) AS w FROM documents)
+      ),
+      dist AS (
+        SELECT b,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ref_cnt,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS cand_cnt
+        FROM toks GROUP BY b
+      ),
+      totals AS (
+        SELECT CAST(sum(ref_cnt) AS BIGINT) AS tot_r,
+               CAST(sum(cand_cnt) AS BIGINT) AS tot_c
+        FROM dist
+      )
+      SELECT b, ref_cnt, cand_cnt,
+             (ref_cnt + 1.0) / (tot_r + 256.0) AS p_ref,
+             (cand_cnt + 1.0) / (tot_c + 256.0) AS p_cand,
+             round(ln((ref_cnt + 1.0) / (tot_r + 256.0)) -
+                   ln((cand_cnt + 1.0) / (tot_c + 256.0)), 9)
+               AS log_ratio
+      FROM dist, totals ORDER BY b""",
     "tx_dsir" -> s"""
       WITH toks AS (
         SELECT doc_id, lang,

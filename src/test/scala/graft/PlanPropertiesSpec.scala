@@ -89,6 +89,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_pagerank_fast",
     "q_bloom_join",
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
+    "cu_drift", // drift: 1-row totals broadcast into the 256-bucket table
     "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
     // withGlobalNtile: P×P triangular pass over the P-row (P = shuffle
     // partitions) per-partition count table — a broadcast no-op
