@@ -88,19 +88,49 @@ object Graph extends QueryPack {
       .select(col("node"), round(col("rank") * 1000.0, 6).as("rank_x1000"))
       .orderBy("node")
 
-  /** G1b — production PageRank twin: the identical dataflow (same
-    * shared bucketed edge model, same shuffle-hash iteration shape) but
-    * plain double contribution sums instead of [[qPagerank]]'s
-    * round(·,6)+decimal(28,12) oracle-parity reduction. No DuckDB
-    * oracle (double reduction order is engine-dependent); the driver
-    * records rows>0, and PagerankTwinSpec pins it against the exact
-    * twin to 1e-6 on rank_x1000 — so its SCALING row isolates the
-    * engine's per-iteration join+agg cost from the parity arithmetic.
+  /** The production twin's raw ranks: the identical dataflow to
+    * [[qPagerank]] (same shared bucketed edge model, same shuffle-hash
+    * iteration shape) but plain double contribution sums instead of the
+    * round(·,6)+decimal(28,12) oracle-parity reduction. The values are
+    * engine-dependent in the last ulp (double reduction order), so they
+    * are pinned by PagerankTwinSpec against the exact twin (≤1e-3 on
+    * rank_x1000), never hash-compared across engines.
     */
-  def qPagerankFast(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def fastRanks(spark: SparkSession, dir: String)
+      : DataFrame =
     pagerankRanks(spark, dir, sum)
       .select(col("node"), (col("rank") * 1000.0).as("rank_x1000"))
+
+  /** G1b — production PageRank twin, gate form (VERDICT r10 item #1).
+    *
+    * The raw double ranks can't be hash-compared against DuckDB
+    * (reduction order differs in the last ulp, and any quantization has
+    * a boundary in reach of that noise), so the DRIVER-GATED projection
+    * exports what IS deterministic about the twin: the node set plus
+    * two invariant booleans whose thresholds sit ≥6 orders of magnitude
+    * away from float noise —
+    *   - `rank_pos`: rank > 0 (every rank ≥ 0.15/n ≈ 7e-5; forces the
+    *     full per-node rank evaluation, Catalyst can't prune it);
+    *   - `mass_ok`: |Σ rank − 1| < 1e-9 (the symmetrized graph has
+    *     out-degree ≥ 1 everywhere, so damping conserves total mass;
+    *     true error is reduction noise ~1e-13).
+    * DuckDB runs its own double power iterations and lands on the same
+    * booleans, so the gate row checks rows + schema + hash exactly —
+    * strictly stronger than the rows-only contract r10 recorded as
+    * `err: no_oracle`. The VALUE check stays in PagerankTwinSpec (twin
+    * ≡ exact to 1e-3), and the SCALING row still isolates the engine's
+    * per-iteration join+agg cost: the gate adds one 2100-row scalar
+    * aggregate + broadcast join on top of the identical dataflow.
+    */
+  def qPagerankFast(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = fastRanks(spark, dir)
+    val mass = broadcast(ranks.agg(
+      (abs(sum(col("rank_x1000")) / 1000.0 - 1.0) < 1e-9).as("mass_ok")))
+    ranks.crossJoin(mass)
+      .select(col("node"), (col("rank_x1000") > 0.0).as("rank_pos"),
+        col("mass_ok"))
       .orderBy("node")
+  }
 
   /** G2 — degree distribution: how many nodes have each degree. The
     * one-pass graph profile that sizes skew mitigation (a power-law
@@ -144,7 +174,40 @@ object Graph extends QueryPack {
         FROM deg d JOIN c_$out c ON d.node = c.dst CROSS JOIN n
       )"""
 
+  /** Iteration step for the FAST twin's oracle: plain double sums (the
+    * engine-parity [[sqlIter]] uses the round+decimal lsum). Safe here
+    * because the gate projection only consumes ulp-stable booleans.
+    */
+  private def sqlIterFast(prev: String, out: String) = s"""
+      c_$out AS (
+        SELECT e.dst, sum(r.rank / CAST(r.deg AS DOUBLE)) AS s
+        FROM edges e JOIN $prev r ON e.src = r.node
+        GROUP BY e.dst
+      ),
+      $out AS (
+        SELECT d.node, d.deg,
+               CAST(0.15 AS DOUBLE) / CAST(n.n_nodes AS DOUBLE) +
+                 CAST(0.85 AS DOUBLE) * c.s AS rank
+        FROM deg d JOIN c_$out c ON d.node = c.dst CROSS JOIN n
+      )"""
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_fast" -> s"""
+      WITH $sqlEdges,
+      deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+      n AS (SELECT count(*) AS n_nodes FROM deg),
+      r0 AS (
+        SELECT node, deg,
+               CAST(1.0 AS DOUBLE) / CAST(n.n_nodes AS DOUBLE) AS rank
+        FROM deg CROSS JOIN n
+      ),
+      ${sqlIterFast("r0", "r1")},
+      ${sqlIterFast("r1", "r2")},
+      ${sqlIterFast("r2", "r3")},
+      mass AS (SELECT abs(sum(rank) - CAST(1.0 AS DOUBLE))
+                        < CAST(1e-9 AS DOUBLE) AS mass_ok FROM r3)
+      SELECT node, rank > CAST(0.0 AS DOUBLE) AS rank_pos, mass_ok
+      FROM r3 CROSS JOIN mass ORDER BY node""",
     "q_pagerank" -> s"""
       WITH $sqlEdges,
       deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
