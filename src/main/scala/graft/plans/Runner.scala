@@ -132,10 +132,13 @@ object Runner {
           substituteVars(sql, vars), isIncremental, name, a))
         case ModelKind.Scala(fn) => fn(a.spark, a)
         // D1's flagship: the user's actual Python file, run isolated in
-        // its own interpreter with parquet handoff (PyBridge); the
-        // result re-enters the exact same write/test path as Scala/SQL
+        // its own interpreter(s) with parquet handoff (PyBridge); the
+        // result re-enters the exact same write/test path as Scala/SQL.
+        // `python_mode=partition` meta fans the primary input out to a
+        // worker pool instead of the reference's one-process contract.
         case ModelKind.Python(py, env) =>
-          graft.api.PyBridge.runModel(a, name, m.deps, py, env)
+          graft.api.PyBridge.runModel(a, name, m.deps, py, env,
+            mode = m.meta.getOrElse("python_mode", "global"))
         // seeds re-load their CSV each run (dbt semantics: `dbt seed`
         // refreshes from the checked-in file); header + inferSchema
         // give typed columns, as dbt's agate-based type inference does

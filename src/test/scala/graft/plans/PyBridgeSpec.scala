@@ -173,6 +173,67 @@ class PyBridgeSpec extends AnyFunSuite {
       .contains(Status.Failure))
   }
 
+  test("partition mode: same results as global, >1 worker observed") {
+    assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
+    val api = freshApi()
+    // 6 part files so partition mode has real fan-out material, plus a
+    // small side dep to prove broadcast inputs reach every worker
+    api.registry.register(ModelDef("wide_base",
+      ModelKind.Scala((s, _) => {
+        import s.implicits._
+        (1L to 60L).map(i => (i, i % 7)).toDF("id", "grp").repartition(6)
+      })))
+    api.registry.register(ModelDef("side_dim",
+      ModelKind.Scala((s, _) => {
+        import s.implicits._
+        Seq((0L, "even"), (1L, "odd")).toDF("parity", "parity_name")
+      })))
+    val proj = Files.createTempDirectory("graft-pypart")
+    val pyFile = proj.resolve("featurize.py")
+    // a per-row transform (the partition-safe class) + os.getpid() so
+    // the test can OBSERVE the fan-out; pid is projected out of the
+    // equality compare below
+    Files.writeString(pyFile,
+      """import os
+        |
+        |def model(dbt, fal):
+        |    df = dbt.ref("wide_base")
+        |    dim = dbt.ref("side_dim")
+        |    df["id_sq"] = df["id"] * df["id"]
+        |    df["parity"] = df["id"] % 2
+        |    df = df.merge(dim, on="parity").drop(columns=["parity"])
+        |    df["worker_pid"] = os.getpid()
+        |    return df
+        |""".stripMargin)
+    api.registry.register(ModelDef("feat_global",
+      ModelKind.Python(pyFile.toString),
+      deps = Seq("wide_base", "side_dim")))
+    api.registry.register(ModelDef("feat_part",
+      ModelKind.Python(pyFile.toString),
+      deps = Seq("wide_base", "side_dim"),
+      meta = Map("python_mode" -> "partition")))
+
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    val g = api.ref("feat_global")
+    val p = api.ref("feat_part")
+    // identical results modulo the observability column
+    val cols = g.columns.filterNot(_ == "worker_pid").sorted.toSeq
+    import org.apache.spark.sql.functions._
+    assert(p.count() == 60 && g.count() == 60)
+    assert(p.select(cols.map(col): _*).exceptAll(
+      g.select(cols.map(col): _*)).isEmpty)
+    assert(g.select(cols.map(col): _*).exceptAll(
+      p.select(cols.map(col): _*)).isEmpty)
+    // the fan-out is real: several interpreter processes, vs exactly
+    // one in global mode
+    val pidsPart = p.select(countDistinct("worker_pid")).head.getLong(0)
+    val pidsGlobal = g.select(countDistinct("worker_pid")).head.getLong(0)
+    info(s"partition-mode workers: $pidsPart (global: $pidsGlobal)")
+    assert(pidsGlobal == 1)
+    assert(pidsPart > 1,
+      "partition mode ran in a single worker despite 6 input part files")
+  }
+
   test("conda python-pin detection matches interpreter specs only") {
     // ADVICE r8: `python3` / `python==3.11` must count as pins (no
     // second bare `python` appended → no conflicting interpreter),
