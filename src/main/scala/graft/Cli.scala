@@ -11,8 +11,8 @@ import graft.plans.{NodeGraph, Runner}
   * {{{
   *   sbt "runMain graft.Cli <projectDir> [--select|-s|--models|-m S]...
   *        [--exclude X]... [--selector NAME] [--threads N]
-  *        [--storage DIR] [--chunk] [--vars k=v[,k=v]...]
-  *        [--full-refresh] [--defer --state DIR]
+  *        [--storage DIR] [--target NAME] [--chunk]
+  *        [--vars k=v[,k=v]...] [--full-refresh] [--defer --state DIR]
   *        [--run-scripts before|after] [--globals] [--all]
   *        [--scripts f1.sql[,f2.sql]...]"
   * }}}
@@ -36,8 +36,9 @@ object Cli {
     val projectDir = args.head
     var select = Vector.empty[String]
     var exclude = Vector.empty[String]
-    var threads = 4
-    var storage = sys.props("java.io.tmpdir") + "/graft-cli"
+    var threadsFlag: Option[Int] = None
+    var storageFlag: Option[String] = None
+    var target: Option[String] = None
     var chunk = false
     var vars = Map.empty[String, String]
     var fullRefresh = false
@@ -82,8 +83,11 @@ object Cli {
           scriptsOnly ++= args(i + 1).split(",").map(_.trim)
             .filter(_.nonEmpty)
           i += 2
-        case "--threads" => threads = args(i + 1).toInt; i += 2
-        case "--storage" => storage = args(i + 1); i += 2
+        case "--threads" => threadsFlag = Some(args(i + 1).toInt); i += 2
+        case "--storage" => storageFlag = Some(args(i + 1)); i += 2
+        // named execution target from project.meta's targets block
+        // (ref args.py:85-93 + load_db_profile.py:40-81)
+        case "--target" => target = Some(args(i + 1)); i += 2
         case "--chunk" => chunk = true; i += 1
         case "--vars" => // k=v[,k=v]... (repeatable; ref args.py --vars)
           vars ++= args(i + 1).split(",").iterator.filter(_.nonEmpty)
@@ -101,9 +105,18 @@ object Cli {
       }
     }
 
+    val resolved = resolveTarget(projectDir, target, storageFlag,
+      threadsFlag)
+    val storage = resolved.storage
+    val threads = resolved.threads
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // target-declared session confs (shuffle partitions, AQE knobs…) —
+    // runtime confs only; a static conf here fails loudly, like a bad
+    // profile would in the reference
+    resolved.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val registry = Project.load(projectDir, storage)
     if (deferToState) require(stateDir.isDefined,
@@ -163,6 +176,42 @@ object Cli {
     println(s"RUN_STATUS=$status")
     spark.stop()
     if (status != 0) sys.exit(status)
+  }
+
+  /** The effective run placement after `--target` resolution. */
+  final case class TargetConfig(storage: String, threads: Int,
+      sparkConf: Map[String, String], name: Option[String])
+
+  /** Resolve `--target` against the project's targets block (ref:
+    * `load_db_profile.py:40-81` picks the named output, erroring on an
+    * unknown name; `args.py:85-93`). Explicit CLI flags WIN over the
+    * chosen target's values (dbt's flag-over-profile precedence);
+    * absent both, the defaults are the historical CLI defaults. With
+    * no `--target` the project's `target.default` applies, and a
+    * project with no targets block behaves exactly as before.
+    */
+  def resolveTarget(projectDir: String, targetFlag: Option[String],
+      storageFlag: Option[String], threadsFlag: Option[Int])
+      : TargetConfig = {
+    val targets = Project.loadTargets(projectDir)
+    val chosen = targetFlag.orElse(Project.defaultTarget(projectDir))
+    val conf: Map[String, String] = chosen match {
+      case Some(n) => targets.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"unknown target '$n' — defined: " +
+            (if (targets.isEmpty) "(no targets block in project.meta)"
+             else targets.keys.toSeq.sorted.mkString(", "))))
+      case None => Map.empty
+    }
+    TargetConfig(
+      storage = storageFlag.orElse(conf.get("storage"))
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-cli"),
+      threads = threadsFlag
+        .orElse(conf.get("threads").map(_.toInt)).getOrElse(4),
+      sparkConf = conf.collect {
+        case (k, v) if k.startsWith("spark.") => k -> v
+      },
+      name = chosen)
   }
 
   /** Script attachments + executable fns from model meta

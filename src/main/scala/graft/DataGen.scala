@@ -87,6 +87,7 @@ object DataGen {
     def write(df: DataFrame, name: String, files: Int): Unit = {
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$dest/$name.parquet")
+      Tables.invalidate(dest, name) // see Tables.schemaCache scaladoc
       println(s"[datagen] $name -> $dest/$name.parquet ($files files)")
     }
 
@@ -149,6 +150,9 @@ object DataGen {
     // DataGen-generated fixture over the same rows
     shifted.repartition(files).write.mode("overwrite")
       .parquet(s"$dest/$table.parquet")
+    // the process-wide schema cache must not serve a pre-rewrite entry
+    // for a table this process just (re)generated
+    Tables.invalidate(dest, table)
     println(s"[datagen] $table -> $dest/$table.parquet ($files files)")
   }
 

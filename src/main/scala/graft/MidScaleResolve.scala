@@ -18,6 +18,11 @@ object MidScaleResolve {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(3)
     val out = if (args.length > 1) args(1) else "/tmp/midscale_out"
+    // the tiling SOURCE is an argument with the driver-fixture default,
+    // and the DESTINATION rides the same repo-local base ScalingProbe
+    // reads (ADVICE r10: the hardcoded absolute source + CWD-relative
+    // dest mixed path bases and broke runs from other directories)
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     // copies=10 lands on the standard sf1 tiling (shared with the
     // ScalingProbe / ApproxQualitySpec fixture)
     val dest = if (copies == 10) "testdata/sf1" else s"testdata/sf0.$copies"
@@ -26,7 +31,7 @@ object MidScaleResolve {
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf.tune(spark)
     if (!new java.io.File(s"$dest/documents.parquet").exists())
-      DataGen.tileDocuments(spark, "/root/testdata/sf0.1", dest, copies)
+      DataGen.tileDocuments(spark, src, dest, copies)
     val names = Seq("dd_simhash_resolve", "dd_minhash_resolve")
     names.foreach { name =>
       val t0 = System.nanoTime()

@@ -24,9 +24,22 @@ object Tables {
     * for the life of a process, so the schema is cached process-wide
     * and re-reads go through `.schema(...)` — zero jobs, identical
     * plans.
+    *
+    * The immutability assumption has ONE in-process writer:
+    * [[DataGen]]'s tiling, which therefore calls [[invalidate]] after
+    * every table write (ADVICE r10) — a future regeneration of a
+    * (dir, table) with a changed schema must not serve the stale entry
+    * and silently null-fill or misread columns.
     */
   private val schemaCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  /** Drop the cached schema for a (dir, table) just (re)written in this
+    * process. Called by every in-process fixture write site.
+    */
+  def invalidate(dir: String, name: String): Unit = {
+    schemaCache.remove((dir, name)); ()
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Generator versions have stored events.ts two ways: int64

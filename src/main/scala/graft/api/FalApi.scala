@@ -80,12 +80,27 @@ final class FalApi(
     * aggregate + replicate), so the diff shuffles each side once on
     * the row key — no join explosion, output bounded by the true
     * change set.
+    *
+    * Schema drift (ADVICE r10): append-chain evolution means two
+    * retained versions can legitimately differ in column set/order,
+    * and `exceptAll` resolves POSITIONALLY — so both sides are first
+    * aligned by NAME onto their union schema (null-filled where a
+    * version lacks a column, one canonical column order), reusing the
+    * same merge rule the append chain itself applies. Type conflicts
+    * between the versions fail loudly here, as they do at the write.
     */
   def diffVersions(name: String, from: String, to: String): DataFrame = {
     val a = refVersion(name, from)
     val b = refVersion(name, to)
-    b.exceptAll(a).withColumn("change", lit("added"))
-      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+    val unioned = mergeChainSchema(a.schema, b.schema)
+    def align(df: DataFrame): DataFrame =
+      df.select(unioned.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val (af, bf) = (align(a), align(b))
+    bf.exceptAll(af).withColumn("change", lit("added"))
+      .unionByName(af.exceptAll(bf).withColumn("change", lit("removed")))
   }
 
   /** Read a resolved version directory: through the bucketed catalog

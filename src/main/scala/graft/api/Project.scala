@@ -234,6 +234,41 @@ object Project {
   def projectMeta(projectDir: String): Map[String, String] =
     readMeta(Paths.get(projectDir, "project.meta"))
 
+  /** Named execution targets — the `--target` profile surface (ref:
+    * `args.py:85-93` adds `--target`/`--profiles-dir`;
+    * `load_db_profile.py:40-81` resolves the named output from
+    * profiles.yml, erroring on an unknown name). A target here is what
+    * a warehouse profile collapses to on a Spark-native engine:
+    * project.meta lines
+    *
+    * {{{
+    *   target.<name>.storage=<relation storage root>
+    *   target.<name>.threads=<runner parallelism>
+    *   target.<name>.spark.<conf>=<session conf value>
+    * }}}
+    *
+    * grouped per name. A bare `target.default=<name>` line names the
+    * target used when the CLI passes none — profiles.yml's `target:`
+    * default key.
+    */
+  def loadTargets(projectDir: String): Map[String, Map[String, String]] =
+    projectMeta(projectDir).toSeq.flatMap { case (k, v) =>
+      if (!k.startsWith("target.")) None
+      else {
+        val rest = k.stripPrefix("target.")
+        val dot = rest.indexOf('.')
+        if (dot <= 0) None // `target.default=<name>` selector line
+        else Some((rest.take(dot), rest.drop(dot + 1), v))
+      }
+    }.groupBy(_._1)
+      .map { case (name, kvs) =>
+        name -> kvs.map(t => t._2 -> t._3).toMap
+      }
+
+  /** The project's declared default target name, if any. */
+  def defaultTarget(projectDir: String): Option[String] =
+    projectMeta(projectDir).get("target.default")
+
   /** Where a project keeps its script files: `<project>/scripts` by
     * default, relocatable via the `fal-scripts-path` project.meta key —
     * the reference's `fal-scripts-path` dbt_project var

@@ -161,6 +161,16 @@ final class Registry(val root: String) {
 
   def relationExists(name: String): Boolean = currentPath(name).isDefined
 
+  /** The live pointer's version NAME ("v3"), or None — the token a
+    * caller passes back to [[swapPointer]] as `expectedVersion` for
+    * optimistic cross-driver conflict detection.
+    */
+  def currentVersion(name: String): Option[String] = {
+    val p = pointerFile(name)
+    if (fs.exists(p)) Some(readFile(p).linesIterator.next().trim)
+    else None
+  }
+
   private def versionNames(dir: Path): Seq[String] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -193,9 +203,24 @@ final class Registry(val root: String) {
     * committed batch id). The read-merge-write is serialized per model
     * name within this JVM so concurrent swaps cannot drop each other's
     * just-committed meta.
+    *
+    * Cross-driver safety (VERDICT r10 item #3): `expectedVersion`
+    * makes the swap optimistic-concurrency-checked — the swap aborts
+    * with [[SwapConflictException]] when the live pointer no longer
+    * names the version the caller read (another driver swapped in
+    * between), instead of silently clobbering its commit. The
+    * reference ran its swap inside a warehouse transaction
+    * (`lib.py:429-472`); a version check is the object-store
+    * equivalent. On the overwrite-PUT branch the pointer is
+    * additionally re-read after the write: a PUT is atomic but not
+    * conditional, so a racing writer landing between our write and the
+    * re-read surfaces as a conflict rather than a silent
+    * last-writer-wins (the loser retries from a fresh read). `None`
+    * preserves the unconditional swap for single-writer flows.
     */
   def swapPointer(name: String, versionDir: String,
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      expectedVersion: Option[String] = None): Unit = {
     // the pointer file is line-oriented `k=v`: a newline in either
     // side or '=' in a key would silently truncate or shift the
     // parse, so reject malformed meta at the write
@@ -207,6 +232,14 @@ final class Registry(val root: String) {
     }
     val lock = swapLocks.getOrElseUpdate(name, new Object)
     lock.synchronized {
+      expectedVersion.foreach { exp =>
+        val live = currentVersion(name)
+        if (!live.contains(exp))
+          throw new SwapConflictException(
+            s"swap conflict on '$name': expected live version $exp " +
+              s"but found ${live.getOrElse("(no pointer)")} — " +
+              "another writer swapped since this driver's read")
+      }
       val version = new Path(versionDir).getName
       val merged = pointerMeta(name) ++ meta
       val content = (version +: merged.toSeq.sorted
@@ -226,12 +259,32 @@ final class Registry(val root: String) {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
             fs.delete(tmp, false)
             writeFile(pointerFile(name), content)
+            verifyPut(name, content, expectedVersion)
         }
       } else {
         writeFile(pointerFile(name), content)
+        verifyPut(name, content, expectedVersion)
       }
     }
   }
+
+  /** PUT-branch lost-race detection: when the caller asked for a
+    * version-checked swap, re-read the pointer after the overwrite-PUT
+    * and require it to be OUR write — an object store has no
+    * conditional PUT, so this is the narrowest honest window. Skipped
+    * for unconditional swaps (their documented cross-JVM semantic is
+    * single-writer / last-writer-wins).
+    */
+  private def verifyPut(name: String, written: String,
+      expectedVersion: Option[String]): Unit =
+    expectedVersion.foreach { _ =>
+      val live = readFile(pointerFile(name))
+      if (live != written)
+        throw new SwapConflictException(
+          s"swap conflict on '$name': pointer overwritten by a racing " +
+            "writer immediately after this driver's PUT — retry from a " +
+            "fresh read")
+    }
 
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
   def dropRelation(name: String): Unit = {
@@ -241,9 +294,29 @@ final class Registry(val root: String) {
 
   /** Rename a relation: move the whole versioned dir (ref:
     * `rename_relation adapter_support.py:59-127`).
+    *
+    * Hadoop `FileSystem.rename` reports most failures (existing
+    * destination dir, missing source, cross-FS) by returning FALSE, not
+    * throwing (ADVICE r10) — so the result is checked, and a leftover
+    * destination DIRECTORY (e.g. from a `nextVersionDir` allocation
+    * whose pointer was never swapped) is rejected up front: it passes
+    * the pointer-based `relationExists` guard but would make the rename
+    * fail or nest the source dir inside it.
     */
   def renameRelation(from: String, to: String): Unit = {
     require(!relationExists(to), s"rename target exists: $to")
-    fs.rename(modelDir(from), modelDir(to)); ()
+    require(!fs.exists(modelDir(to)),
+      s"rename target directory exists (unswapped leftover versions?): " +
+        s"${modelDir(to)}")
+    require(fs.rename(modelDir(from), modelDir(to)),
+      s"rename failed: $from -> $to")
   }
 }
+
+/** A version-checked [[Registry.swapPointer]] found another driver's
+  * commit where the caller's read expected its own base version — the
+  * multi-writer catalog conflict the reference's warehouse transaction
+  * prevented. Callers retry from a fresh read or surface the conflict.
+  */
+final class SwapConflictException(msg: String)
+  extends RuntimeException(msg)

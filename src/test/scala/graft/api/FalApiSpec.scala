@@ -191,6 +191,31 @@ class FalApiSpec extends AnyFunSuite {
       (1L, "removed"), (3L, "removed")))
   }
 
+  test("diffVersions aligns drifted schemas by name (ADVICE r10)") {
+    // append evolution means two retained versions can differ in column
+    // set AND order; a positional exceptAll would compare wrong columns
+    val api = freshApi()
+    import spark.implicits._
+    api.writeToModel(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "label"), "sd")       // v1
+    api.writeToModel(
+      Seq(("b", 2L, 0.5), ("c", 3L, 1.5))
+        .toDF("label", "id", "score"), "sd")                     // v2
+    val d = api.diffVersions("sd", "v1", "v2")
+    assert(d.columns.toSet == Set("id", "label", "score", "change"))
+    val rows = d.orderBy("change", "id")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("label"),
+        Option(r.getAs[Any]("score")), r.getAs[String]("change"))).toSeq
+    // row (2,"b") differs only by the new score column: null vs 0.5,
+    // so it reports on BOTH sides; (1,"a") removed; (3,"c") added
+    assert(rows == Seq(
+      (2L, "b", Some(0.5), "added"),
+      (3L, "c", Some(1.5), "added"),
+      (1L, "a", None, "removed"),
+      (2L, "b", None, "removed")))
+  }
+
   test("vacuumModel drops old versions, keeps current") {
     val api = freshApi()
     (1 to 5).foreach(i => api.writeToModel(df(i), "vac"))

@@ -213,6 +213,65 @@ class ProjectSpec extends AnyFunSuite {
       .contains(Status.Success))
   }
 
+  test("--target resolves named profiles; one project runs against " +
+      "two targets (ref args.py:85-93, load_db_profile.py:40-81)") {
+    val proj = Files.createTempDirectory("graft-proj-targets")
+    Files.createDirectories(proj.resolve("models"))
+    Files.writeString(proj.resolve("models/m1.sql"), "SELECT 42 AS x")
+    val devStore = Files.createTempDirectory("graft-tgt-dev").toString
+    val prodStore = Files.createTempDirectory("graft-tgt-prod").toString
+    Files.writeString(proj.resolve("project.meta"),
+      s"""target.default=dev
+         |target.dev.storage=$devStore
+         |target.dev.threads=2
+         |target.dev.spark.sql.shuffle.partitions=2
+         |target.prod.storage=$prodStore
+         |target.prod.threads=8
+         |""".stripMargin)
+
+    // parse surface
+    val targets = Project.loadTargets(proj.toString)
+    assert(targets.keySet == Set("dev", "prod"))
+    assert(targets("dev") == Map(
+      "storage" -> devStore, "threads" -> "2",
+      "spark.sql.shuffle.partitions" -> "2"))
+    assert(Project.defaultTarget(proj.toString).contains("dev"))
+
+    // resolution: default target, explicit target, flag precedence,
+    // unknown-name error (the reference's load_db_profile error path)
+    val dev = graft.Cli.resolveTarget(proj.toString, None, None, None)
+    assert(dev.name.contains("dev") && dev.storage == devStore &&
+      dev.threads == 2 &&
+      dev.sparkConf == Map("spark.sql.shuffle.partitions" -> "2"))
+    val prod = graft.Cli.resolveTarget(
+      proj.toString, Some("prod"), None, None)
+    assert(prod.storage == prodStore && prod.threads == 8 &&
+      prod.sparkConf.isEmpty)
+    val flagged = graft.Cli.resolveTarget(
+      proj.toString, Some("prod"), Some("/tmp/x"), Some(3))
+    assert(flagged.storage == "/tmp/x" && flagged.threads == 3)
+    val err = intercept[IllegalArgumentException] {
+      graft.Cli.resolveTarget(proj.toString, Some("staging"), None, None)
+    }
+    assert(err.getMessage.contains("staging") &&
+      err.getMessage.contains("dev"))
+    // a target-less project keeps the historical defaults
+    val bare = graft.Cli.resolveTarget("examples/jaffle", None, None, None)
+    assert(bare.name.isEmpty && bare.threads == 4)
+
+    // the SAME project runs against both targets: each run lands its
+    // relation under its own storage root, independently readable
+    for (t <- Seq(dev, prod)) {
+      val registry = Project.load(proj.toString, t.storage)
+      val api = new FalApi(TestSpark.spark, registry, new RunLedger)
+      assert(Runner.run(api, Runner.RunConfig(threads = t.threads)) == 0)
+      assert(api.ref("m1").head.getInt(0) == 42)
+    }
+    val reg2 = new Registry(devStore)
+    assert(reg2.relationExists("m1"))
+    assert(new Registry(prodStore).relationExists("m1"))
+  }
+
   test("fal-scripts-path relocates the scripts dir (ref parse.py:143-152)") {
     // a project whose scripts live under tools/sql instead of scripts/
     val proj = Files.createTempDirectory("graft-proj-relocated")

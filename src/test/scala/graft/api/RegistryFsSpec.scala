@@ -136,6 +136,83 @@ class RegistryFsSpec extends AnyFunSuite {
     assert(meta.get("b").contains(rounds.toString))
   }
 
+  test("version-checked swap detects a cross-driver conflict " +
+      "instead of clobbering (VERDICT r10 #3)") {
+    // two Registry instances over ONE root = two drivers (separate
+    // in-JVM swap locks, so only the version check protects them)
+    val root = schemedRoot()
+    val r1 = new Registry(root)
+    val r2 = new Registry(root)
+    val v1 = r1.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    r1.swapPointer("m", v1)
+    // both drivers read the same base version...
+    val base1 = r1.currentVersion("m")
+    val base2 = r2.currentVersion("m")
+    assert(base1.contains("v1") && base2.contains("v1"))
+    // ...driver 1 commits first
+    val v2 = r1.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v2, "marker"), "x")
+    r1.swapPointer("m", v2, expectedVersion = base1)
+    assert(r1.currentPath("m").exists(_.endsWith("v2")))
+    // ...driver 2's stale-base swap is DETECTED, not a silent clobber
+    val v3 = r2.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v3, "marker"), "x")
+    assert(v3.endsWith("v3"))
+    val e = intercept[SwapConflictException] {
+      r2.swapPointer("m", v3, expectedVersion = base2)
+    }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("v2"))
+    assert(r2.currentPath("m").exists(_.endsWith("v2")),
+      "loser's aborted swap must leave the winner's pointer intact")
+    // the loser retries from a fresh read and succeeds
+    r2.swapPointer("m", v3, expectedVersion = r2.currentVersion("m"))
+    assert(r1.currentPath("m").exists(_.endsWith("v3")))
+  }
+
+  test("version-checked swap conflicts on the overwrite-PUT branch too") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockObjectStoreFs].getName)
+    val local = Files.createTempDirectory("graft-s3swap")
+    val root = "s3a://graft-test-bucket" + local.toString
+    val r1 = new Registry(root)
+    val r2 = new Registry(root)
+    val v1 = r1.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    r1.swapPointer("m", v1)
+    val base2 = r2.currentVersion("m")
+    val v2 = r1.nextVersionDir("m")
+    r1.swapPointer("m", v2, expectedVersion = r1.currentVersion("m"))
+    intercept[SwapConflictException] {
+      r2.swapPointer("m", r2.nextVersionDir("m"),
+        expectedVersion = base2)
+    }
+    assert(r2.currentPath("m").exists(_.endsWith("v2")))
+  }
+
+  test("renameRelation rejects a leftover destination dir and " +
+      "surfaces rename failure (ADVICE r10)") {
+    val reg = new Registry(schemedRoot())
+    val v = reg.nextVersionDir("src_model")
+    FsIO.writeString(FsIO.child(v, "f"), "x")
+    reg.swapPointer("src_model", v)
+    // a nextVersionDir allocation whose pointer was never swapped: no
+    // live relation, but the DIRECTORY exists — the old code's
+    // pointer-only guard passed and fs.rename quietly returned false
+    reg.nextVersionDir("dst_leftover")
+    assert(!reg.relationExists("dst_leftover"))
+    intercept[IllegalArgumentException] {
+      reg.renameRelation("src_model", "dst_leftover")
+    }
+    // source untouched by the refused rename
+    assert(reg.relationExists("src_model"))
+    assert(reg.currentPath("src_model").exists(_.endsWith("v1")))
+    // a clean rename still works and validates its fs.rename result
+    reg.renameRelation("src_model", "dst_clean")
+    assert(reg.relationExists("dst_clean"))
+    assert(!reg.relationExists("src_model"))
+  }
+
   test("catalog + data path run on an object-store scheme (mock s3a)") {
     // the real 100 TB posture: a bucket-scheme'd root where rename is
     // NOT atomic. fs.s3a.impl points at a local-disk mock whose scheme
