@@ -48,22 +48,30 @@ object Curation2 extends QueryPack {
     *     un-materialized form recomputed the explode for each of its
     *     two consumers).
     */
-  private[operators] def gramStarts(spark: SparkSession, dir: String)
+  /** The (doc_id, start, gram-hash) explode of a (doc_id, w:
+    * array<string>) relation — the map-side kernel shared by the
+    * standing [[gramStarts]] build and [[graft.streaming.StreamScrub]]'s
+    * per-micro-batch probe (one kernel ⇒ batch ≡ stream by
+    * construction). The gram string dies inside this map stage.
+    */
+  private[graft] def gramHashes(docs: DataFrame, k: Int = 10)
+      : DataFrame =
+    docs
+      .select(col("doc_id"), explode(when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("s"),
+            array_join(slice(col("w"), i, lit(k)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<s:int,g:string>>")))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"),
+        expr("CAST(conv(substr(md5(sg.g), 1, 15), 16, 10) AS BIGINT)")
+          .as("gh"))
+
+  private[graft] def gramStarts(spark: SparkSession, dir: String)
       : DataFrame =
     Shared.model(spark, dir, "gram_starts_10", "gh", { (s, d) =>
-      val k = 10
-      t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(when(size(col("w")) >= k,
-          transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            i => struct(i.as("s"),
-              array_join(slice(col("w"), i, lit(k)), " ").as("g"))))
-          .otherwise(array().cast("array<struct<s:int,g:string>>")))
-          .as("sg"))
-        // the gram string dies here, in the build's map stage
-        .select(col("doc_id"), col("sg.s").as("s"),
-          expr("CAST(conv(substr(md5(sg.g), 1, 15), 16, 10) AS BIGINT)")
-            .as("gh"))
+      gramHashes(t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w")))
     })
 
   /** E5 (completion) — duplicated-span profile: for every document, the
@@ -218,15 +226,25 @@ object Curation2 extends QueryPack {
     * the text for reassembly, an in-row higher-order filter. No
     * window, no global sort, nothing driver-side.
     */
-  def ddSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val grams = gramStarts(spark, dir)
-    val shared = grams.groupBy("gh")
+  /** The corpus-duplicated gram-hash set (doc freq ≥ 2) off the
+    * standing model — bucket-local `min<>max` aggregate, the probe
+    * target both the batch scrub and the streaming scrub cut against.
+    */
+  private[graft] def sharedGrams(spark: SparkSession, dir: String)
+      : DataFrame =
+    gramStarts(spark, dir).groupBy("gh")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))
       .select("gh")
+
+  /** Cut every position of `docs` (doc_id, w) covered by a gram whose
+    * hash is in `shared`, and emit the scrub profile — the kernel
+    * [[ddSubstringScrub]] and [[graft.streaming.StreamScrub]] share,
+    * so batch and stream rewrite identically by construction. `grams`
+    * must be the [[gramHashes]] explode of the same `docs`.
+    */
+  private[graft] def scrubAgainst(docs: DataFrame, grams: DataFrame,
+      shared: DataFrame, k: Int = 10): DataFrame = {
     val covered = grams.join(shared, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("starts"))
@@ -247,6 +265,12 @@ object Curation2 extends QueryPack {
             coalesce(col("cov"), array().cast("array<int>")),
             i + 1))))).as("scrub_hash"))
       .orderBy("doc_id")
+  }
+
+  def ddSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    scrubAgainst(docs, gramStarts(spark, dir), sharedGrams(spark, dir))
   }
 
   /** E9 (completion) — corpus distribution drift: the admit/reject
