@@ -338,7 +338,44 @@ object Curation2 extends QueryPack {
     * chain exactly the odd-ranked occurrences merge, and a position is
     * dropped when its predecessor merged.
     */
-  def txBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** Apply ONE merge (a 1-row `(bl, br, bm)` frame, broadcast) to a
+    * symbol table (term, tcnt, pos, sym) under the chain-parity
+    * left-to-right non-overlap rule — the APPLICATION half of
+    * [[txBpeMerges]]' iteration, factored out so the streaming
+    * tokenizer ([[graft.streaming.StreamBpe]]) segments arriving words
+    * with the exact kernel training used (batch ≡ stream by
+    * construction). Window work shards on the term key; the merge row
+    * broadcasts.
+    */
+  private[graft] def bpeApplyMerge(seq: DataFrame, merge: DataFrame)
+      : DataFrame = {
+    val byPos = Window.partitionBy("term").orderBy("pos")
+    val s1 = seq.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+    val occ = s1.crossJoin(broadcast(merge))
+      .filter(col("sym") === col("bl") && col("nxt") === col("br"))
+      .select(col("term"), col("pos"), col("bm"))
+    val merges = occ
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term", "grp").orderBy("pos")))
+      .filter(col("rn") % 2 === 1)
+      .select("term", "pos", "bm")
+    s1.join(merges, Seq("term", "pos"), "left")
+      .withColumn("prevm", lag(col("bm"), 1).over(byPos))
+      .filter(col("prevm").isNull)
+      .select(col("term"), col("tcnt"), col("pos").as("opos"),
+        coalesce(col("bm"), col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("term").orderBy("opos")))
+      .select("term", "tcnt", "pos", "sym")
+  }
+
+  /** The 3 training iterations: returns the per-iteration best-pair
+    * frames and the FINAL symbol table (the trained segmentation of
+    * every vocab term).
+    */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     val byPos = Window.partitionBy("term").orderBy("pos")
     def iter(seq: DataFrame): (DataFrame, DataFrame) = {
       val s1 = seq.withColumn("nxt", lead(col("sym"), 1).over(byPos))
@@ -347,25 +384,8 @@ object Curation2 extends QueryPack {
         .groupBy("l", "r").agg(sum(col("tcnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
         .withColumn("merged", concat(col("l"), col("r")))
-      val occ = s1.crossJoin(broadcast(
-          best.select(col("l").as("bl"), col("r").as("br"),
-            col("merged").as("bm"))))
-        .filter(col("sym") === col("bl") && col("nxt") === col("br"))
-        .select(col("term"), col("pos"), col("bm"))
-      val merges = occ
-        .withColumn("grp", col("pos") - row_number().over(byPos))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("term", "grp").orderBy("pos")))
-        .filter(col("rn") % 2 === 1)
-        .select("term", "pos", "bm")
-      val next = s1.join(merges, Seq("term", "pos"), "left")
-        .withColumn("prevm", lag(col("bm"), 1).over(byPos))
-        .filter(col("prevm").isNull)
-        .select(col("term"), col("tcnt"), col("pos").as("opos"),
-          coalesce(col("bm"), col("sym")).as("sym"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("term").orderBy("opos")))
-        .select("term", "tcnt", "pos", "sym")
+      val next = bpeApplyMerge(seq, best.select(col("l").as("bl"),
+        col("r").as("br"), col("merged").as("bm")))
       (next.cache(), best)
     }
     val tc = TextAnalysis.docTerms(spark, dir)
@@ -381,13 +401,57 @@ object Curation2 extends QueryPack {
       best.select(lit(it.toLong).as("it"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("merged"), col("pair_count"))
     }
-    bests.reduce(_.union(_)).orderBy("it")
+    (bests, seq)
   }
+
+  def txBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)._1.reduce(_.union(_)).orderBy("it")
+
+  /** The trained segmentation as STANDING models (compute-at-ingest:
+    * train once per corpus, tokenize many) — `bpe_seg_3` is the final
+    * (term, tcnt, pos, sym) table bucketed on the term key,
+    * `bpe_merges_3` the 3-row learned-merge table the streaming
+    * tokenizer replays on unseen words.
+    */
+  private[graft] def bpeSegmentation(spark: SparkSession, dir: String)
+      : DataFrame =
+    Shared.model(spark, dir, "bpe_seg_3", "term",
+      (s, d) => bpeTrain(s, d)._2)
+
+  private[graft] def bpeLearnedMerges(spark: SparkSession, dir: String)
+      : DataFrame =
+    Shared.model(spark, dir, "bpe_merges_3", "it",
+      (s, d) => txBpeMerges(s, d))
+
+  /** Tokenizer APPLICATION — the consumption half of [[txBpeMerges]]
+    * (train once, tokenize everything): every vocab term's trained
+    * segmentation after the 3 learned merges, with its corpus
+    * frequency and BPE token count. The per-corpus readout a pipeline
+    * uses to budget sequence packing under a trained tokenizer
+    * (fertility = n_syms weighted by tcnt), and the batch twin the
+    * streaming tokenizer is pinned against.
+    *
+    * Scale: reads the standing term-bucketed segmentation model — the
+    * per-term rollup is bucket-local, output is vocabulary-sized, the
+    * corpus is never touched at query time (training itself only ever
+    * aggregates the corpus once into the vocab-sized term table).
+    */
+  def txBpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeSegmentation(spark, dir)
+      .groupBy("term", "tcnt")
+      .agg(count(lit(1)).cast("long").as("n_syms"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          p => p.getField("sym")), "|").as("segmentation"))
+      .select(col("term"), col("tcnt"), col("n_syms"),
+        col("segmentation"))
+      .orderBy("term")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> ddSubstring _,
     "dd_substring_scrub" -> ddSubstringScrub _,
     "tx_bpe_merges" -> txBpeMerges _,
+    "tx_bpe_apply" -> txBpeApply _,
     "tx_pack" -> txPack _,
     "tx_dsir" -> txDsir _,
     "cu_drift" -> cuDrift _)
@@ -504,6 +568,22 @@ object Curation2 extends QueryPack {
       UNION ALL
       SELECT CAST(3 AS BIGINT), l, r, merged, pair_count FROM b3
       ORDER BY it""",
+    "tx_bpe_apply" -> s"""
+      WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tcnt FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS term
+          FROM documents)
+        GROUP BY term),
+      s0 AS (
+        SELECT term, tcnt, i AS pos, term[i] AS sym
+        FROM tc, UNNEST(generate_series(1, length(term))) AS t(i)),
+      ${sqlBpeIter(1, "s0")},
+      ${sqlBpeIter(2, "q1")},
+      ${sqlBpeIter(3, "q2")}
+      SELECT term, tcnt, CAST(count(*) AS BIGINT) AS n_syms,
+             string_agg(sym, '|' ORDER BY pos) AS segmentation
+      FROM q3 GROUP BY term, tcnt ORDER BY term""",
     "tx_pack" -> """
       WITH d AS (
         SELECT doc_id,
