@@ -67,10 +67,16 @@ object ScalingProbe {
       "q_pagerank_fast" ->
         "PageRank production twin (double sums, no parity arithmetic)",
       "tx_mad_outliers" -> "grouped exact-median MAD outlier gate",
+      "dd_substring" ->
+        "duplicated-span profile over the standing gh-bucketed gram model",
       "dd_substring_scrub" ->
-        "exact-substring scrub (gram doc-freq agg + covered-position cut)",
+        "exact-substring scrub (bucket-local gram probe + in-row cut)",
       "tx_bpe_merges" ->
         "BPE merge training (3 iterations on the vocab-sized term table)",
+      "tx_bpe_apply" ->
+        "trained-segmentation rollup off the standing BPE model",
+      "cu_drift" -> "corpus drift profile (256-bucket aggregate)",
+      "sim_rand_projection" -> "JL random projection (one map pass)",
       "sim_hard_negatives" ->
         "banded hard-negative mining on the standing IVF index")
 
@@ -151,16 +157,20 @@ object ScalingProbe {
   doc-level pair lists (59.2 s / 6.1 s at sf1) no longer exist as
   queries; ApproxQualitySpec expands the collapsed rows to prove
   doc-level pair-exactness.
-- **dd_substring_scrub** sf1 cost is clone-driven, not a plan defect:
-  the sf1 tiling's planted clone clusters make most 10-gram starts
-  corpus-duplicated — the honest cost of the REWRITE contract on a
-  heavily-duplicated corpus (the profile-only dd_substring stays
-  cheap). The covered-position k× expansion happens in-row AFTER the
-  per-doc aggregate (only duplicated starts shuffle — a 10× narrower
-  exchange; the local[4] row moves modestly because gram-string
-  construction dominates locally, but the exchange is the contended
-  resource on a cluster). State stays doc-bounded and every stage keys
-  on gram or doc_id — heavy but sound, same class as d3_anomaly.
+- **dd_substring / dd_substring_scrub** (VERDICT r10 #5, closed r11):
+  the 10-gram explode is now a STANDING model bucketed on a 60-bit
+  md5-prefix BIGINT of the gram (the oracle hashes identically, so the
+  gate stays exact) — the gram string never exists at query time, the
+  doc-freq aggregate and the duplicated-gram semi-join are bucket-local
+  with zero exchange, and the explode+hash are paid once per corpus at
+  ingest (the `standing_models` cold block) instead of twice per scrub.
+  Warm sf1 local[4] moved 8.4 s → ~4.1 s (scrub) and → ~1.0 s
+  (profile) in same-session A/B. The remaining scrub cost is the
+  rewrite contract itself: the sf1 tiling's planted clones make most
+  gram starts corpus-duplicated, so the duplicated-starts shuffle and
+  the doc-keyed reassembly join dominate — state stays doc-bounded,
+  the k× covered-position expansion stays in-row after the per-doc
+  aggregate.
 """)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)

@@ -123,7 +123,10 @@ object Graph extends QueryPack {
     * aggregate + broadcast join on top of the identical dataflow.
     */
   def qPagerankFast(spark: SparkSession, dir: String): DataFrame = {
-    val ranks = fastRanks(spark, dir)
+    // node-sized (one row per node) and consumed twice (mass scalar +
+    // per-node projection): cache so the 3 iterations run once, not
+    // once per consumer
+    val ranks = fastRanks(spark, dir).cache()
     val mass = broadcast(ranks.agg(
       (abs(sum(col("rank_x1000")) / 1000.0 - 1.0) < 1e-9).as("mass_ok")))
     ranks.crossJoin(mass)
