@@ -243,16 +243,29 @@ object Curation2 extends QueryPack {
     * so batch and stream rewrite identically by construction. `grams`
     * must be the [[gramHashes]] explode of the same `docs`.
     */
-  private[graft] def scrubAgainst(docs: DataFrame, grams: DataFrame,
-      shared: DataFrame, k: Int = 10): DataFrame = {
-    val covered = grams.join(shared, Seq("gh"), "left_semi")
+  /** The covered-position sets of `grams`' documents vs `shared`, and
+    * the surviving-words expression — the two shared pieces of the
+    * profile form ([[scrubAgainst]]) and the rewrite form
+    * ([[scrubbedCorpus]]).
+    */
+  private def coveredPositions(grams: DataFrame, shared: DataFrame,
+      k: Int): DataFrame =
+    grams.join(shared, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("starts"))
       // expand starts → covered positions in-row, after the shuffle
       .select(col("doc_id"), array_distinct(flatten(
         transform(col("starts"),
           s => sequence(s, s + (k - 1))))).as("cov"))
-    docs.join(covered, Seq("doc_id"), "left")
+
+  private def keptWords: org.apache.spark.sql.Column =
+    filter(col("w"), (word, i) =>
+      not(array_contains(
+        coalesce(col("cov"), array().cast("array<int>")), i + 1)))
+
+  private[graft] def scrubAgainst(docs: DataFrame, grams: DataFrame,
+      shared: DataFrame, k: Int = 10): DataFrame =
+    docs.join(coveredPositions(grams, shared, k), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
@@ -260,18 +273,45 @@ object Curation2 extends QueryPack {
         ((size(col("w")) - coalesce(size(col("cov")), lit(0)))
           .cast("double") / size(col("w")).cast("double"))
           .as("kept_frac"),
-        md5(concat_ws(" ", filter(col("w"), (word, i) =>
-          not(array_contains(
-            coalesce(col("cov"), array().cast("array<int>")),
-            i + 1))))).as("scrub_hash"))
+        md5(concat_ws(" ", keptWords)).as("scrub_hash"))
       .orderBy("doc_id")
-  }
 
   def ddSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     scrubAgainst(docs, gramStarts(spark, dir), sharedGrams(spark, dir))
   }
+
+  /** The REWRITTEN corpus itself — every corpus-duplicated span cut,
+    * survivors re-joined, original metadata carried: the relation whose
+    * md5 [[ddSubstringScrub]] reports as `scrub_hash`. Feed it to
+    * [[scrubToModel]] to land the clean corpus in the catalog.
+    */
+  private[graft] def scrubbedCorpus(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("w"))
+    docs
+      .join(coveredPositions(gramStarts(spark, dir),
+        sharedGrams(spark, dir), 10), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", keptWords).as("text"),
+        size(col("w")).cast("long").as("n_words_orig"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** Materialize the scrubbed corpus as a catalog model through the
+    * A-layer (versioned overwrite, optional bucketing/tests riding the
+    * registered ModelDef like any model write) — the production
+    * consumption of the scrub: downstream curation/training reads
+    * `ref(name)` instead of re-cutting per query. Returns the write's
+    * row count, and the write is itself the scale path: one
+    * corpus-linear pass, parquet out, nothing driver-side.
+    */
+  def scrubToModel(api: graft.api.FalApi, dir: String,
+      name: String = "documents_scrubbed"): graft.api.WriteResult =
+    api.writeToModel(scrubbedCorpus(api.spark, dir), name)
 
   /** E9 (completion) — corpus distribution drift: the admit/reject
     * readout a production ingest pipeline runs BEFORE merging a new

@@ -120,4 +120,33 @@ class BpeScrubSpec extends AnyFunSuite {
       (3L, 15L, 15L, md5hex("")),
       (4L, 20L, 0L, md5hex(texts(4)))))
   }
+
+  test("scrubToModel lands the rewritten corpus in the catalog, " +
+      "hash-consistent with the profile query") {
+    import graft.api.{FalApi, Registry, RunLedger}
+    val api = new FalApi(spark,
+      new Registry(Files.createTempDirectory("graft-scrubm").toString),
+      new RunLedger)
+    val res = Curation2.scrubToModel(api, sfDir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(res.rowsAffected == docs.count(),
+      "every document must survive as a (possibly shortened) row")
+    val written = api.ref("documents_scrubbed")
+    // the materialized text is EXACTLY what dd_substring_scrub hashed,
+    // and the removal counts agree row-for-row
+    val profile = Curation2.ddSubstringScrub(spark, sfDir)
+      .select(col("doc_id"), col("scrub_hash"), col("n_removed"))
+    val joined = written
+      .select(col("doc_id"), md5(col("text")).as("mat_hash"),
+        col("n_removed").as("mat_removed"))
+      .join(profile, Seq("doc_id"))
+    assert(joined.count() == res.rowsAffected)
+    assert(joined.filter(col("mat_hash") =!= col("scrub_hash") ||
+      col("mat_removed") =!= col("n_removed")).isEmpty)
+    // metadata carried; the corpus really shrank
+    assert(written.columns.toSet == Set("doc_id", "lang", "source",
+      "text", "n_words_orig", "n_removed"))
+    val shrunk = written.agg(sum(col("n_removed"))).head.getLong(0)
+    assert(shrunk > 0, "fixture has duplicated spans; scrub must cut")
+  }
 }
