@@ -28,6 +28,10 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_lsh_bucket",
         exprs => LshBucket(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_md5_prefix",
+        exprs => Md5Prefix(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     }
   }
 }

@@ -55,7 +55,11 @@ object Curation2 extends QueryPack {
     * construction). The gram string dies inside this map stage.
     */
   private[graft] def gramHashes(docs: DataFrame, k: Int = 10)
-      : DataFrame =
+      : DataFrame = {
+    // graft_md5_prefix = the native codegen'd form of the
+    // conv(substr(md5(g),1,15),16,10) idiom the oracle replays —
+    // identical values, no hex-string round trip per gram occurrence
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(when(size(col("w")) >= k,
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
@@ -64,8 +68,8 @@ object Curation2 extends QueryPack {
         .otherwise(array().cast("array<struct<s:int,g:string>>")))
         .as("sg"))
       .select(col("doc_id"), col("sg.s").as("s"),
-        expr("CAST(conv(substr(md5(sg.g), 1, 15), 16, 10) AS BIGINT)")
-          .as("gh"))
+        expr("graft_md5_prefix(sg.g, 15)").as("gh"))
+  }
 
   private[graft] def gramStarts(spark: SparkSession, dir: String)
       : DataFrame =

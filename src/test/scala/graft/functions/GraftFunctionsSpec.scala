@@ -88,4 +88,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
     assert(agree >= 6 && agree <= 15, s"agreement was $agree/16")
   }
+
+  test("Md5Prefix equals the composed conv(substr(md5)) idiom " +
+      "for every width, incl. under codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // real corpus text + crafted edges (empty string, unicode, long)
+    val strings = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("text")).as[String].take(50).toSeq ++
+      Seq("", "a", "zq 1", "é漢字", "x" * 5000)
+    val df = strings.toDF("s")
+    for (n <- Seq(1, 2, 4, 8, 15)) {
+      val bad = df.select(
+          expr(s"graft_md5_prefix(s, $n)").as("native"),
+          expr(s"CAST(conv(substr(md5(s), 1, $n), 16, 10) AS BIGINT)")
+            .as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(bad.isEmpty, s"digits=$n diverged")
+    }
+    // null passes through
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(expr("graft_md5_prefix(s, 15)")).head
+    assert(r.isNullAt(0))
+    // width bounds reject at construction
+    intercept[Exception] {
+      df.select(expr("graft_md5_prefix(s, 16)")).head
+    }
+  }
 }
