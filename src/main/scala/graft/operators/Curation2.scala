@@ -337,6 +337,39 @@ object Curation2 extends QueryPack {
     * one hash-agg shuffle on the bucket key with map-side partials,
     * then a 1-row totals broadcast. Corpus never moves.
     */
+  /** The drift readout over a (b, ref_cnt, cand_cnt) bucket table —
+    * add-one-smoothed probabilities + round(·,9) log-ratio per bucket,
+    * 1-row totals broadcast. Shared by [[cuDrift]]'s in-corpus split
+    * and [[graft.streaming.StreamDrift]]'s arriving-batch monitor, so
+    * the two emit identical rows on identical counts.
+    */
+  private[graft] def driftReadout(byB: DataFrame): DataFrame = {
+    val tot = byB.agg(sum(col("ref_cnt")).as("tot_r"),
+      sum(col("cand_cnt")).as("tot_c"))
+    byB.crossJoin(broadcast(tot))
+      .select(col("b"), col("ref_cnt"), col("cand_cnt"),
+        ((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)).as("p_ref"),
+        ((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)).as("p_cand"),
+        round(log((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)) -
+          log((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)), 9)
+          .as("log_ratio"))
+      .orderBy("b")
+  }
+
+  /** The reference half's per-bucket unigram counts (even doc_ids) off
+    * the standing doc_terms model — [[cuDrift]]'s baseline, and the
+    * standing distribution the streaming monitor compares arrivals to.
+    */
+  private[graft] def driftRefCounts(spark: SparkSession, dir: String)
+      : DataFrame =
+    TextAnalysis.docTerms(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(
+        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
+          .as("b"),
+        col("cnt"))
+      .groupBy("b").agg(sum(col("cnt")).as("ref_cnt"))
+
   def cuDrift(spark: SparkSession, dir: String): DataFrame = {
     val byB = TextAnalysis.docTerms(spark, dir)
       .select((col("doc_id") % 2 === 0).as("is_ref"),
@@ -348,16 +381,7 @@ object Curation2 extends QueryPack {
           .as("ref_cnt"),
         sum(when(!col("is_ref"), col("cnt")).otherwise(0L))
           .as("cand_cnt"))
-    val tot = byB.agg(sum(col("ref_cnt")).as("tot_r"),
-      sum(col("cand_cnt")).as("tot_c"))
-    byB.crossJoin(broadcast(tot))
-      .select(col("b"), col("ref_cnt"), col("cand_cnt"),
-        ((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)).as("p_ref"),
-        ((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)).as("p_cand"),
-        round(log((col("ref_cnt") + 1.0) / (col("tot_r") + 256.0)) -
-          log((col("cand_cnt") + 1.0) / (col("tot_c") + 256.0)), 9)
-          .as("log_ratio"))
-      .orderBy("b")
+    driftReadout(byB)
   }
 
   /** Tokenizer training — the first 3 BPE merges learned from the
