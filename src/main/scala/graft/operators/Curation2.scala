@@ -230,16 +230,25 @@ object Curation2 extends QueryPack {
     * the text for reassembly, an in-row higher-order filter. No
     * window, no global sort, nothing driver-side.
     */
-  /** The corpus-duplicated gram-hash set (doc freq ≥ 2) off the
-    * standing model — bucket-local `min<>max` aggregate, the probe
-    * target both the batch scrub and the streaming scrub cut against.
+  /** The corpus-duplicated gram-hash set (doc freq ≥ 2), ITSELF a
+    * standing model derived from [[gramStarts]] (one bucket-local
+    * `min<>max` aggregate at build time): the probe target both the
+    * batch scrub and the streaming twins cut against. Materializing it
+    * matters most at ingest — [[graft.streaming.StreamScrub]] probes
+    * every micro-batch against this set, so each batch scans the
+    * (much smaller) duplicated-set parquet instead of re-aggregating
+    * the corpus-sized gram relation, and the batch queries save one of
+    * their two gram-model scans the same way. gh-bucketed, so the
+    * semi-joins against [[gramStarts]] (same bucketing) stay
+    * exchange-free on both sides.
     */
   private[graft] def sharedGrams(spark: SparkSession, dir: String)
       : DataFrame =
-    gramStarts(spark, dir).groupBy("gh")
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select("gh")
+    Shared.model(spark, dir, "gram_shared_10", "gh", (s, d) =>
+      gramStarts(s, d).groupBy("gh")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("gh"))
 
   /** Cut every position of `docs` (doc_id, w) covered by a gram whose
     * hash is in `shared`, and emit the scrub profile — the kernel
