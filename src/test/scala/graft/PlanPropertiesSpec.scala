@@ -160,12 +160,53 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "tx_hapax" -> "graft_doc_terms",
         "tx_vocab" -> "graft_doc_terms",
         "tx_bigram_lm" -> "graft_bigram_counts",
+        "tx_bpe_apply" -> "graft_bpe_seg_3",
         "tx_boilerplate" -> "graft_doc_shingles")) {
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
       assert(finalAggInPlace(p, tbl),
         s"$name: expected a final aggregate directly over the bucketed " +
           s"$tbl scan with no exchange between:\n${p.toString.take(1500)}")
+    }
+  }
+
+  test("gram-family probes never shuffle the corpus-sized gram model") {
+    // r11's standing-model promotion made the duplicated-gram
+    // semi-join bucket-co-located: the corpus-sized gram_starts side
+    // must reach its join without crossing a SHUFFLE (a broadcast of
+    // the small shared set is fine — the guarded property is that the
+    // big side stays put). A dropped bucket spec or a key-mangling
+    // refactor would reintroduce the exchange this pins out.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case other => other.children
+    }
+    def scanNoShuffle(p: SparkPlan, tbl: String): Boolean = p match {
+      case _: ShuffleExchangeLike => false
+      case s: FileSourceScanExec => s.toString.contains(tbl)
+      case other => kids(other).exists(scanNoShuffle(_, tbl))
+    }
+    def probeInPlace(p: SparkPlan): Boolean = {
+      val self = p match {
+        case j: BaseJoinExec =>
+          scanNoShuffle(j.left, "graft_gram_starts_10") ||
+            scanNoShuffle(j.right, "graft_gram_starts_10")
+        case _ => false
+      }
+      self || kids(p).exists(probeInPlace)
+    }
+    for (name <- Seq("dd_substring", "dd_substring_scrub")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      assert(probeInPlace(p),
+        s"$name: the gram_starts side of the dup probe crossed a " +
+          s"shuffle:\n${p.toString.take(1500)}")
     }
   }
 
