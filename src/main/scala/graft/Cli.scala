@@ -203,6 +203,14 @@ object Cli {
              else targets.keys.toSeq.sorted.mkString(", "))))
       case None => Map.empty
     }
+    // a typoed key (target.prod.thread=16) must fail loudly like an
+    // unknown target name does, not silently fall back to defaults
+    val unknown = conf.keys.filterNot(k =>
+      k == "storage" || k == "threads" || k.startsWith("spark."))
+    require(unknown.isEmpty,
+      s"target '${chosen.getOrElse("")}' has unrecognized key(s): " +
+        s"${unknown.toSeq.sorted.mkString(", ")} " +
+        "(expected storage, threads, or spark.<conf>)")
     TargetConfig(
       storage = storageFlag.orElse(conf.get("storage"))
         .getOrElse(sys.props("java.io.tmpdir") + "/graft-cli"),

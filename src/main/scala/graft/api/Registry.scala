@@ -211,12 +211,12 @@ final class Registry(val root: String) {
     * between), instead of silently clobbering its commit. The
     * reference ran its swap inside a warehouse transaction
     * (`lib.py:429-472`); a version check is the object-store
-    * equivalent. On the overwrite-PUT branch the pointer is
-    * additionally re-read after the write: a PUT is atomic but not
-    * conditional, so a racing writer landing between our write and the
-    * re-read surfaces as a conflict rather than a silent
-    * last-writer-wins (the loser retries from a fresh read). `None`
-    * preserves the unconditional swap for single-writer flows.
+    * equivalent. On BOTH branches the pointer is additionally re-read
+    * after our commit: neither a PUT nor a rename-OVERWRITE is
+    * conditional, so a racing writer landing inside the
+    * check-then-commit window surfaces as a conflict rather than a
+    * silent last-writer-wins (the loser retries from a fresh read).
+    * `None` preserves the unconditional swap for single-writer flows.
     */
   def swapPointer(name: String, versionDir: String,
       meta: Map[String, String] = Map.empty,
@@ -259,31 +259,36 @@ final class Registry(val root: String) {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
             fs.delete(tmp, false)
             writeFile(pointerFile(name), content)
-            verifyPut(name, content, expectedVersion)
         }
       } else {
         writeFile(pointerFile(name), content)
-        verifyPut(name, content, expectedVersion)
       }
+      // BOTH branches: a rename-OVERWRITE is atomic but just as
+      // unconditional as a PUT, so the cross-JVM race (two drivers
+      // passing the pre-check before either commits) needs the same
+      // post-commit re-read on the rename path too
+      verifyCommit(name, content, expectedVersion)
     }
   }
 
-  /** PUT-branch lost-race detection: when the caller asked for a
-    * version-checked swap, re-read the pointer after the overwrite-PUT
-    * and require it to be OUR write — an object store has no
-    * conditional PUT, so this is the narrowest honest window. Skipped
-    * for unconditional swaps (their documented cross-JVM semantic is
-    * single-writer / last-writer-wins).
+  /** Lost-race detection for version-checked swaps: re-read the
+    * pointer after OUR commit and require it to still be OUR write —
+    * neither an object-store PUT nor a rename-OVERWRITE is
+    * conditional, so this post-commit check is the narrowest honest
+    * window on both branches (the loser sees the winner's bytes and
+    * retries from a fresh read). Skipped for unconditional swaps
+    * (their documented cross-JVM semantic is single-writer /
+    * last-writer-wins).
     */
-  private def verifyPut(name: String, written: String,
+  private def verifyCommit(name: String, written: String,
       expectedVersion: Option[String]): Unit =
     expectedVersion.foreach { _ =>
       val live = readFile(pointerFile(name))
       if (live != written)
         throw new SwapConflictException(
           s"swap conflict on '$name': pointer overwritten by a racing " +
-            "writer immediately after this driver's PUT — retry from a " +
-            "fresh read")
+            "writer immediately after this driver's commit — retry " +
+            "from a fresh read")
     }
 
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */

@@ -30,8 +30,22 @@ object GraftFunctions {
         exprs => LshBucket(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_md5_prefix",
-        exprs => Md5Prefix(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+        exprs => {
+          // validate here: a bare exprs(1).eval() turns a missing or
+          // non-literal digits arg into IndexOutOfBounds/NPE instead
+          // of a usable resolution error
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"graft_md5_prefix(str, digits) takes 2 arguments, " +
+              s"got ${exprs.length}")
+          val digits = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions
+                  .Literal(v: Number, _) => v.intValue
+            case other => throw new IllegalArgumentException(
+              "graft_md5_prefix digits must be an integer literal, " +
+                s"got ${other.sql}")
+          }
+          Md5Prefix(exprs.head, digits)
+        }, "built-in")
     }
   }
 }

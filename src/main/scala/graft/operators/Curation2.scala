@@ -23,6 +23,29 @@ object Curation2 extends QueryPack {
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
 
+  /** The (doc_id, start, gram-hash) explode of a (doc_id, w:
+    * array<string>) relation — the map-side kernel shared by the
+    * standing [[gramStarts]] build and [[graft.streaming.StreamScrub]]'s
+    * per-micro-batch probe (one kernel ⇒ batch ≡ stream by
+    * construction). The gram string dies inside this map stage.
+    */
+  private[graft] def gramHashes(docs: DataFrame, k: Int = 10)
+      : DataFrame = {
+    // graft_md5_prefix = the native codegen'd form of the
+    // conv(substr(md5(g),1,15),16,10) idiom the oracle replays —
+    // identical values, no hex-string round trip per gram occurrence
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("s"),
+            array_join(slice(col("w"), i, lit(k)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<s:int,g:string>>")))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"),
+        expr("graft_md5_prefix(sg.g, 15)").as("gh"))
+  }
+
   /** The exploded (doc_id, start, gram-hash) relation as a STANDING
     * bucketed model — the compute-at-ingest/probe-many posture the
     * SimHash signatures earned in r10, applied to the exact-substring
@@ -48,29 +71,6 @@ object Curation2 extends QueryPack {
     *     un-materialized form recomputed the explode for each of its
     *     two consumers).
     */
-  /** The (doc_id, start, gram-hash) explode of a (doc_id, w:
-    * array<string>) relation — the map-side kernel shared by the
-    * standing [[gramStarts]] build and [[graft.streaming.StreamScrub]]'s
-    * per-micro-batch probe (one kernel ⇒ batch ≡ stream by
-    * construction). The gram string dies inside this map stage.
-    */
-  private[graft] def gramHashes(docs: DataFrame, k: Int = 10)
-      : DataFrame = {
-    // graft_md5_prefix = the native codegen'd form of the
-    // conv(substr(md5(g),1,15),16,10) idiom the oracle replays —
-    // identical values, no hex-string round trip per gram occurrence
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"), explode(when(size(col("w")) >= k,
-        transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => struct(i.as("s"),
-            array_join(slice(col("w"), i, lit(k)), " ").as("g"))))
-        .otherwise(array().cast("array<struct<s:int,g:string>>")))
-        .as("sg"))
-      .select(col("doc_id"), col("sg.s").as("s"),
-        expr("graft_md5_prefix(sg.g, 15)").as("gh"))
-  }
-
   private[graft] def gramStarts(spark: SparkSession, dir: String)
       : DataFrame =
     Shared.model(spark, dir, "gram_starts_10", "gh", { (s, d) =>
@@ -250,12 +250,6 @@ object Curation2 extends QueryPack {
         .filter(col("d0") =!= col("d1"))
         .select("gh"))
 
-  /** Cut every position of `docs` (doc_id, w) covered by a gram whose
-    * hash is in `shared`, and emit the scrub profile — the kernel
-    * [[ddSubstringScrub]] and [[graft.streaming.StreamScrub]] share,
-    * so batch and stream rewrite identically by construction. `grams`
-    * must be the [[gramHashes]] explode of the same `docs`.
-    */
   /** The covered-position sets of `grams`' documents vs `shared`, and
     * the surviving-words expression — the two shared pieces of the
     * profile form ([[scrubAgainst]]) and the rewrite form
@@ -276,6 +270,12 @@ object Curation2 extends QueryPack {
       not(array_contains(
         coalesce(col("cov"), array().cast("array<int>")), i + 1)))
 
+  /** Cut every position of `docs` (doc_id, w) covered by a gram whose
+    * hash is in `shared`, and emit the scrub profile — the kernel
+    * [[ddSubstringScrub]] and [[graft.streaming.StreamScrub]] share,
+    * so batch and stream rewrite identically by construction. `grams`
+    * must be the [[gramHashes]] explode of the same `docs`.
+    */
   private[graft] def scrubAgainst(docs: DataFrame, grams: DataFrame,
       shared: DataFrame, k: Int = 10): DataFrame =
     docs.join(coveredPositions(grams, shared, k), Seq("doc_id"), "left")
@@ -368,16 +368,21 @@ object Curation2 extends QueryPack {
   /** The reference half's per-bucket unigram counts (even doc_ids) off
     * the standing doc_terms model — [[cuDrift]]'s baseline, and the
     * standing distribution the streaming monitor compares arrivals to.
+    * Itself a STANDING model (≤256 rows): the ingest monitor probes it
+    * every micro-batch, so the reference side must be a tiny parquet
+    * read, never a per-batch re-aggregation of the corpus-sized
+    * doc_terms relation.
     */
   private[graft] def driftRefCounts(spark: SparkSession, dir: String)
       : DataFrame =
-    TextAnalysis.docTerms(spark, dir)
-      .filter(col("doc_id") % 2 === 0)
-      .select(
-        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
-          .as("b"),
-        col("cnt"))
-      .groupBy("b").agg(sum(col("cnt")).as("ref_cnt"))
+    Shared.model(spark, dir, "drift_ref_256", "b", (s, d) =>
+      TextAnalysis.docTerms(s, d)
+        .filter(col("doc_id") % 2 === 0)
+        .select(
+          expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
+            .as("b"),
+          col("cnt"))
+        .groupBy("b").agg(sum(col("cnt")).as("ref_cnt")))
 
   def cuDrift(spark: SparkSession, dir: String): DataFrame = {
     val byB = TextAnalysis.docTerms(spark, dir)
@@ -449,9 +454,22 @@ object Curation2 extends QueryPack {
 
   /** The 3 training iterations: returns the per-iteration best-pair
     * frames and the FINAL symbol table (the trained segmentation of
-    * every vocab term).
+    * every vocab term). Memoized per corpus dir: the two standing
+    * models ([[bpeSegmentation]], [[bpeLearnedMerges]]) are byproducts
+    * of ONE pass — sharing the per-iteration cached frames means a
+    * process touching both trains once, not twice. The memo is skipped
+    * under `graft.schemaOnly` so a schema-only walk can't seed real
+    * consumers with unmaterialized-lineage frames.
     */
+  private val bpeTrained = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[DataFrame], DataFrame)]
+
   private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    if (Shared.schemaOnly(spark)) bpeTrainOnce(spark, dir)
+    else bpeTrained.getOrElseUpdate(dir, bpeTrainOnce(spark, dir))
+
+  private def bpeTrainOnce(spark: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {
     val byPos = Window.partitionBy("term").orderBy("pos")
     def iter(seq: DataFrame): (DataFrame, DataFrame) = {

@@ -51,10 +51,18 @@ object StreamBpe {
           .select(col("left_sym").as("bl"), col("right_sym").as("br"),
             col("merged").as("bm")))
     val perTerm = seq.groupBy("term").agg(count(lit(1)).as("n_syms"))
-    words.join(perTerm, Seq("term"))
+    val perDoc = words.join(perTerm, Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("n_syms")).cast("long").as("n_tokens"))
+    // every input doc reports, including empty/whitespace-only ones
+    // (no words → no exploded rows): a per-doc ingest readout that
+    // silently drops documents breaks downstream accounting
+    batchDocs.select("doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -255,6 +255,16 @@ class ProjectSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("staging") &&
       err.getMessage.contains("dev"))
+    // a typoed key inside a target block fails loudly too (the
+    // reference's bad-profile posture), never a silent default
+    val proj2 = Files.createTempDirectory("graft-proj-typo")
+    Files.writeString(proj2.resolve("project.meta"),
+      "target.prod.thread=16\ntarget.prod.storage=/tmp/x\n")
+    val typo = intercept[IllegalArgumentException] {
+      graft.Cli.resolveTarget(proj2.toString, Some("prod"), None, None)
+    }
+    assert(typo.getMessage.contains("thread") &&
+      typo.getMessage.contains("unrecognized"))
     // a target-less project keeps the historical defaults
     val bare = graft.Cli.resolveTarget("examples/jaffle", None, None, None)
     assert(bare.name.isEmpty && bare.threads == 4)

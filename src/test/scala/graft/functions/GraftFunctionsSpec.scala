@@ -115,5 +115,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
     intercept[Exception] {
       df.select(expr("graft_md5_prefix(s, 16)")).head
     }
+    // arity and non-literal digits fail with a usable message, not
+    // IndexOutOfBounds/NPE from the registry lambda
+    val e1 = intercept[Exception] {
+      df.select(expr("graft_md5_prefix(s)")).head
+    }
+    assert(e1.getMessage.contains("2 arguments"))
+    val e2 = intercept[Exception] {
+      df.select(expr("graft_md5_prefix(s, length(s))")).head
+    }
+    assert(e2.getMessage.contains("integer literal"))
   }
 }

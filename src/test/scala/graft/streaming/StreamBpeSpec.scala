@@ -59,6 +59,8 @@ class StreamBpeSpec extends AnyFunSuite {
     val (l1, r1) = learned.head
     val novelWords = Seq(s"zq$l1${r1}xv", s"$l1$r1$l1$r1", "zzzzz")
     val novel = (777001L, novelWords.mkString(" "))
+    // wordless docs must still report (0, 0), not vanish from the sink
+    val empty = (777002L, "   ")
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[(Long, Long, Long)]()
@@ -71,11 +73,13 @@ class StreamBpeSpec extends AnyFunSuite {
       input.addData(corpusDocs)
       q.processAllAvailable()
       assert(got.size == 2, "first micro-batch should emit 2 rows")
-      input.addData(Seq(novel))
+      input.addData(Seq(novel, empty))
       q.processAllAvailable()
     } finally q.stop()
     val byId = got.map(r => r._1 -> r).toMap
-    assert(got.size == 3)
+    assert(got.size == 4)
+    assert(byId(777002L) == ((777002L, 0L, 0L)),
+      "a wordless doc must report (0, 0), not drop from the readout")
 
     // (a) independent sequential-fold reference, every doc
     for ((id, text) <- corpusDocs :+ novel) {
