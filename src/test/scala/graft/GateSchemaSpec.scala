@@ -60,7 +60,10 @@ class GateSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
   // both at once (dd_minhash_resolve). Each constructs the query REAL
   // (flag off) and gated (flag on) and requires identical top-level
   // (name, dataType) — the only properties the gate reads.
-  Seq("dd_cluster", "sim_ivf_topk", "dd_minhash_resolve").foreach { name =>
+  // r11 adds the gram + BPE standing models — their queries join the
+  // parity set so the schemaOnly substitutes can't drift either
+  Seq("dd_cluster", "sim_ivf_topk", "dd_minhash_resolve",
+      "dd_substring_scrub", "tx_bpe_apply").foreach { name =>
     test(s"schemaOnly parity: $name matches the real construction") {
       val fn = SparkEntry.queries(name)
       spark.conf.unset("graft.schemaOnly")
