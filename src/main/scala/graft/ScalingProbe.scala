@@ -160,10 +160,13 @@ object ScalingProbe {
 - **dd_substring / dd_substring_scrub** (VERDICT r10 #5, closed r11):
   the 10-gram explode is now a STANDING model bucketed on a 60-bit
   md5-prefix BIGINT of the gram (the oracle hashes identically, so the
-  gate stays exact) — the gram string never exists at query time, the
-  doc-freq aggregate and the duplicated-gram semi-join are bucket-local
-  with zero exchange, and the explode+hash are paid once per corpus at
-  ingest (the `standing_models` cold block) instead of twice per scrub.
+  gate stays exact — sf1 exact closure re-earned, RESOLVE_ORACLE.md),
+  and the duplicated-gram set is ITSELF a second standing model off the
+  first — the gram string never exists at query time, the scrub's dup
+  probe is a bucket-co-located semi-join with zero exchange on the
+  corpus side (plan-guarded by PlanPropertiesSpec), and the
+  explode+hash are paid once per corpus at ingest (the
+  `standing_models` cold block) instead of twice per scrub.
   Warm sf1 local[4] moved 8.4 s → ~4.1 s (scrub) and → ~1.0 s
   (profile) in same-session A/B. The remaining scrub cost is the
   rewrite contract itself: the sf1 tiling's planted clones make most
