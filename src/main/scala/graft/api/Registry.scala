@@ -275,10 +275,18 @@ final class Registry(val root: String) {
     * pointer after OUR commit and require it to still be OUR write —
     * neither an object-store PUT nor a rename-OVERWRITE is
     * conditional, so this post-commit check is the narrowest honest
-    * window on both branches (the loser sees the winner's bytes and
-    * retries from a fresh read). Skipped for unconditional swaps
-    * (their documented cross-JVM semantic is single-writer /
+    * window on both branches. Skipped for unconditional swaps (their
+    * documented cross-JVM semantic is single-writer /
     * last-writer-wins).
+    *
+    * An alarm here is AMBIGUOUS by construction (an unconditional
+    * store can't distinguish the two): either this writer lost a
+    * same-base race (its commit was clobbered), or its commit LANDED
+    * and a later writer legitimately built on it inside the re-read
+    * window. The caller must therefore re-read the live state and
+    * RE-DECIDE — never blindly re-apply the same version, which in the
+    * second case would clobber a successor that already consumed this
+    * commit. The exception message carries that instruction.
     */
   private def verifyCommit(name: String, written: String,
       expectedVersion: Option[String]): Unit =
@@ -286,9 +294,11 @@ final class Registry(val root: String) {
       val live = readFile(pointerFile(name))
       if (live != written)
         throw new SwapConflictException(
-          s"swap conflict on '$name': pointer overwritten by a racing " +
-            "writer immediately after this driver's commit — retry " +
-            "from a fresh read")
+          s"swap conflict on '$name': another writer's bytes follow " +
+            "this driver's commit — EITHER this swap lost a same-base " +
+            "race OR it committed and was already superseded; re-read " +
+            "the live version and re-decide (do not blindly re-apply " +
+            "the same version)")
     }
 
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
@@ -321,7 +331,10 @@ final class Registry(val root: String) {
 /** A version-checked [[Registry.swapPointer]] found another driver's
   * commit where the caller's read expected its own base version — the
   * multi-writer catalog conflict the reference's warehouse transaction
-  * prevented. Callers retry from a fresh read or surface the conflict.
+  * prevented. Callers must re-read the live version and RE-DECIDE (a
+  * post-commit alarm can also mean this commit landed and was
+  * legitimately superseded — see `verifyCommit`), never blindly
+  * re-apply the same version.
   */
 final class SwapConflictException(msg: String)
   extends RuntimeException(msg)

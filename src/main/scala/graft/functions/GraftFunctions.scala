@@ -37,9 +37,15 @@ object GraftFunctions {
           if (exprs.length != 2) throw new IllegalArgumentException(
             s"graft_md5_prefix(str, digits) takes 2 arguments, " +
               s"got ${exprs.length}")
+          // foldable (not just bare-literal): `1+14` or CAST(15 AS INT)
+          // resolve here the same way the old eval()-path accepted them
           val digits = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions
-                  .Literal(v: Number, _) => v.intValue
+            case f if f.foldable => f.eval() match {
+              case n: Number => n.intValue
+              case other => throw new IllegalArgumentException(
+                "graft_md5_prefix digits must be an integer literal, " +
+                  s"got $other")
+            }
             case other => throw new IllegalArgumentException(
               "graft_md5_prefix digits must be an integer literal, " +
                 s"got ${other.sql}")

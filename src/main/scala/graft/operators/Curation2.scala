@@ -459,15 +459,19 @@ object Curation2 extends QueryPack {
     * of ONE pass — sharing the per-iteration cached frames means a
     * process touching both trains once, not twice. The memo is skipped
     * under `graft.schemaOnly` so a schema-only walk can't seed real
-    * consumers with unmaterialized-lineage frames.
+    * consumers with unmaterialized-lineage frames, and is keyed on the
+    * SESSION as well as the dir: the frames (and their cached
+    * intermediates) are session-bound, so a restarted session must
+    * re-derive rather than receive plans pinned to a stopped session.
     */
   private val bpeTrained = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[DataFrame], DataFrame)]
+    .empty[(Int, String), (Seq[DataFrame], DataFrame)]
 
   private def bpeTrain(spark: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) =
     if (Shared.schemaOnly(spark)) bpeTrainOnce(spark, dir)
-    else bpeTrained.getOrElseUpdate(dir, bpeTrainOnce(spark, dir))
+    else bpeTrained.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), bpeTrainOnce(spark, dir))
 
   private def bpeTrainOnce(spark: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {

@@ -36,8 +36,12 @@ object StreamBpe {
     */
   def tokenizeBatch(spark: SparkSession, dir: String,
       batchDocs: DataFrame): DataFrame = {
-    val words = batchDocs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // one shared projection of the (in-memory) micro-batch: the word
+    // explode and the all-docs readout both derive from it
+    val docsW = batchDocs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docsW
+      .select(col("doc_id"), explode(col("w")).as("term"))
       .filter(length(col("term")) > 0)
     var seq = words.select("term").distinct()
       .select(col("term"), lit(1L).as("tcnt"),
@@ -58,7 +62,7 @@ object StreamBpe {
     // every input doc reports, including empty/whitespace-only ones
     // (no words → no exploded rows): a per-doc ingest readout that
     // silently drops documents breaks downstream accounting
-    batchDocs.select("doc_id").distinct()
+    docsW.select("doc_id").distinct()
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

@@ -171,42 +171,47 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("gram-family probes never shuffle the corpus-sized gram model") {
-    // r11's standing-model promotion made the duplicated-gram
-    // semi-join bucket-co-located: the corpus-sized gram_starts side
-    // must reach its join without crossing a SHUFFLE (a broadcast of
-    // the small shared set is fine — the guarded property is that the
-    // big side stays put). A dropped bucket spec or a key-mangling
-    // refactor would reintroduce the exchange this pins out.
+    // r11's standing-model promotion made every gram-keyed step
+    // bucket-local: RAW gram_starts rows (the corpus-sized explode)
+    // must never feed a shuffle directly — the only things allowed to
+    // cross an exchange are AGGREGATED derivatives (the doc-keyed
+    // partial aggregates, which are reduced before they move). The
+    // guard asserts it for EVERY shuffle in the plan, not just one
+    // lucky join: a dropped bucket spec or key-mangling refactor
+    // reintroduces a raw-row exchange and fails here.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
     def kids(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
       case other => other.children
     }
-    def scanNoShuffle(p: SparkPlan, tbl: String): Boolean = p match {
-      case _: ShuffleExchangeLike => false
+    // true when raw (un-aggregated) rows of `tbl` reach this node
+    def rawScanReaches(p: SparkPlan, tbl: String): Boolean = p match {
+      case _: BaseAggregateExec => false // partials reduce before moving
       case s: FileSourceScanExec => s.toString.contains(tbl)
-      case other => kids(other).exists(scanNoShuffle(_, tbl))
+      case other => kids(other).exists(rawScanReaches(_, tbl))
     }
-    def probeInPlace(p: SparkPlan): Boolean = {
+    def shuffledRawRows(p: SparkPlan, tbl: String): Boolean = {
       val self = p match {
-        case j: BaseJoinExec =>
-          scanNoShuffle(j.left, "graft_gram_starts_10") ||
-            scanNoShuffle(j.right, "graft_gram_starts_10")
+        case sh: ShuffleExchangeLike => rawScanReaches(sh, tbl)
         case _ => false
       }
-      self || kids(p).exists(probeInPlace)
+      self || kids(p).exists(shuffledRawRows(_, tbl))
     }
     for (name <- Seq("dd_substring", "dd_substring_scrub")) {
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
-      assert(probeInPlace(p),
-        s"$name: the gram_starts side of the dup probe crossed a " +
-          s"shuffle:\n${p.toString.take(1500)}")
+      assert(!shuffledRawRows(p, "graft_gram_starts_10"),
+        s"$name: raw gram_starts rows crossed a shuffle:\n" +
+          p.toString.take(1500))
+      // and the probe genuinely reads the standing model
+      assert(rawScanReaches(p, "graft_gram_starts_10") ||
+        p.toString.contains("graft_gram_starts_10"),
+        s"$name no longer reads the standing gram model")
     }
   }
 
