@@ -97,12 +97,20 @@ object Bench {
     val standing = graft.operators.Shared.buildSeconds.toSeq.sortBy(_._1)
       .map { case (k, v) => "    " + jstr(k) + ": " + fmt(v, "%.3f") }
       .mkString("  \"standing_models\": {\n", ",\n", "\n  }")
+    // catalog-resident since r12: models RESOLVED from the durable
+    // standing catalog (fingerprint hit, zero rebuild) — on a
+    // catalog-warm run standing_models is empty and this block carries
+    // the near-zero resolve costs (the cold ≈ warm evidence)
+    val resolved = graft.operators.Shared.resolveSeconds.toSeq
+      .sortBy(_._1)
+      .map { case (k, v) => "    " + jstr(k) + ": " + fmt(v, "%.3f") }
+      .mkString("  \"standing_resolved\": {\n", ",\n", "\n  }")
     val errBlock = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => "    " + jstr(k) + ": " + jstr(v) }
       .mkString("  \"errors\": {\n", ",\n", "\n  }")
     val detail = (results.toSeq.sortBy(_._1)
       .map { case (k, v) => "  " + jstr(k) + ": " + fmt(v, "%.3f") }
-      :+ standing :+ errBlock)
+      :+ standing :+ resolved :+ errBlock)
       .mkString("{\n", ",\n", "\n}\n")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

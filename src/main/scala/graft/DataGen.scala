@@ -88,6 +88,10 @@ object DataGen {
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$dest/$name.parquet")
       Tables.invalidate(dest, name) // see Tables.schemaCache scaladoc
+      // standing models memoized for this dir were built from the
+      // pre-rewrite files (ADVICE r11): drop the in-process trust (the
+      // durable layer self-heals via the corpus fingerprint)
+      graft.operators.Shared.invalidate(dest)
       println(s"[datagen] $name -> $dest/$name.parquet ($files files)")
     }
 
@@ -151,8 +155,10 @@ object DataGen {
     shifted.repartition(files).write.mode("overwrite")
       .parquet(s"$dest/$table.parquet")
     // the process-wide schema cache must not serve a pre-rewrite entry
-    // for a table this process just (re)generated
+    // for a table this process just (re)generated; same for standing
+    // models memoized from the pre-rewrite files (ADVICE r11)
     Tables.invalidate(dest, table)
+    graft.operators.Shared.invalidate(dest)
     println(s"[datagen] $table -> $dest/$table.parquet ($files files)")
   }
 

@@ -387,6 +387,58 @@ final class FalApi(
     res
   }
 
+  /** O(increment) bucket-aligned APPEND into a bucketed model's
+    * CURRENT version: the increment is `insertInto`'d the catalog
+    * table, so Spark writes it as additional bucket-id-suffixed files
+    * inside the same bucket layout (verified: the post-append scan
+    * stays `Bucketed: true` — multiple files per bucket concatenate
+    * into one bucket partition — and bucket-keyed joins/aggregations
+    * remain exchange-free). This is the third write mode the standing
+    * corpus-derived models need (VERDICT r11 item #1): `writeToModel
+    * append` on a clustered model re-materializes the whole relation
+    * to preserve its layout — correct for arbitrary relations, but a
+    * full corpus rewrite per ingest batch at 100 TB — while this path
+    * costs O(batch) no matter how large the accumulated model is.
+    *
+    * The trade is explicit: the current version directory is mutated
+    * in place, so snapshot isolation ([[refVersion]] immutability) is
+    * waived for this model — appropriate for standing DERIVED state
+    * (an index maintained alongside its corpus), not for user-facing
+    * history. Readers concurrent with the append may see a partial
+    * increment (single-writer ingest, the registry's documented
+    * cross-JVM invariant). `pointerMeta` (e.g. the corpus fingerprint
+    * advance) commits via the pointer swap AFTER the files land: a
+    * crash in between leaves a stale fingerprint, which the next
+    * resolve treats as a miss and rebuilds — self-healing, never
+    * silently wrong.
+    */
+  def appendToBucketedModel(df: DataFrame, name: String,
+      pointerMeta: Map[String, String] = Map.empty): WriteResult = {
+    require(allowWrites, "write_to_model is not allowed in hooks")
+    val cur = registry.currentPath(name).getOrElse(
+      throw new IllegalStateException(s"model not materialized: $name"))
+    val marker = FsIO.child(cur, "_bucketed_table")
+    require(FsIO.exists(marker),
+      s"appendToBucketedModel: $name's current version is not bucketed " +
+        "(use writeToModel mode=append)")
+    // readResolved re-registers the catalog table from the marker when
+    // this session (a fresh process) has not seen it yet
+    val resolved = readResolved(name, cur)
+    val tbl = FsIO.readString(marker).trim.split("\n").head.trim
+    val cols = resolved.columns
+    require(df.columns.toSet == cols.toSet,
+      s"append increment columns ${df.columns.mkString(",")} != model " +
+        s"columns ${cols.mkString(",")}")
+    // insertInto resolves POSITIONALLY — align to the table's order
+    df.select(cols.map(col).toIndexedSeq: _*).write.insertInto(tbl)
+    registry.swapPointer(name, cur, pointerMeta)
+    val rows = spark.table(tbl).count()
+    ledger.record(name, Status.Success,
+      s"append_bucketed totalRows=$rows${fileSkew(cur)}")
+    registry.setStatus(name, Status.Success)
+    WriteResult(name, rows, "append_bucketed")
+  }
+
   /** C20 — incremental `merge` strategy (ref: strategy list
     * `A/dbt/fal/adapters/python/impl.py:256-291`): upsert by key —
     * existing rows whose key appears in the increment are replaced. One

@@ -135,10 +135,21 @@ final class Registry(val root: String) {
   def currentPath(name: String): Option[String] = {
     val p = pointerFile(name)
     if (fs.exists(p))
-      Some(new Path(modelDir(name),
-        readFile(p).linesIterator.next().trim).toString)
+      Some(new Path(modelDir(name), pointerVersionLine(p)).toString)
     else None
   }
+
+  /** First (version) line of a pointer file. An empty or torn pointer
+    * (plausible on the non-atomic object-store PUT path) fails with a
+    * descriptive error instead of NoSuchElementException (ADVICE r11).
+    */
+  private def pointerVersionLine(p: Path): String =
+    readFile(p).linesIterator.toSeq.headOption.map(_.trim)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"empty or torn pointer file: $p — the pointer names no " +
+          "version; restore it from the newest version directory or " +
+          "drop and rewrite the relation"))
 
   /** Pointer metadata: the `k=v` lines after the version line. Written
     * atomically WITH the pointer swap (one atomic pointer replace), so a
@@ -167,7 +178,7 @@ final class Registry(val root: String) {
     */
   def currentVersion(name: String): Option[String] = {
     val p = pointerFile(name)
-    if (fs.exists(p)) Some(readFile(p).linesIterator.next().trim)
+    if (fs.exists(p)) Some(pointerVersionLine(p))
     else None
   }
 
@@ -300,6 +311,50 @@ final class Registry(val root: String) {
             "the live version and re-decide (do not blindly re-apply " +
             "the same version)")
     }
+
+  /** Bounded optimistic-concurrency loop over version-checked swaps
+    * (VERDICT r11 item #5): every caller of `expectedVersion` swaps
+    * used to hand-roll the read → decide → swap → on-conflict-re-read
+    * dance; this is that dance as a combinator, so concurrent writers
+    * CONVERGE instead of surfacing [[SwapConflictException]] to the
+    * user.
+    *
+    * `decide` receives the LIVE version name (None = no pointer yet)
+    * and returns `Some((versionDir, meta))` to commit against that
+    * base, or `None` to stop — the re-decide contract `verifyCommit`'s
+    * ambiguity demands: after a conflict the live state may already
+    * incorporate this writer's intent (its commit landed and was
+    * superseded), and only the caller can tell, so each retry decides
+    * from a FRESH read rather than re-applying a stale plan. Returns
+    * true when a commit landed, false when `decide` declined; throws
+    * after `maxAttempts` consecutive conflicts (livelock guard).
+    *
+    * When the base is None the swap is necessarily unconditional (no
+    * version to check against) — a two-driver CREATION race keeps the
+    * base API's last-writer-wins semantic; from the first committed
+    * version on, every retry is version-checked.
+    */
+  def retrySwap(name: String, maxAttempts: Int = 5)(
+      decide: Option[String] => Option[(String, Map[String, String])])
+      : Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(name)
+      decide(base) match {
+        case None => return false
+        case Some((versionDir, meta)) =>
+          try {
+            swapPointer(name, versionDir, meta, expectedVersion = base)
+            return true
+          } catch {
+            case _: SwapConflictException => attempt += 1
+          }
+      }
+    }
+    throw new SwapConflictException(
+      s"swap on '$name' still conflicting after $maxAttempts attempts " +
+        "— a faster writer is continuously advancing the pointer")
+  }
 
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
   def dropRelation(name: String): Unit = {

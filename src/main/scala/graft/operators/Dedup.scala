@@ -30,8 +30,17 @@ object Dedup extends QueryPack {
   /** documents ∪ truncated copies (+1M ids) ∪ verbatim copies of every
     * 5th doc (+2M ids).
     */
-  def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select("doc_id", "text", "n_chars")
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    corpusOf(t(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars"))
+
+  /** The synthetic-corpus derivation over any (doc_id, text, n_chars)
+    * frame — factored so [[StandingIngest]] can derive an arriving
+    * batch's corpus rows with the exact rule the full build uses
+    * (append ≡ rebuild by construction; the id-offset map is injective,
+    * so disjoint raw ids give disjoint derived ids). */
+  private[graft] def corpusOf(d0: DataFrame): DataFrame = {
+    val d = d0.select("doc_id", "text", "n_chars")
     val trunc = d.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       expr("substr(text, 1, CAST(greatest(n_chars - 15, 20) AS INT))")
@@ -505,14 +514,19 @@ object Dedup extends QueryPack {
   private[graft] def simhashSigs(spark: SparkSession,
       dir: String): DataFrame =
     Shared.model(spark, dir, "graft_simhash_sigs", "simhash",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val toks = TextAnalysis.tokens(col("text"))
-        corpus(s, d)
-          .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-          .groupBy("doc_id")
-          .agg(expr("graft_simhash(tok)").as("simhash"))
-      })
+      (s, d) => simhashOf(corpus(s, d)))
+
+  /** Per-doc 60-bit SimHash signatures of any (doc_id, text) frame —
+    * the build kernel of [[simhashSigs]], shared with
+    * [[StandingIngest]]'s per-batch increment. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .groupBy("doc_id")
+      .agg(expr("graft_simhash(tok)").as("simhash"))
+  }
 
   /** Banded hamming ≤ 2 candidate pairs over any `(id, simhash)`
     * relation — the join core shared by [[ddSimhash]] (ids are docs)

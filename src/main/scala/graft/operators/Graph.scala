@@ -247,5 +247,6 @@ object Graph extends QueryPack {
   */
 private[operators] object SharedGraph {
   def edges(spark: SparkSession, dir: String): DataFrame =
-    Shared.model(spark, dir, "edges_bipartite", "src", Graph.edgesOf)
+    Shared.model(spark, dir, "edges_bipartite", "src", Graph.edgesOf,
+      inputs = Seq("lineitem"))
 }

@@ -201,13 +201,8 @@ object Similarity extends QueryPack {
 
   /** Embeddings as double arrays with norms — the shared scan of the
     * ANN family. */
-  private def embNorm(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
-      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
-  }
+  private def embNorm(spark: SparkSession, dir: String): DataFrame =
+    embNormOf(t(spark, dir, "embeddings"))
 
   /** Lloyd refinement rounds for the standing IVF centroids (VERDICT
     * r8 #9). The round count is FIXED, not ε-stopped: every round is
@@ -277,7 +272,8 @@ object Similarity extends QueryPack {
       extraMeta = Map("ivf_nc" -> p.nc.toString,
         "ivf_rounds" -> LloydRounds.toString,
         "ivf_k" -> p.k.toString, "ivf_stride" -> p.stride.toString,
-        "ivf_nprobe" -> p.nprobe.toString))
+        "ivf_nprobe" -> p.nprobe.toString),
+      inputs = Seq("embeddings"))
   }
 
   /** Standing IVF index: every corpus vector in its max-cosine refined
@@ -289,21 +285,42 @@ object Similarity extends QueryPack {
       dir: String): DataFrame = {
     val p = ivfParams(spark, dir)
     Shared.model(spark, dir,
-      s"graft_ivf_index_k${p.k}_r$LloydRounds", "cell", {
-      (s, d) =>
-      val cents = ivfCentsModel(s, d)
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cell"))
-      embNorm(s, d).filter(col("vec_id") >= 10).join(broadcast(cents))
-        .withColumn("cos_c",
-          clampCos(expr("graft_dot_product(emb, cent_emb)") /
-            (col("norm") * col("cent_norm"))))
-        .withColumn("crank", row_number().over(byVec))
-        .filter(col("crank") === 1)
-        .select(col("vec_id").as("neighbor_id"),
-          col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
-    }, extraMeta = Map("ivf_nc" -> p.nc.toString,
-      "ivf_k" -> p.k.toString, "ivf_nprobe" -> p.nprobe.toString))
+      s"graft_ivf_index_k${p.k}_r$LloydRounds", "cell",
+      (s, d) => ivfAssign(embNorm(s, d).filter(col("vec_id") >= 10),
+        ivfCentsModel(s, d)),
+      extraMeta = Map("ivf_nc" -> p.nc.toString,
+      "ivf_k" -> p.k.toString, "ivf_nprobe" -> p.nprobe.toString),
+      inputs = Seq("embeddings"))
+  }
+
+  /** Max-cosine cell assignment of a normalized (vec_id, emb, norm)
+    * frame against a centroid frame — the build kernel of
+    * [[ivfIndexModel]], shared with [[StandingIngest]]'s per-batch
+    * assignment append (a new vector's index row depends only on its
+    * own embedding and the retained centroids, so append ≡ rebuild
+    * under the fixed-centroid policy). */
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cell"))
+    e.join(broadcast(cents))
+      .withColumn("cos_c",
+        clampCos(expr("graft_dot_product(emb, cent_emb)") /
+          (col("norm") * col("cent_norm"))))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"),
+        col("emb").as("c_emb"), col("norm").as("c_norm"), col("cell"))
+  }
+
+  /** Normalized double-cast view of any (vec_id, embedding) frame —
+    * the [[embNorm]] kernel over a batch instead of the table. */
+  private[graft] def embNormOf(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
   }
 
   /** A query frame's nprobe nearest refined cells — (query_id, q_emb,
@@ -484,7 +501,7 @@ object Similarity extends QueryPack {
   private[graft] def pqCodebookModel(spark: SparkSession,
       dir: String): DataFrame =
     Shared.model(spark, dir, "graft_pq_codebook", "m",
-      (s, d) => pqTrainedCodebook(s, d))
+      (s, d) => pqTrainedCodebook(s, d), inputs = Seq("embeddings"))
 
   /** Standing encoded corpus: each corpus vector's 16 codes, bucketed
     * on neighbor_id so the per-query ADC aggregation groups in place —
@@ -499,7 +516,7 @@ object Similarity extends QueryPack {
         .agg(min(struct(col("sd"), col("code"))).as("mc"))
         .select(col("vec_id").as("neighbor_id"), col("m").as("cm"),
           col("mc.code").as("code"))
-    })
+    }, inputs = Seq("embeddings"))
 
   def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val codes = pqCodesModel(spark, dir)

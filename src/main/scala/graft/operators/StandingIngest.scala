@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.WriteResult
+
+/** Incremental maintenance of the catalog-resident standing models
+  * (VERDICT r11 item #1, second half): when a batch of NEW documents
+  * (or embeddings) lands in a corpus dir, the row-shaped standing
+  * models absorb the batch's increment rows through
+  * [[graft.api.FalApi.appendToBucketedModel]] — O(batch) bucket-aligned
+  * appends computed by the SAME kernels the full builds and the
+  * streaming twins use — instead of triggering a corpus-sized rebuild.
+  * Each append commits the new corpus fingerprint in the same pointer
+  * swap, so the next resolve (this process or any other) reads the
+  * advanced state with zero rebuild. At 100 TB this is the difference
+  * between "ingest costs O(day's crawl)" and "ingest re-derives every
+  * index from the full corpus".
+  *
+  * What is appended vs rebuilt — the split is by ALGEBRAIC SHAPE:
+  *   - appended (this object): models whose rows are keyed per doc or
+  *     per (doc-local) group, where a new-docs batch's rows equal the
+  *     full build restricted to those docs — gram_starts_10, doc_terms,
+  *     doc_shingles, MinHash/SimHash signatures, the LSH band index —
+  *     plus gram_shared_10, whose increment (grams newly promoted to
+  *     corpus-duplicated) is computable bucket-locally against the
+  *     PRE-append gram_starts state, and the IVF assignment rows under
+  *     the fixed-centroid policy;
+  *   - rebuilt on next touch (fingerprint mismatch, automatic): models
+  *     whose rows mix old and new docs in one group or training loop —
+  *     bigram_counts / doc_perplexity (cross-doc counts), the
+  *     shingle_overlap pair table and cluster scores, drift_ref_256 /
+  *     BPE / PQ (aggregates & trained state), IVF centroids when the
+  *     corpus crosses a K geometry boundary (the model NAME carries K,
+  *     so the rebuild is automatic).
+  *
+  * Contract: land the batch's files in the corpus dir FIRST, then call
+  * with the batch as a DataFrame; batch ids must be new (disjoint from
+  * the existing corpus — the reference's incremental-model semantics,
+  * `impl.py` incremental strategies append new keys). A crash mid-way
+  * leaves some models advanced and others carrying the stale
+  * fingerprint; the stale ones rebuild on next touch — self-healing,
+  * never silently wrong. Batch ≡ rebuild equality on the gram and
+  * signature models is pinned by StandingIngestSpec.
+  */
+object StandingIngest {
+
+  private def api(spark: SparkSession, dir: String) =
+    new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
+      new graft.api.RunLedger)
+
+  /** Append one model's increment + fingerprint advance; None when the
+    * model was never materialized for this corpus (first touch will
+    * build it from the full corpus — already batch-inclusive). */
+  private def appendOne(spark: SparkSession, dir: String, name: String,
+      bucketBy: String, inputs: Seq[String], increment: => DataFrame)
+      : Option[(String, WriteResult)] =
+    Shared.resolveExisting(spark, dir, name).map { _ =>
+      val fp = Shared.modelFingerprint(spark, dir, name, bucketBy, inputs)
+      val res = api(spark, dir).appendToBucketedModel(increment, name,
+        Map(Shared.FingerprintKey -> fp))
+      Shared.markResolved(spark, dir, name)
+      name -> res
+    }
+
+  /** Absorb a batch of new documents (same columns as the `documents`
+    * table: doc_id, source, lang, text, n_chars at minimum) into every
+    * appendable documents-derived standing model that exists for `dir`.
+    * Returns the per-model write results (absent key = model not
+    * materialized yet, nothing to maintain).
+    */
+  def appendDocBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Map[String, WriteResult] = {
+    val docTab = Seq("documents")
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, WriteResult]
+
+    // ORDER MATTERS for the gram pair: the newly-shared increment's
+    // plan reads the PRE-append gram_starts state (a batch gram hash
+    // that already appeared in its own appended rows would make every
+    // batch gram look corpus-duplicated), so gram_shared_10 commits
+    // BEFORE gram_starts_10 absorbs the batch. insertInto snapshots
+    // the read side's file listing at planning, so the self-read in
+    // the anti-join below is likewise the pre-append state.
+    val batchW = batch
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val batchGrams = Curation2.gramHashes(batchW)
+    appendOne(spark, dir, "gram_shared_10", "gh", docTab, {
+      val oldStarts = Shared.resolveExisting(spark, dir, "gram_starts_10")
+        .getOrElse(throw new IllegalStateException(
+          "gram_shared_10 exists without gram_starts_10"))
+      val oldShared = Shared
+        .resolveExisting(spark, dir, "gram_shared_10").get
+      val byGh = batchGrams.groupBy("gh")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      // newly corpus-duplicated = duplicated WITHIN the batch, or
+      // present in the accumulated corpus (batch ids are new, so any
+      // overlap is a distinct-doc pair), minus the already-shared set.
+      // Every join is gh-keyed against gh-bucketed standing state.
+      byGh.filter(col("d0") =!= col("d1")).select("gh")
+        .union(byGh.select("gh")
+          .join(oldStarts.select("gh"), Seq("gh"), "left_semi"))
+        .distinct()
+        .join(oldShared, Seq("gh"), "left_anti")
+    }).foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams)
+      .foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "doc_terms", "term", docTab,
+      TextAnalysis.docTermsOf(batch))
+      .foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "doc_shingles", "shingle", docTab,
+      Dedup.shingleSet(batch.select(col("doc_id"), col("source"),
+          col("text")))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("shingle")).as("shingle")))
+      .foreach { case (k, v) => results.put(k, v) }
+
+    // the dedup corpus derivation (originals ∪ truncations ∪ clones)
+    // applies per doc, so the batch's derived rows are exactly the
+    // full derivation restricted to the batch
+    lazy val batchCorpus = Dedup.corpusOf(batch)
+    appendOne(spark, dir, "graft_lsh_sigs", "doc_id", docTab,
+      Dedup.sigsOf(batchCorpus.select("doc_id", "text")))
+      .foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "graft_lsh_band_index", "bb", docTab,
+      Dedup.withBb(Dedup.bandedOf(
+        Dedup.sigsOf(batchCorpus.select("doc_id", "text"))
+          .filter(col("doc_id") % 10 =!= 9))))
+      .foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "graft_simhash_sigs", "simhash", docTab,
+      Dedup.simhashOf(batchCorpus))
+      .foreach { case (k, v) => results.put(k, v) }
+
+    results.toMap
+  }
+
+  /** Absorb a batch of new embeddings (vec_id, embedding) into the
+    * standing IVF index: assign each batch vector to its max-cosine
+    * RETAINED centroid (the standard IVF ingest policy — centroids
+    * retrain on geometry changes, which surface as a K change in the
+    * model name and rebuild automatically) and append the assignment
+    * rows cell-bucketed. Empty map when the index does not exist or
+    * the grown corpus crossed a K boundary (next touch rebuilds).
+    */
+  def appendEmbeddingBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Map[String, WriteResult] = {
+    val p = Similarity.ivfParams(spark, dir)
+    val r = Similarity.LloydRounds
+    val idxName = s"graft_ivf_index_k${p.k}_r$r"
+    val centsName = s"graft_ivf_cents_k${p.k}_r$r"
+    (Shared.resolveExisting(spark, dir, idxName),
+        Shared.resolveExisting(spark, dir, centsName)) match {
+      case (Some(_), Some(cents)) =>
+        val inc = Similarity.ivfAssign(
+          Similarity.embNormOf(batch).filter(col("vec_id") >= 10), cents)
+        val fp = Shared.modelFingerprint(spark, dir, idxName, "cell",
+          Seq("embeddings"))
+        val res = api(spark, dir).appendToBucketedModel(inc, idxName,
+          Map(Shared.FingerprintKey -> fp))
+        Shared.markResolved(spark, dir, idxName)
+        // centroid set intentionally unchanged: advance its
+        // fingerprint so the retained centroids stay resolvable
+        // against the grown corpus
+        Shared.advanceFingerprint(spark, dir, centsName,
+          Seq("embeddings"), "cell")
+        Map(idxName -> res)
+      case _ => Map.empty
+    }
+  }
+}

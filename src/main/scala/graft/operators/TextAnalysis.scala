@@ -33,11 +33,19 @@ object TextAnalysis extends QueryPack {
   private[operators] def docTerms(spark: SparkSession,
       dir: String): DataFrame =
     graft.operators.Shared.model(spark, dir, "doc_terms", "term",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("lang"),
-          explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "source", "lang", "term")
-        .agg(count(lit(1)).as("cnt")))
+      (s, d) => docTermsOf(t(s, d, "documents")))
+
+  /** Per-doc term counts of any (doc_id, source, lang, text) frame —
+    * the build kernel of [[docTerms]]. The group key includes doc_id,
+    * so a new-docs batch's rows equal the full aggregation restricted
+    * to those docs: [[graft.operators.StandingIngest]] appends exactly
+    * this frame per batch. */
+  private[operators] def docTermsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "source", "lang", "term")
+      .agg(count(lit(1)).as("cnt"))
 
   /** Standing adjacent-bigram counts `(w1, w2, cnt)` over the corpus
     * token stream — the count table the bigram LM and the PMI

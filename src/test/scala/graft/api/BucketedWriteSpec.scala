@@ -49,6 +49,46 @@ class BucketedWriteSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("appendToBucketedModel is O(increment), keeps bucket locality, " +
+      "and commits pointer meta atomically (VERDICT r11 #1)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ab").toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    reg.register(ModelDef("ab_m", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+    api.writeToModel((1L to 400L).map(i => (i, s"v$i")).toDF("key", "v"),
+      "ab_m")
+    val cur = reg.currentPath("ab_m").get
+    val res = api.appendToBucketedModel(
+      (401L to 500L).map(i => (i, s"v$i")).toDF("key", "v"), "ab_m",
+      Map("fp" -> "advanced"))
+    // same version dir (in-place bucket-aligned append), total rows
+    assert(reg.currentPath("ab_m").contains(cur))
+    assert(res.rowsAffected == 500 && api.ref("ab_m").count() == 500)
+    assert(reg.pointerMeta("ab_m").get("fp").contains("advanced"))
+    // bucket locality survives the multi-file-per-bucket layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = api.ref("ab_m").groupBy("key").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-append bucket aggregation should not shuffle:\n$plan")
+      assert(agg.count() == 500)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // schema mismatch fails loudly, un-bucketed target is rejected
+    intercept[IllegalArgumentException] {
+      api.appendToBucketedModel(Seq((1L, 1L)).toDF("key", "wrong"), "ab_m")
+    }
+    reg.register(ModelDef("ab_plain", ModelKind.Sql("unused")))
+    api.writeToModel(Seq((1L, "x")).toDF("key", "v"), "ab_plain")
+    intercept[IllegalArgumentException] {
+      api.appendToBucketedModel(Seq((2L, "y")).toDF("key", "v"),
+        "ab_plain")
+    }
+  }
+
   test("partition_by meta gives pruned scans through ref") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_pw").toString

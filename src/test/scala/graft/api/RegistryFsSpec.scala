@@ -190,6 +190,94 @@ class RegistryFsSpec extends AnyFunSuite {
     assert(r2.currentPath("m").exists(_.endsWith("v2")))
   }
 
+  /** Drives two interleaved writers through [[Registry.retrySwap]] —
+    * writer 1 commits with a plain checked swap INSIDE writer 2's first
+    * decide (after the base read, before the CAS), so writer 2's first
+    * attempt deterministically conflicts and its second decides from
+    * the fresh read and lands. Both commits survive.
+    */
+  private def interleavedRetry(root: String): Unit = {
+    val r1 = new Registry(root)
+    val r2 = new Registry(root)
+    val v1 = r1.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    r1.swapPointer("m", v1)
+    var w1Committed = false
+    var decides = 0
+    var w2Version: String = null
+    val committed = r2.retrySwap("m") { base =>
+      decides += 1
+      if (!w1Committed) {
+        assert(base.contains("v1"))
+        val v2 = r1.nextVersionDir("m")
+        FsIO.writeString(FsIO.child(v2, "marker"), "w1")
+        r1.swapPointer("m", v2,
+          expectedVersion = r1.currentVersion("m"))
+        w1Committed = true
+      }
+      val vN = r2.nextVersionDir("m")
+      FsIO.writeString(FsIO.child(vN, "marker"), "w2")
+      w2Version = new org.apache.hadoop.fs.Path(vN).getName
+      Some((vN, Map("w2_attempt" -> decides.toString)))
+    }
+    assert(committed, "writer 2 must converge")
+    assert(decides == 2,
+      s"first attempt must conflict, second must land (got $decides)")
+    // BOTH writers' commits are in the history: w1's v2 exists, w2's
+    // final version is live, and w2's meta committed with it
+    assert(r1.listVersions("m").exists(_.endsWith("v2")))
+    assert(r1.currentVersion("m").contains(w2Version))
+    assert(r1.pointerMeta("m").get("w2_attempt").contains("2"))
+    // decline path: a decide that finds its work already done stops
+    assert(!r2.retrySwap("m")(_ => None))
+  }
+
+  test("retrySwap converges interleaved writers on the rename branch " +
+      "(VERDICT r11 #5)") {
+    interleavedRetry(schemedRoot())
+  }
+
+  test("retrySwap converges interleaved writers on the overwrite-PUT " +
+      "branch (VERDICT r11 #5)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockObjectStoreFs].getName)
+    val local = Files.createTempDirectory("graft-s3retry")
+    interleavedRetry("s3a://graft-test-bucket" + local.toString)
+  }
+
+  test("retrySwap gives up after maxAttempts of continuous conflicts") {
+    val root = schemedRoot()
+    val r1 = new Registry(root)
+    val r2 = new Registry(root)
+    val v1 = r1.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    r1.swapPointer("m", v1)
+    intercept[SwapConflictException] {
+      r2.retrySwap("m", maxAttempts = 3) { _ =>
+        // a faster writer advances the pointer on EVERY attempt
+        val v = r1.nextVersionDir("m")
+        FsIO.writeString(FsIO.child(v, "marker"), "w1")
+        r1.swapPointer("m", v)
+        val vN = r2.nextVersionDir("m")
+        FsIO.writeString(FsIO.child(vN, "marker"), "w2")
+        Some((vN, Map.empty))
+      }
+    }
+  }
+
+  test("empty pointer file fails with a descriptive error, not " +
+      "NoSuchElementException (ADVICE r11)") {
+    val reg = new Registry(schemedRoot())
+    val v1 = reg.nextVersionDir("m")
+    FsIO.writeString(FsIO.child(v1, "marker"), "x")
+    reg.swapPointer("m", v1)
+    // simulate a torn object-store PUT: pointer exists but is empty
+    FsIO.writeString(reg.root + "/m/_current", "")
+    val e = intercept[IllegalStateException] { reg.currentPath("m") }
+    assert(e.getMessage.contains("pointer"))
+    intercept[IllegalStateException] { reg.currentVersion("m") }
+  }
+
   test("renameRelation rejects a leftover destination dir and " +
       "surfaces rename failure (ADVICE r10)") {
     val reg = new Registry(schemedRoot())

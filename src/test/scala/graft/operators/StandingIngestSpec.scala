@@ -1,0 +1,212 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The durable standing-model catalog + incremental ingest contract
+  * (VERDICT r11 item #1):
+  *
+  *   1. standing models resolve from the durable Registry with ZERO
+  *      rebuild once their corpus fingerprint matches — a simulated
+  *      process restart (memo cleared, catalog table dropped) re-reads
+  *      the materialized parquet instead of re-ingesting the corpus;
+  *   2. an arriving document batch APPENDS its increment rows
+  *      ([[StandingIngest.appendDocBatch]]) and the result is
+  *      row-identical to a full rebuild over the grown corpus — pinned
+  *      here for the gram AND signature models (and the embedding
+  *      batch's IVF assignment rows against the retained centroids);
+  *   3. a corpus change WITHOUT the ingest call is caught by the
+  *      fingerprint and triggers exactly one rebuild.
+  *
+  * Runs on a private copy of the sf0.001 documents/embeddings tables
+  * (written as directories so a batch can land as additional files,
+  * the ingest-append layout a 100 TB corpus store has).
+  */
+class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val src = "/root/testdata/sf0.001"
+  private val dir = Files.createTempDirectory("graft_ingest").toString
+
+  // batch = every doc_id ≡ 3 (mod 4): new ids w.r.t. the base corpus
+  private def allDocs = spark.read.parquet(s"$src/documents.parquet")
+  private def baseDocs = allDocs.filter(col("doc_id") % 4 =!= 3)
+  private def batchDocs = allDocs.filter(col("doc_id") % 4 === 3)
+  private def allVecs = spark.read.parquet(s"$src/embeddings.parquet")
+  // keep the query vectors (vec_id < 10) in the base so ivfParams'
+  // geometry is derived the same way as a real corpus
+  private def baseVecs = allVecs.filter(
+    col("vec_id") < 10 || col("vec_id") % 4 =!= 3)
+  private def batchVecs = allVecs.filter(
+    col("vec_id") >= 10 && col("vec_id") % 4 === 3)
+
+  override def beforeAll(): Unit = {
+    baseDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    baseVecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.invalidate(dir, "documents")
+    Tables.invalidate(dir, "embeddings")
+  }
+
+  override def afterAll(): Unit = {
+    graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir))
+    graft.api.FsIO.deleteTree(dir)
+    Shared.invalidate(dir)
+  }
+
+  private def assertSameRows(model: DataFrame, direct: DataFrame,
+      what: String): Unit = {
+    val extra = model.exceptAll(direct).count()
+    val missing = direct.exceptAll(model).count()
+    assert(extra == 0 && missing == 0,
+      s"$what: $extra extra / $missing missing rows vs direct rebuild")
+  }
+
+  private def builds(name: String): Long =
+    Shared.buildCounts.getOrElse((dir, name), 0L)
+
+  test("standing models build once, then resolve from the durable " +
+      "catalog with zero rebuild across a simulated restart") {
+    val n0 = Curation2.gramStarts(spark, dir).count()
+    assert(n0 > 0 && builds("gram_starts_10") == 1)
+    // simulated process restart: in-process memo gone, catalog table
+    // dropped from the session catalog — only the durable registry
+    // (pointer + parquet + _bucketed_table marker) survives
+    Shared.invalidate(dir)
+    val marker = graft.api.FsIO.readString(graft.api.FsIO.child(
+      new graft.api.Registry(Shared.namespaceDir(spark, dir))
+        .currentPath("gram_starts_10").get, "_bucketed_table"))
+    spark.sql(s"DROP TABLE IF EXISTS `${marker.linesIterator.next().trim}`")
+    assert(Curation2.gramStarts(spark, dir).count() == n0)
+    assert(builds("gram_starts_10") == 1,
+      "a fingerprint-current resolve must not rebuild")
+    assert(Shared.resolveSeconds.contains("gram_starts_10"))
+  }
+
+  test("appendDocBatch ≡ full rebuild on the gram and signature models") {
+    // force-build the maintained models on the BASE corpus
+    Curation2.gramStarts(spark, dir).count()
+    Curation2.sharedGrams(spark, dir).count()
+    TextAnalysis.docTerms(spark, dir).count()
+    Dedup.docShingles(spark, dir).count()
+    Dedup.sigModel(spark, dir).count()
+    Dedup.bandIndexModel(spark, dir).count()
+    Dedup.simhashSigs(spark, dir).count()
+    val baseBuilds = Seq("gram_starts_10", "gram_shared_10", "doc_terms",
+      "doc_shingles", "graft_lsh_sigs", "graft_lsh_band_index",
+      "graft_simhash_sigs")
+    baseBuilds.foreach(m => assert(builds(m) >= 1, s"$m not built"))
+    val snapshot = baseBuilds.map(m => m -> builds(m)).toMap
+
+    // the batch lands in the corpus dir FIRST (new part files), then
+    // the standing models absorb the increment
+    val batch = batchDocs.cache()
+    assert(batch.count() > 0)
+    batch.write.mode("append").parquet(s"$dir/documents.parquet")
+    Tables.invalidate(dir, "documents")
+    val results = StandingIngest.appendDocBatch(spark, dir, batch)
+    assert(results.keySet == baseBuilds.toSet,
+      s"every maintained model appended: ${results.keySet}")
+
+    // full-corpus direct recomputation (the rebuild the append avoided)
+    val full = graft.operators.t(spark, dir, "documents")
+    val fullW = full.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val fullGrams = Curation2.gramHashes(fullW)
+    assertSameRows(Curation2.gramStarts(spark, dir), fullGrams,
+      "gram_starts_10")
+    assertSameRows(Curation2.sharedGrams(spark, dir),
+      fullGrams.groupBy("gh")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1")).select("gh"),
+      "gram_shared_10")
+    assert(Curation2.sharedGrams(spark, dir).count() > 0,
+      "fixture must exercise cross-batch gram sharing")
+    assertSameRows(TextAnalysis.docTerms(spark, dir)
+        .select("doc_id", "source", "lang", "term", "cnt"),
+      TextAnalysis.docTermsOf(full), "doc_terms")
+    assertSameRows(Dedup.docShingles(spark, dir)
+        .select("doc_id", "source", "shingle"),
+      Dedup.shingleSet(full.select(col("doc_id"), col("source"),
+          col("text")))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("shingle")).as("shingle")),
+      "doc_shingles")
+    val fullCorpus = Dedup.corpusOf(full)
+    assertSameRows(Dedup.sigModel(spark, dir),
+      Dedup.sigsOf(fullCorpus.select("doc_id", "text")),
+      "graft_lsh_sigs")
+    assertSameRows(Dedup.bandIndexModel(spark, dir),
+      Dedup.withBb(Dedup.bandedOf(
+        Dedup.sigsOf(fullCorpus.select("doc_id", "text"))
+          .filter(col("doc_id") % 10 =!= 9))),
+      "graft_lsh_band_index")
+    assertSameRows(Dedup.simhashSigs(spark, dir),
+      Dedup.simhashOf(fullCorpus), "graft_simhash_sigs")
+
+    // the appends advanced every fingerprint: a simulated restart
+    // resolves the GROWN corpus with zero rebuild
+    Shared.invalidate(dir)
+    Curation2.gramStarts(spark, dir).count()
+    Curation2.sharedGrams(spark, dir).count()
+    Dedup.simhashSigs(spark, dir).count()
+    baseBuilds.take(2).foreach(m => assert(builds(m) == snapshot(m),
+      s"$m rebuilt despite append-advanced fingerprint"))
+    assert(builds("graft_simhash_sigs") == snapshot("graft_simhash_sigs"))
+  }
+
+  test("a corpus change WITHOUT the ingest call rebuilds exactly once " +
+      "via the fingerprint") {
+    Curation2.gramStarts(spark, dir).count()
+    val before = builds("gram_starts_10")
+    // a second batch lands silently (no appendDocBatch): re-use two
+    // batch docs under fresh ids
+    batchDocs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    Tables.invalidate(dir, "documents")
+    Shared.invalidate(dir) // fresh process has no memo to trust
+    val n = Curation2.gramStarts(spark, dir).count()
+    assert(builds("gram_starts_10") == before + 1,
+      "stale fingerprint must trigger exactly one rebuild")
+    assertSameRows(Curation2.gramStarts(spark, dir),
+      Curation2.gramHashes(graft.operators.t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))),
+      "gram_starts_10 after rebuild")
+    // and the rebuilt state resolves without another build
+    Shared.invalidate(dir)
+    assert(Curation2.gramStarts(spark, dir).count() == n)
+    assert(builds("gram_starts_10") == before + 1)
+  }
+
+  test("appendEmbeddingBatch appends assignment rows against retained " +
+      "centroids (fixed-centroid IVF ingest)") {
+    val idx0 = Similarity.ivfIndexModel(spark, dir)
+    val base = idx0.count()
+    assert(base > 0)
+    val batch = batchVecs.cache()
+    val bn = batch.count()
+    assert(bn > 0)
+    batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Tables.invalidate(dir, "embeddings")
+    val results = StandingIngest.appendEmbeddingBatch(spark, dir, batch)
+    assert(results.size == 1, s"index append expected: $results")
+    val idxName = results.keySet.head
+    val idx = Shared.resolveExisting(spark, dir, idxName).get
+    assert(idx.count() == base + bn)
+    // the appended rows are exactly the batch's max-cosine assignments
+    // against the RETAINED centroid model
+    val cents = Similarity.ivfCentsModel(spark, dir)
+    val expected = Similarity.ivfAssign(
+      Similarity.embNormOf(batch), cents)
+    val appended = idx.join(batch.select(col("vec_id")
+        .as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+    assert(appended.select("neighbor_id", "cell")
+        .exceptAll(expected.select("neighbor_id", "cell")).count() == 0)
+    assert(expected.select("neighbor_id", "cell")
+        .exceptAll(appended.select("neighbor_id", "cell")).count() == 0)
+  }
+}
