@@ -525,6 +525,122 @@ object Curation2 extends QueryPack {
   def txBpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, dir)._1.reduce(_.union(_)).orderBy("it")
 
+  /** BATCHED BPE training geometry (VERDICT r11 item #2): per
+    * iteration, up to [[BpeBatchM]] mutually non-interacting pairs are
+    * learned from the iteration-start counts and applied in ONE
+    * chain-parity pass — the standard parallel-BPE move that replaces
+    * per-merge job latency (the 3-merge trainer's loop shape, unusable
+    * beyond O(10) merges) with per-BATCH latency. 12×16 trains 69
+    * merges on this corpus (≥ 64, the round target) in 12 Spark
+    * iterations instead of 69.
+    */
+  private[graft] val BpeBatchIters = 12
+  private[graft] val BpeBatchM = 16
+  private[graft] val BpeBatchK = 48
+
+  /** One batched iteration over a (term, tcnt, pos, sym) symbol table:
+    * (kept merge table with ranks, next symbol table).
+    *
+    * Selection is the CONSERVATIVE non-interaction rule — a top-K
+    * candidate is kept iff NO higher-ranked candidate (kept OR
+    * dropped) shares a symbol with it or collides on the merged
+    * string; take the first M keepers. Pairwise symbol-disjointness
+    * follows (kept pairs are mutually higher/lower ranked), which is
+    * what makes the batch ≡ the sequential fold of the same pairs:
+    * disjoint pairs' occurrences cannot overlap (adjacent occurrences
+    * share their middle symbol, so they would share a symbol), so
+    * [[bpeApplyMerge]]'s chain-parity window applies them all in one
+    * pass unchanged, and no pair's count is disturbed by another's
+    * application before the next iteration re-counts. The rule is
+    * deliberately join-expressible (one NOT-EXISTS against
+    * higher-ranked candidates) rather than the sequential greedy scan,
+    * so the DuckDB oracle replays it exactly; the price is keeping
+    * fewer pairs per round when candidates chain-interact (rank 3
+    * dropped because it touches dropped rank 2) — more iterations,
+    * same learned quality class.
+    *
+    * Scale: the symbol table is VOCABULARY-sized (millions of rows at
+    * 100 TB, never the corpus); per iteration the window work shards
+    * on the term key, the pair aggregation is one map-side-combined
+    * shuffle, and the candidate/keeper tables are ≤ K rows (broadcast
+    * self-join + a K-row global window — bounded, audited).
+    */
+  private def bpeBatchKept(seq: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("term").orderBy("pos")
+    val s1 = seq.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+    val cand = s1.filter(col("nxt").isNotNull)
+      .select(col("sym").as("l"), col("nxt").as("r"), col("tcnt"))
+      .groupBy("l", "r").agg(sum(col("tcnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(BpeBatchK)
+      .cache()
+    val q = cand.toDF("ql", "qr", "qc")
+    val higherRanked = col("qc") > col("pair_count") ||
+      (col("qc") === col("pair_count") &&
+        (col("ql") < col("l") ||
+          (col("ql") === col("l") && col("qr") < col("r"))))
+    val interacts = col("ql") === col("l") || col("ql") === col("r") ||
+      col("qr") === col("l") || col("qr") === col("r") ||
+      concat(col("ql"), col("qr")) === concat(col("l"), col("r"))
+    cand
+      .join(broadcast(q), higherRanked && interacts, "left_anti")
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(BpeBatchM)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("l"), col("r"))))
+      .withColumn("merged", concat(col("l"), col("r")))
+  }
+
+  private def bpeBatchIter(seq: DataFrame): (DataFrame, DataFrame) = {
+    val kept = bpeBatchKept(seq).cache()
+    val next = bpeApplyMerge(seq, kept.select(col("l").as("bl"),
+      col("r").as("br"), col("merged").as("bm")))
+    // localCheckpoint, not cache: each iteration's plan embeds the
+    // previous seq ~3× (the apply kernel reads it for the lead frame,
+    // the occurrence join, and the reassembly), so 12 lazily-chained
+    // iterations build an exponentially-sized logical tree that the
+    // analyzer walks on every further op — measured as minutes of
+    // plan-time at iteration depth 12 vs milliseconds of data-time on
+    // the vocab-sized table. Checkpointing truncates the lineage to a
+    // constant-size LogicalRDD per iteration (local is fine: the
+    // frame is vocabulary-sized and the trainer is one job; a cluster
+    // run with executor churn would use reliable checkpointing).
+    (kept, next.localCheckpoint())
+  }
+
+  /** E9/E7 — batched tokenizer training at depth: [[BpeBatchIters]]
+    * batched iterations over the corpus vocabulary, one row per
+    * learned merge `(it, rank, left_sym, right_sym, merged,
+    * pair_count)`. The 3-merge [[txBpeMerges]] stays as the
+    * fine-grained oracle twin and the standing streaming model; this
+    * is the production depth path (batched ≡ per-merge sequential fold
+    * pinned by BpeScrubSpec on the pathological `aaaa`/`abab` runs and
+    * against a reference batched trainer on the corpus).
+    */
+  def txBpeBatch(spark: SparkSession, dir: String): DataFrame = {
+    var seq = TextAnalysis.docTerms(spark, dir)
+      .groupBy("term").agg(sum(col("cnt")).as("tcnt"))
+      .select(col("term"), col("tcnt"),
+        explode(sequence(lit(1), length(col("term")))).as("pos"))
+      .select(col("term"), col("tcnt"), col("pos"),
+        col("term").substr(col("pos"), lit(1)).as("sym"))
+    // schema-only walks must not run the eager per-iteration
+    // checkpoints (and don't need depth — the merge-row schema is
+    // fixed from iteration 1)
+    val iters = if (Shared.schemaOnly(spark)) 1 else BpeBatchIters
+    val merges = (1 to iters).map { it =>
+      val (kept, next) =
+        if (Shared.schemaOnly(spark)) {
+          val k = bpeBatchKept(seq); (k, seq)
+        } else bpeBatchIter(seq)
+      seq = next
+      kept.select(lit(it.toLong).as("it"),
+        col("rank").cast("long").as("mrank"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("merged"), col("pair_count"))
+    }
+    merges.reduce(_.union(_)).orderBy("it", "mrank")
+  }
+
   /** The trained segmentation as STANDING models (compute-at-ingest:
     * train once per corpus, tokenize many) — `bpe_seg_3` is the final
     * (term, tcnt, pos, sym) table bucketed on the term key,
@@ -569,6 +685,7 @@ object Curation2 extends QueryPack {
     "dd_substring" -> ddSubstring _,
     "dd_substring_scrub" -> ddSubstringScrub _,
     "tx_bpe_merges" -> txBpeMerges _,
+    "tx_bpe_batch" -> txBpeBatch _,
     "tx_bpe_apply" -> txBpeApply _,
     "tx_pack" -> txPack _,
     "tx_dsir" -> txDsir _,
@@ -619,7 +736,91 @@ object Curation2 extends QueryPack {
           CROSS JOIN b$n b)
         WHERE prevm IS NULL)"""
 
+  /** One BATCHED iteration as DuckDB CTEs — the textual twin of
+    * [[bpeBatchIter]]: top-K candidates, the join-expressible
+    * conservative keeper rule (NOT EXISTS against higher-ranked
+    * interacting candidates), and the multi-pair chain-parity apply
+    * (each occurrence carries its own merged symbol through the
+    * parity window).
+    */
+  private def sqlBpeBatchIter(n: Int, in: String): String = s"""
+      s$n AS MATERIALIZED (
+        SELECT term, tcnt, pos, sym,
+               lead(sym) OVER (PARTITION BY term ORDER BY pos) AS nxt
+        FROM $in),
+      c$n AS MATERIALIZED (
+        SELECT sym AS l, nxt AS r, CAST(sum(tcnt) AS BIGINT)
+                 AS pair_count
+        FROM s$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
+        ORDER BY pair_count DESC, l, r LIMIT $BpeBatchK),
+      k$n AS MATERIALIZED (
+        SELECT l, r, pair_count,
+               CAST(row_number() OVER
+                 (ORDER BY pair_count DESC, l, r) AS BIGINT) AS mrank,
+               l || r AS merged
+        FROM c$n c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM c$n q
+          WHERE (q.pair_count > c.pair_count OR
+                 (q.pair_count = c.pair_count AND
+                  (q.l < c.l OR (q.l = c.l AND q.r < c.r))))
+            AND (q.l IN (c.l, c.r) OR q.r IN (c.l, c.r)
+                 OR q.l || q.r = c.l || c.r))
+        ORDER BY pair_count DESC, l, r LIMIT $BpeBatchM),
+      o$n AS (
+        SELECT s.term, s.pos, k.merged FROM s$n s
+        JOIN k$n k ON s.sym = k.l AND s.nxt = k.r),
+      g$n AS (
+        SELECT term, pos, merged,
+               pos - row_number() OVER (PARTITION BY term ORDER BY pos)
+                 AS grp
+        FROM o$n),
+      m$n AS (
+        SELECT term, pos, merged FROM (
+          SELECT term, pos, merged, row_number() OVER
+                   (PARTITION BY term, grp ORDER BY pos) AS rn
+          FROM g$n)
+        WHERE rn % 2 = 1),
+      q$n AS MATERIALIZED (
+        SELECT term, tcnt,
+               row_number() OVER (PARTITION BY term ORDER BY opos)
+                 AS pos,
+               sym
+        FROM (
+          SELECT s.term, s.tcnt, s.pos AS opos,
+                 CASE WHEN m.pos IS NOT NULL THEN m.merged
+                      ELSE s.sym END AS sym,
+                 lag(CASE WHEN m.pos IS NOT NULL THEN 1 END) OVER
+                   (PARTITION BY s.term ORDER BY s.pos) AS prevm
+          FROM s$n s
+          LEFT JOIN m$n m ON m.term = s.term AND m.pos = s.pos)
+        WHERE prevm IS NULL)"""
+
+  private def sqlBpeBatch: String = {
+    val iters = (1 to BpeBatchIters)
+      .map(n => sqlBpeBatchIter(n, if (n == 1) "s0" else s"q${n - 1}"))
+      .mkString(",")
+    val selects = (1 to BpeBatchIters)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS it, mrank, " +
+        s"l AS left_sym, r AS right_sym, merged, pair_count FROM k$n")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tcnt FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS term
+          FROM documents)
+        GROUP BY term),
+      s0 AS (
+        SELECT term, tcnt, i AS pos, term[i] AS sym
+        FROM tc, UNNEST(generate_series(1, length(term))) AS t(i)),
+      $iters
+      $selects
+      ORDER BY it, mrank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_bpe_batch" -> sqlBpeBatch,
     "dd_substring_scrub" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents

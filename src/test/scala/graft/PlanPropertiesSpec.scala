@@ -93,7 +93,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
     // withGlobalNtile: P×P triangular pass over the P-row (P = shuffle
     // partitions) per-partition count table — a broadcast no-op
-    "tx_ccnet_buckets", "q_rfm")
+    "tx_ccnet_buckets", "q_rfm",
+    // batched BPE keeper selection: the conservative non-interaction
+    // rule is a ≤48-row candidate table anti-joined against its own
+    // broadcast under a rank/interaction predicate — K×K bounded by
+    // construction (K = 48) regardless of corpus size
+    "tx_bpe_batch")
 
   /** Queries where a zero-partition (global) window is the intended
     * plan because its input is provably tiny at any corpus scale:

@@ -72,6 +72,84 @@ class BpeScrubSpec extends AnyFunSuite {
     dir
   }
 
+  // ---- reference BATCHED trainer (VERDICT r11 #2): conservative
+  // top-m non-interacting selection from iteration-start counts, then
+  // each kept pair applied via the SEQUENTIAL fold in rank order — the
+  // "batched ≡ sequential-fold" pin: the Spark side applies the whole
+  // batch in ONE chain-parity pass, so equal merge tables across all
+  // iterations prove the simultaneous application equals folding the
+  // pairs one at a time.
+
+  private def referenceBatchedBpe(texts: Seq[String], iters: Int,
+      m: Int, k: Int): Seq[(Long, Long, String, String, String, Long)] = {
+    val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+    val counts = words.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    var seqs: Map[String, Vector[String]] =
+      counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    (1 to iters).flatMap { it =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for {
+        (w, seq) <- seqs
+        win <- seq.sliding(2) if win.size == 2
+      } pc((win(0), win(1))) =
+        pc.getOrElse((win(0), win(1)), 0L) + counts(w)
+      val cand = pc.toSeq
+        .sortBy { case ((pl, pr), pcnt) => (-pcnt, pl, pr) }.take(k)
+      val kept = cand.zipWithIndex.filter { case (((l, r), _), i) =>
+        cand.take(i).forall { case ((ql, qr), _) =>
+          ql != l && ql != r && qr != l && qr != r && ql + qr != l + r
+        }
+      }.map(_._1).take(m)
+      kept.zipWithIndex.map { case (((l, r), c), rank) =>
+        seqs = seqs.map { case (w, s) => w -> foldMerge(s, l, r) }
+        (it.toLong, rank + 1L, l, r, l + r, c)
+      }
+    }
+  }
+
+  private def runBpeBatch(dir: String)
+      : Seq[(Long, Long, String, String, String, Long)] =
+    Curation2.txBpeBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+
+  test("tx_bpe_batch: batched selection + one-pass apply equals the " +
+      "sequential-fold reference on the corpus, ≥ 64 merges deep") {
+    val texts = t(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val got = runBpeBatch(sfDir)
+    assert(got == referenceBatchedBpe(texts, Curation2.BpeBatchIters,
+      Curation2.BpeBatchM, Curation2.BpeBatchK))
+    // depth: the whole point of batching (the per-merge loop was
+    // unusable beyond O(10) merges); sf0.001 trains 50+, sf0.1 69
+    assert(got.size >= 50, s"expected deep training, got ${got.size}")
+    // kept pairs of one iteration are pairwise symbol-disjoint — the
+    // property that makes simultaneous application well-defined
+    got.groupBy(_._1).foreach { case (it, ms) =>
+      val pairs = ms.map(r => (r._3, r._4))
+      pairs.combinations(2).foreach { case Seq((l1, r1), (l2, r2)) =>
+        assert(Set(l1, r1).intersect(Set(l2, r2)).isEmpty,
+          s"iteration $it kept interacting pairs ($l1,$r1)/($l2,$r2)")
+      }
+    }
+  }
+
+  test("tx_bpe_batch chain-parity batch apply matches the fold on " +
+      "pathological runs") {
+    // same-char chains (l = r) and alternating chains — the two shapes
+    // where simultaneous left-to-right non-overlap is easiest to get
+    // wrong — plus count ties resolved lexicographically
+    val texts = Seq(
+      "aaaa aaaaa aab aa a baab",
+      "abab ababab baba ab ab",
+      "aaaa abab xyxy xyxy zq zq zq")
+    val dir = writeDocs(texts)
+    assert(runBpeBatch(dir) == referenceBatchedBpe(texts,
+      Curation2.BpeBatchIters, Curation2.BpeBatchM,
+      Curation2.BpeBatchK))
+  }
+
   test("tx_bpe_merges equals the sequential-fold trainer on the corpus") {
     val texts = t(spark, sfDir, "documents")
       .select("text").collect().map(_.getString(0)).toSeq
