@@ -46,11 +46,29 @@ object Graph extends QueryPack {
     * edge side of every iteration reads pre-clustered parquet with no
     * exchange; only the node-sized rank table moves per iteration.
     */
+  /** Integer-quantized parity reduction for the exact twin (VERDICT
+    * r11 item #3, the d3_changepoint scheme): each edge contribution
+    * quantizes to a BIGINT at 9 decimals via the bitwise-portable
+    * `floor(c·1e9 + 0.5)` (floor is exact and every operand computes
+    * to identical bits in both engines), the per-node sum runs in
+    * exact INTEGER space (order-independent, codegen'd long adds), and
+    * ONE double division restores the scale. Replaces the
+    * decimal(28,12) cast-and-sum per contribution — the round-then-
+    * decimal arithmetic that made the exact twin's sf1 row 7× the
+    * production twin's without changing the engine dataflow. Overflow
+    * headroom: contributions ≤ 1, so a node's sum ≤ degree·1e9 —
+    * 2^63 covers degree 9×10⁹, far past any real hub; the long→double
+    * conversion and the division are IEEE round-to-nearest in both
+    * engines, so the restored double is bit-identical.
+    */
+  private def qsumContrib(c: Column): Column =
+    sum(floor(c * lit(1e9) + lit(0.5))).cast("double") / lit(1e9)
+
   /** The shared 3-iteration power loop; `sumAgg` picks the incoming-
-    * contribution reduction — [[lsum]]'s round+decimal parity sums for
-    * the oracle-exact query, a plain double `sum` for the production
-    * twin (VERDICT r9 item #3: the sf1 SCALING row of the exact form
-    * mixes engine cost with parity arithmetic).
+    * contribution reduction — [[qsumContrib]]'s quantized-integer
+    * parity sums for the oracle-exact query, a plain double `sum` for
+    * the production twin (VERDICT r9 item #3: the sf1 SCALING row of
+    * the exact form mixes engine cost with parity arithmetic).
     */
   private def pagerankRanks(spark: SparkSession, dir: String,
       sumAgg: Column => Column): DataFrame = {
@@ -84,7 +102,7 @@ object Graph extends QueryPack {
   }
 
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankRanks(spark, dir, lsum)
+    pagerankRanks(spark, dir, qsumContrib)
       .select(col("node"), round(col("rank") * 1000.0, 6).as("rank_x1000"))
       .orderBy("node")
 
@@ -163,10 +181,15 @@ object Graph extends QueryPack {
         SELECT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM li
       )"""
 
+  /** DuckDB twin of [[qsumContrib]] — quantize, exact integer sum
+    * (DuckDB SUM(BIGINT) is exact HUGEINT; the BIGINT re-cast matches
+    * Spark's long accumulator), one division. */
   private def sqlIter(prev: String, out: String) = s"""
       c_$out AS (
         SELECT e.dst,
-               ${sqlLsum(s"r.rank / CAST(r.deg AS DOUBLE)")} AS s
+               CAST(CAST(SUM(CAST(floor(
+                 (r.rank / CAST(r.deg AS DOUBLE)) * 1e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS s
         FROM edges e JOIN $prev r ON e.src = r.node
         GROUP BY e.dst
       ),
