@@ -108,6 +108,10 @@ object StandingIngest {
     appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams)
       .foreach { case (k, v) => results.put(k, v) }
 
+    // the bucketed corpus copy itself absorbs the batch rows directly
+    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch)
+      .foreach { case (k, v) => results.put(k, v) }
+
     appendOne(spark, dir, "doc_terms", "term", docTab,
       TextAnalysis.docTermsOf(batch))
       .foreach { case (k, v) => results.put(k, v) }

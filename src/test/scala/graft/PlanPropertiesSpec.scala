@@ -70,6 +70,41 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected ShuffledHashJoin for the band join:\n${p.take(1500)}")
   }
 
+  test("scrub reassembly joins the doc_id-bucketed corpus with no " +
+      "exchange on the documents side (VERDICT r11 #4)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val root = SparkEntry.queries("dd_substring_scrub")(spark, dir)
+      .queryExecution.executedPlan
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    def isDocsScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.contains("documents_by_doc")) &&
+          f.relation.bucketSpec.isDefined
+      case _ => false
+    }
+    def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+      if (isDocsScan(p)) Some(List(p))
+      else kids(p).view.flatMap(pathTo).headOption.map(p :: _)
+    val path = pathTo(root)
+    assert(path.isDefined,
+      s"doc_id-bucketed documents_by_doc scan not in the scrub plan:\n" +
+        root.toString.take(2000))
+    // the documents SIDE = the segment between the reassembly join and
+    // the scan (the global sort above the join is the export contract,
+    // not a corpus exchange)
+    val side = path.get.reverse.takeWhile(p =>
+      !p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(side.nonEmpty && !side.exists(_.isInstanceOf[Exchange]),
+      "exchange on the documents side of the scrub reassembly — the " +
+        "bucketed corpus copy must feed the join in place:\n" +
+        path.get.map(_.nodeName).mkString(" <- "))
+  }
+
   /** Queries where a nested-loop/cross join is the intended plan: the
     * brute-force ANN baseline and centroid/scalar broadcasts (small
     * side is O(queries) or O(1) rows), the theta join (pure inequality

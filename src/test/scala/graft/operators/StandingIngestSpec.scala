@@ -91,14 +91,15 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     // force-build the maintained models on the BASE corpus
     Curation2.gramStarts(spark, dir).count()
     Curation2.sharedGrams(spark, dir).count()
+    Curation2.docsById(spark, dir).count()
     TextAnalysis.docTerms(spark, dir).count()
     Dedup.docShingles(spark, dir).count()
     Dedup.sigModel(spark, dir).count()
     Dedup.bandIndexModel(spark, dir).count()
     Dedup.simhashSigs(spark, dir).count()
-    val baseBuilds = Seq("gram_starts_10", "gram_shared_10", "doc_terms",
-      "doc_shingles", "graft_lsh_sigs", "graft_lsh_band_index",
-      "graft_simhash_sigs")
+    val baseBuilds = Seq("gram_starts_10", "gram_shared_10",
+      "documents_by_doc", "doc_terms", "doc_shingles", "graft_lsh_sigs",
+      "graft_lsh_band_index", "graft_simhash_sigs")
     baseBuilds.foreach(m => assert(builds(m) >= 1, s"$m not built"))
     val snapshot = baseBuilds.map(m => m -> builds(m)).toMap
 
@@ -128,6 +129,9 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(TextAnalysis.docTerms(spark, dir)
         .select("doc_id", "source", "lang", "term", "cnt"),
       TextAnalysis.docTermsOf(full), "doc_terms")
+    assertSameRows(Curation2.docsById(spark, dir)
+        .select(full.columns.map(col).toIndexedSeq: _*),
+      full, "documents_by_doc")
     assertSameRows(Dedup.docShingles(spark, dir)
         .select("doc_id", "source", "shingle"),
       Dedup.shingleSet(full.select(col("doc_id"), col("source"),
