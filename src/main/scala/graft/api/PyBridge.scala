@@ -376,6 +376,29 @@ object PyBridge {
       .map(_.toInt)
       .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
 
+  /** Size cap for partition-mode SECONDARY deps (VERDICT r11 item #6):
+    * every dep after the first is broadcast-style — materialized once
+    * and read by EVERY worker — so a corpus-sized secondary dep would
+    * silently multiply into W in-memory pandas copies at 100× scale.
+    * Enforced at the write (bytes on disk), configurable via sysprop
+    * `graft.py.sideDepMaxBytes` / env `GRAFT_PY_SIDEDEP_MAX_BYTES`;
+    * default 256 MB (a dimension table, not a relation).
+    */
+  private[api] def sideDepMaxBytes: Long =
+    sys.props.get("graft.py.sideDepMaxBytes")
+      .orElse(sys.env.get("GRAFT_PY_SIDEDEP_MAX_BYTES"))
+      .map(_.toLong)
+      .getOrElse(256L << 20)
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+    } finally s.close()
+  }
+
   /** Partition-parallel Python model (VERDICT r10 item #2): the
     * distributed answer to the reference's single-pandas-process
     * contract, for models the user declares per-partition-safe
@@ -409,9 +432,20 @@ object PyBridge {
     val primaryDir = tmp.resolve(s"in_$primary")
     a.ref(primary).write.mode("overwrite").parquet(primaryDir.toString)
     val sideInputs = deps.tail.map { d =>
-      val p = tmp.resolve(s"in_$d").toString
-      a.ref(d).write.mode("overwrite").parquet(p)
-      d -> p
+      val p = tmp.resolve(s"in_$d")
+      a.ref(d).write.mode("overwrite").parquet(p.toString)
+      val bytes = dirBytes(p)
+      if (bytes > sideDepMaxBytes) {
+        deleteRec(tmp)
+        throw new IllegalArgumentException(
+          s"model $name: partition-mode secondary dep '$d' is $bytes " +
+            s"bytes on disk (cap $sideDepMaxBytes) — secondary deps " +
+            "are broadcast-style and read IN FULL by every worker. " +
+            s"Make '$d' the FIRST dep if it is the relation to " +
+            "partition over, pre-aggregate it to dimension size, or " +
+            "raise graft.py.sideDepMaxBytes / GRAFT_PY_SIDEDEP_MAX_BYTES")
+      }
+      d -> p.toString
     }
     val sources = sourcePaths(a)
     val parts = {
@@ -470,6 +504,28 @@ object PyBridge {
     }
     deleteRec(primaryDir)
     sys.addShutdownHook(deleteRec(tmp))
-    a.spark.read.parquet(outPaths.map(_.toString): _*)
+    // Per-worker schema drift (ADVICE r11): a split whose pandas frame
+    // infers an atypical dtype (the classic case: an all-null column
+    // becoming float64/object) yields per-file schemas that a naive
+    // multi-path read either fails on LATE or silently widens — unlike
+    // global mode's single file. Validate every worker's output
+    // against worker 0 up front and fail naming the worker, then read
+    // through the agreed schema.
+    val schemas = outPaths.map(p =>
+      a.spark.read.parquet(p.toString).schema)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq.sortBy(_._1)
+    val ref = shape(schemas.head)
+    schemas.zipWithIndex.drop(1).foreach { case (s, i) =>
+      if (shape(s) != ref)
+        throw new IllegalStateException(
+          s"model $name: worker $i produced schema ${s.simpleString} " +
+            s"but worker 0 produced ${schemas.head.simpleString} — " +
+            "per-split dtype drift (often an all-null column pandas " +
+            "types differently); cast the column explicitly in the " +
+            "model so every split agrees")
+    }
+    a.spark.read.schema(schemas.head)
+      .parquet(outPaths.map(_.toString): _*)
   }
 }

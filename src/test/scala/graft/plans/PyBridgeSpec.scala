@@ -175,6 +175,15 @@ class PyBridgeSpec extends AnyFunSuite {
 
   test("partition mode: same results as global, >1 worker observed") {
     assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
+    // pin the pool: the default min(8, cores) collapses to 1 on a
+    // single-core runner and the >1-worker assertion below becomes an
+    // environment flake (ADVICE r11)
+    sys.props("graft.py.workers") = "3"
+    try partitionModeBody()
+    finally sys.props.remove("graft.py.workers")
+  }
+
+  private def partitionModeBody(): Unit = {
     val api = freshApi()
     // 6 part files so partition mode has real fan-out material, plus a
     // small side dep to prove broadcast inputs reach every worker
@@ -232,6 +241,48 @@ class PyBridgeSpec extends AnyFunSuite {
     assert(pidsGlobal == 1)
     assert(pidsPart > 1,
       "partition mode ran in a single worker despite 6 input part files")
+  }
+
+  test("partition mode rejects an over-cap secondary dep with an " +
+      "actionable error (VERDICT r11 #6)") {
+    assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
+    val api = freshApi()
+    api.registry.register(ModelDef("part_base",
+      ModelKind.Scala((s, _) => {
+        import s.implicits._
+        (1L to 20L).map(i => (i, i * 2)).toDF("id", "v").repartition(2)
+      })))
+    // a "corpus-sized" secondary dep relative to a tiny test cap
+    api.registry.register(ModelDef("big_side",
+      ModelKind.Scala((s, _) => {
+        import s.implicits._
+        (1L to 5000L).map(i => (i, s"payload_$i" * 10)).toDF("k", "pay")
+      })))
+    val proj = Files.createTempDirectory("graft-pycap")
+    val pyFile = proj.resolve("m.py")
+    Files.writeString(pyFile,
+      """def model(dbt, fal):
+        |    return dbt.ref("part_base")
+        |""".stripMargin)
+    // materialize the deps first; the capped model itself is invoked
+    // directly so the failure surfaces as the thrown error, not a
+    // node FAIL
+    assert(Runner.run(api, Runner.RunConfig()) == 0)
+    sys.props("graft.py.sideDepMaxBytes") = "1024"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        PyBridge.runModel(api, "capped", Seq("part_base", "big_side"),
+          pyFile.toString, mode = "partition")
+      }
+      assert(e.getMessage.contains("big_side") &&
+        e.getMessage.contains("every worker") &&
+        e.getMessage.contains("graft.py.sideDepMaxBytes"),
+        s"error must name the dep and the remedy: ${e.getMessage}")
+    } finally sys.props.remove("graft.py.sideDepMaxBytes")
+    // under the default cap the same dep is fine (dimension-sized)
+    assert(PyBridge.runModel(api, "capped",
+      Seq("part_base", "big_side"), pyFile.toString,
+      mode = "partition").count() == 20)
   }
 
   test("conda python-pin detection matches interpreter specs only") {
