@@ -38,11 +38,13 @@ object StreamDrift {
     */
   def driftBatch(spark: SparkSession, dir: String,
       batchDocs: DataFrame): DataFrame = {
+    // register on the BATCH's session: foreachBatch hands a cloned
+    // session, and the native hash (same values as the composed
+    // conv-substr-md5 idiom) must resolve there
+    graft.functions.GraftFunctions.register(batchDocs.sparkSession)
     val cand = batchDocs
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .select(
-        expr("CAST(conv(substr(md5(term),1,4),16,10) AS BIGINT) % 256")
-          .as("b"))
+      .select(expr("graft_md5_prefix(term, 4) % 256").as("b"))
       .groupBy("b").agg(count(lit(1)).as("cand_cnt"))
     val byB = Curation2.driftRefCounts(spark, dir)
       .join(cand, Seq("b"), "full_outer")
