@@ -199,8 +199,9 @@ final class FalApi(
     * named after the version (old versions keep their table until
     * dropped, so readers of a stale pointer stay consistent).
     */
-  private def materialize(df: DataFrame, name: String, target: String)
-      : Unit = bucketSpec(name) match {
+  private def materialize(df: DataFrame, name: String, target: String,
+      explicitSpec: Option[(Int, Seq[String])] = None)
+      : Unit = explicitSpec.orElse(bucketSpec(name)) match {
     case Some((n, cols)) =>
       // the catalog is session-global while registries are per-storage-
       // root: two roots materializing the same model name would both
@@ -234,6 +235,22 @@ final class FalApi(
       // re-infer partition-column types from directory names (string
       // '01' would silently become int 1 on rewrite)
       FsIO.writeString(FsIO.child(target, "_schema.ddl"), df.schema.toDDL)
+  }
+
+  /** The bucket spec a version's FILES were actually written with
+    * (recorded in its `_bucketed_table` marker), independent of what
+    * is registered in this process. */
+  private def markerBucketSpec(versionDir: String)
+      : Option[(Int, Seq[String])] = {
+    val marker = FsIO.child(versionDir, "_bucketed_table")
+    if (!FsIO.exists(marker)) None
+    else {
+      val lines = FsIO.readString(marker).trim.split("\n").toSeq
+      if (lines.size >= 3)
+        Some((lines(1).trim.toInt,
+          lines(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      else None
+    }
   }
 
   /** Output-layout skew report from the written files' sizes — free
@@ -431,6 +448,12 @@ final class FalApi(
         s"columns ${cols.mkString(",")}")
     // insertInto resolves POSITIONALLY — align to the table's order
     df.select(cols.map(col).toIndexedSeq: _*).write.insertInto(tbl)
+    // insertInto refreshes the WRITING session's relation cache only;
+    // when the increment frame rides a cloned session (a foreachBatch
+    // micro-batch), THIS api's session would otherwise keep serving
+    // the pre-append file listing — refresh it explicitly so readers
+    // through this session see the appended buckets
+    spark.catalog.refreshTable(tbl)
     registry.swapPointer(name, cur, pointerMeta)
     val rows = spark.table(tbl).count()
     ledger.record(name, Status.Success,
@@ -578,10 +601,15 @@ final class FalApi(
     val target = registry.nextVersionDir(name)
     // bucketed models re-materialize through their declared layout (the
     // bucket count fixes the file count — no byte scan needed); plain
-    // models coalesce to ceil(bytes / targetBytes) files
-    val detail = bucketSpec(name) match {
+    // models coalesce to ceil(bytes / targetBytes) files. The layout
+    // falls back to the CURRENT version's `_bucketed_table` marker
+    // when no ModelDef is registered (a fresh maintenance process):
+    // compacting a bucketed relation must never silently rewrite it
+    // plain and void its readers' no-shuffle guarantee.
+    val spec = bucketSpec(name).orElse(markerBucketSpec(cur))
+    val detail = spec match {
       case Some((n, _)) =>
-        materialize(df, name, target)
+        materialize(df, name, target, explicitSpec = spec)
         s"buckets=$n"
       case None =>
         // sum the whole append chain: compaction collapses it into one

@@ -356,6 +356,18 @@ final class Registry(val root: String) {
         "— a faster writer is continuously advancing the pointer")
   }
 
+  /** Names of every relation MATERIALIZED under this root (a live
+    * pointer exists), independent of in-memory registrations — the
+    * discovery surface a fresh maintenance process (compaction,
+    * vacuum sweeps) needs. */
+  def listRelations: Seq[String] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(pointerFile(n)))
+      .sorted
+
   /** Drop a relation (pointer + data), ref `_drop_relation lib.py:475-484`. */
   def dropRelation(name: String): Unit = {
     val dir = modelDir(name)

@@ -46,22 +46,39 @@ import graft.api.WriteResult
   */
 object StandingIngest {
 
+  /** Pointer-meta key recording the last applied streaming batch id
+    * PER STANDING MODEL — the same exactly-once convention as
+    * [[graft.streaming.StreamIngest.BatchMetaKey]], committed in the
+    * same pointer swap as the appended files' fingerprint advance, so
+    * a foreachBatch replay after a mid-way crash re-appends exactly
+    * the models that missed the batch and no-ops the ones that
+    * committed. */
+  val BatchMetaKey = "stream_batch"
+
   private def api(spark: SparkSession, dir: String) =
     new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
       new graft.api.RunLedger)
 
   /** Append one model's increment + fingerprint advance; None when the
     * model was never materialized for this corpus (first touch will
-    * build it from the full corpus — already batch-inclusive). */
+    * build it from the full corpus — already batch-inclusive) or when
+    * `batchId` was already committed to it (a streaming replay). */
   private def appendOne(spark: SparkSession, dir: String, name: String,
-      bucketBy: String, inputs: Seq[String], increment: => DataFrame)
-      : Option[(String, WriteResult)] =
-    Shared.resolveExisting(spark, dir, name).map { _ =>
-      val fp = Shared.modelFingerprint(spark, dir, name, bucketBy, inputs)
-      val res = api(spark, dir).appendToBucketedModel(increment, name,
-        Map(Shared.FingerprintKey -> fp))
-      Shared.markResolved(spark, dir, name)
-      name -> res
+      bucketBy: String, inputs: Seq[String], increment: => DataFrame,
+      batchId: Option[Long] = None): Option[(String, WriteResult)] =
+    Shared.resolveExisting(spark, dir, name).flatMap { _ =>
+      val committed = Shared.registryOf(spark, dir).pointerMeta(name)
+        .get(BatchMetaKey).map(_.toLong)
+      if (batchId.exists(id => committed.exists(_ >= id))) None
+      else {
+        val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
+          inputs)
+        val res = api(spark, dir).appendToBucketedModel(increment, name,
+          Map(Shared.FingerprintKey -> fp) ++
+            batchId.map(id => BatchMetaKey -> id.toString))
+        Shared.markResolved(spark, dir, name)
+        Some(name -> res)
+      }
     }
 
   /** Absorb a batch of new documents (same columns as the `documents`
@@ -71,7 +88,8 @@ object StandingIngest {
     * materialized yet, nothing to maintain).
     */
   def appendDocBatch(spark: SparkSession, dir: String,
-      batch: DataFrame): Map[String, WriteResult] = {
+      batch: DataFrame, batchId: Option[Long] = None)
+      : Map[String, WriteResult] = {
     val docTab = Seq("documents")
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, WriteResult]
@@ -86,7 +104,7 @@ object StandingIngest {
     val batchW = batch
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val batchGrams = Curation2.gramHashes(batchW)
-    appendOne(spark, dir, "gram_shared_10", "gh", docTab, {
+    appendOne(spark, dir, "gram_shared_10", "gh", docTab, batchId = batchId, increment = {
       val oldStarts = Shared.resolveExisting(spark, dir, "gram_starts_10")
         .getOrElse(throw new IllegalStateException(
           "gram_shared_10 exists without gram_starts_10"))
@@ -105,22 +123,22 @@ object StandingIngest {
         .join(oldShared, Seq("gh"), "left_anti")
     }).foreach { case (k, v) => results.put(k, v) }
 
-    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams)
+    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams, batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     // the bucketed corpus copy itself absorbs the batch rows directly
-    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch)
+    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch, batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "doc_terms", "term", docTab,
-      TextAnalysis.docTermsOf(batch))
+      TextAnalysis.docTermsOf(batch), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "doc_shingles", "shingle", docTab,
       Dedup.shingleSet(batch.select(col("doc_id"), col("source"),
           col("text")))
         .select(col("doc_id"), col("source"),
-          xxhash64(col("shingle")).as("shingle")))
+          xxhash64(col("shingle")).as("shingle")), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     // the dedup corpus derivation (originals ∪ truncations ∪ clones)
@@ -128,20 +146,85 @@ object StandingIngest {
     // full derivation restricted to the batch
     lazy val batchCorpus = Dedup.corpusOf(batch)
     appendOne(spark, dir, "graft_lsh_sigs", "doc_id", docTab,
-      Dedup.sigsOf(batchCorpus.select("doc_id", "text")))
+      Dedup.sigsOf(batchCorpus.select("doc_id", "text")), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_lsh_band_index", "bb", docTab,
       Dedup.withBb(Dedup.bandedOf(
         Dedup.sigsOf(batchCorpus.select("doc_id", "text"))
-          .filter(col("doc_id") % 10 =!= 9))))
+          .filter(col("doc_id") % 10 =!= 9))), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_simhash_sigs", "simhash", docTab,
-      Dedup.simhashOf(batchCorpus))
+      Dedup.simhashOf(batchCorpus), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     results.toMap
+  }
+
+  /** Attach standing-model maintenance to a (doc_id, …) document
+    * STREAM via foreachBatch: per micro-batch, `land` persists the
+    * batch into the corpus store (an A-layer append via
+    * [[graft.streaming.StreamIngest.applyBatch]] when the corpus is a
+    * catalog model, or a parquet append for a plain dir), then every
+    * appendable standing model absorbs its increment with the batch id
+    * committed per model ([[BatchMetaKey]]) — a replayed batch after a
+    * mid-way crash re-appends exactly the models that missed it. The
+    * batch is localCheckpoint'd before landing so the increments read
+    * a stable snapshot rather than re-pulling the streaming source.
+    * Caller adds checkpointing/trigger options and starts.
+    */
+  def attach(spark: SparkSession, dir: String, docs: DataFrame)(
+      land: DataFrame => Unit,
+      onBatch: Map[String, WriteResult] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        land(b)
+        onBatch(appendDocBatch(spark, dir, b, batchId = Some(batchId)))
+        ()
+    }
+
+  /** Maintenance compaction over every materialized standing model of
+    * `dir` with more than `maxFilesPerBucket` files per bucket: the
+    * bucket-aligned append path trades O(increment) writes for file
+    * accumulation (each batch adds one file per touched bucket), and
+    * many small files are the chronic failure mode of incremental
+    * pipelines — so this sweep rewrites the accumulated model through
+    * its ORIGINAL bucket layout (`compactModel` reads the spec from
+    * the version's `_bucketed_table` marker, so a fresh maintenance
+    * process can never silently flatten a bucketed model) and swaps
+    * the pointer. The corpus fingerprint and committed batch id carry
+    * forward through the swap (content is unchanged), so compaction
+    * never triggers a rebuild or a replay. Returns the compacted
+    * models' write results.
+    */
+  def compactStanding(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4): Map[String, WriteResult] = {
+    val reg = Shared.registryOf(spark, dir)
+    val a = api(spark, dir)
+    reg.listRelations.flatMap { name =>
+      val cur = reg.currentPath(name).get
+      val files = graft.api.FsIO.parquetSizes(cur).size
+      // bucket count the FILES were written with, from the marker
+      val marker = graft.api.FsIO.child(cur, "_bucketed_table")
+      val buckets =
+        if (graft.api.FsIO.exists(marker)) {
+          val lines = graft.api.FsIO.readString(marker).trim
+            .split("\n").toSeq
+          if (lines.size >= 2) lines(1).trim.toInt
+          else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        } else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      if (files <= buckets.toLong * maxFilesPerBucket) None
+      else {
+        val res = a.compactModel(name)
+        a.vacuumModel(name, keep = 1)
+        Shared.markResolved(spark, dir, name)
+        Some(name -> res)
+      }
+    }.toMap
   }
 
   /** Absorb a batch of new embeddings (vec_id, embedding) into the

@@ -186,6 +186,115 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds("gram_starts_10") == before + 1)
   }
 
+  test("streaming attach maintains standing models exactly-once per " +
+      "micro-batch, and compactStanding folds the accumulated files " +
+      "without losing bucketing or fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir2 = Files.createTempDirectory("graft_ingest_stream").toString
+    try {
+      allDocs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      Tables.invalidate(dir2, "documents")
+      val n0 = Curation2.gramStarts(spark, dir2).count()
+      Curation2.sharedGrams(spark, dir2).count()
+      Dedup.simhashSigs(spark, dir2).count()
+      assert(n0 > 0)
+
+      def docRows(m: Long): Seq[(Long, String, String, String, Long)] = allDocs
+        .filter(col("doc_id") % 3 === m)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val perBatch = scala.collection.mutable
+        .Buffer[Set[String]]()
+      val q = StandingIngest.attach(spark, dir2,
+          input.toDF().toDF("doc_id", "text", "lang", "source",
+            "n_chars"))(
+        land = { b =>
+          b.write.mode("append").parquet(s"$dir2/documents.parquet")
+          Tables.invalidate(dir2, "documents")
+        },
+        onBatch = r => perBatch += r.keySet).start()
+      try {
+        input.addData(docRows(1))
+        q.processAllAvailable()
+        input.addData(docRows(2))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(perBatch.size == 2 && perBatch.forall(_.contains(
+        "gram_starts_10")), s"both micro-batches must append: $perBatch")
+
+      // stream-maintained standing state ≡ direct recomputation over
+      // the fully-landed corpus
+      val full = graft.operators.t(spark, dir2, "documents")
+      val fullGrams = Curation2.gramHashes(
+        full.select(col("doc_id"), split(col("text"), " ").as("w")))
+      assertSameRows(Curation2.gramStarts(spark, dir2), fullGrams,
+        "gram_starts_10 (streamed)")
+      assertSameRows(Curation2.sharedGrams(spark, dir2),
+        fullGrams.groupBy("gh")
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .filter(col("d0") =!= col("d1")).select("gh"),
+        "gram_shared_10 (streamed)")
+      assertSameRows(Dedup.simhashSigs(spark, dir2),
+        Dedup.simhashOf(Dedup.corpusOf(full)),
+        "graft_simhash_sigs (streamed)")
+
+      // exactly-once: replaying an already-committed batch id no-ops
+      val replayBatch = allDocs.filter(col("doc_id") % 3 === 2)
+      val replay = StandingIngest.appendDocBatch(spark, dir2,
+        replayBatch, batchId = Some(1L))
+      assert(replay.isEmpty, s"replay must no-op, got ${replay.keySet}")
+      assertSameRows(Curation2.gramStarts(spark, dir2), fullGrams,
+        "gram_starts_10 (after replay)")
+
+      // compaction: the appends accumulated files per bucket; the
+      // sweep folds them through the ORIGINAL marker-recorded bucket
+      // layout, content/fingerprint/bucket-locality preserved
+      val reg = Shared.registryOf(spark, dir2)
+      val filesBefore = graft.api.FsIO
+        .parquetSizes(reg.currentPath("gram_starts_10").get).size
+      val compacted = StandingIngest.compactStanding(spark, dir2,
+        maxFilesPerBucket = 0)
+      assert(compacted.contains("gram_starts_10"),
+        s"expected gram_starts_10 compacted: ${compacted.keySet}")
+      val filesAfter = graft.api.FsIO
+        .parquetSizes(reg.currentPath("gram_starts_10").get).size
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink files ($filesBefore -> $filesAfter)")
+      assertSameRows(Curation2.gramStarts(spark, dir2), fullGrams,
+        "gram_starts_10 (after compaction)")
+      // fingerprint carried: a fresh resolve does NOT rebuild
+      val b = builds2(dir2, "gram_starts_10")
+      Shared.invalidate(dir2)
+      assert(Curation2.gramStarts(spark, dir2).count() ==
+        fullGrams.count())
+      assert(builds2(dir2, "gram_starts_10") == b,
+        "compaction must not invalidate the corpus fingerprint")
+      // bucket locality survives the marker-driven re-materialization
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val agg = Curation2.gramStarts(spark, dir2)
+          .groupBy("gh").count()
+        assert(!agg.queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "post-compaction bucket aggregation must not shuffle")
+      } finally spark.conf
+        .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir2))
+      graft.api.FsIO.deleteTree(dir2)
+      Shared.invalidate(dir2)
+    }
+  }
+
+  private def builds2(d: String, name: String): Long =
+    Shared.buildCounts.getOrElse((d, name), 0L)
+
   test("appendEmbeddingBatch appends assignment rows against retained " +
       "centroids (fixed-centroid IVF ingest)") {
     val idx0 = Similarity.ivfIndexModel(spark, dir)
