@@ -77,6 +77,8 @@ object ScalingProbe {
         "batched BPE training (12 iterations x 16 non-interacting merges)",
       "tx_bpe_apply" ->
         "trained-segmentation rollup off the standing BPE model",
+      "tx_bpe_apply_deep" ->
+        "deep (69-merge) segmentation rollup off the standing batch-trained model",
       "cu_drift" -> "corpus drift profile (256-bucket aggregate)",
       "sim_rand_projection" -> "JL random projection (one map pass)",
       "sim_hard_negatives" ->

@@ -642,7 +642,31 @@ object Curation2 extends QueryPack {
     * pinned by BpeScrubSpec on the pathological `aaaa`/`abab` runs and
     * against a reference batched trainer on the corpus).
     */
-  def txBpeBatch(spark: SparkSession, dir: String): DataFrame = {
+  /** The full batched training pass: (per-iteration kept-merge frames
+    * with it/mrank columns, FINAL symbol table). Memoized per
+    * (session, dir) with the same liveness-validated keying as
+    * [[bpeTrain]], so the gated merge listing and the standing deep
+    * segmentation share ONE training run. */
+  private val bpeBatchTrained = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, Seq[DataFrame], DataFrame)]
+
+  Shared.onInvalidate(dir => { bpeBatchTrained.remove(dir); () })
+
+  private def bpeBatchTrain(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    if (Shared.schemaOnly(spark)) bpeBatchTrainOnce(spark, dir)
+    else bpeBatchTrained.get(dir) match {
+      case Some((owner, merges, seq))
+          if (owner eq spark) && !owner.sparkContext.isStopped =>
+        (merges, seq)
+      case _ =>
+        val trained = bpeBatchTrainOnce(spark, dir)
+        bpeBatchTrained.put(dir, (spark, trained._1, trained._2))
+        trained
+    }
+
+  private def bpeBatchTrainOnce(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     var seq = TextAnalysis.docTerms(spark, dir)
       .groupBy("term").agg(sum(col("cnt")).as("tcnt"))
       .select(col("term"), col("tcnt"),
@@ -663,8 +687,40 @@ object Curation2 extends QueryPack {
         col("rank").cast("long").as("mrank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("merged"), col("pair_count"))
     }
-    merges.reduce(_.union(_)).orderBy("it", "mrank")
+    (merges, seq)
   }
+
+  def txBpeBatch(spark: SparkSession, dir: String): DataFrame =
+    bpeBatchTrain(spark, dir)._1.reduce(_.union(_)).orderBy("it", "mrank")
+
+  /** The DEEP trained segmentation as a standing term-bucketed model —
+    * the batched trainer's final symbol table (69 merges on this
+    * corpus), the state a production tokenizer actually serves. Paid
+    * once per corpus at ingest (catalog-resident like every standing
+    * model); the depth apply below reads it bucket-locally. */
+  private[graft] def bpeBatchSegmentation(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, s"bpe_seg_b${BpeBatchIters}x$BpeBatchM",
+      "term", (s, d) => bpeBatchTrain(s, d)._2)
+
+  /** E9 — tokenizer application AT DEPTH: every vocab term's
+    * segmentation under the BATCHED trainer's full merge sequence (69
+    * merges vs the 3-merge [[txBpeApply]] twin), off the standing
+    * term-bucketed deep-segmentation model. Same rollup kernel and the
+    * same bucket-local plan as the 3-merge apply; the oracle replays
+    * the 12 batched iterations and aggregates the final table — the
+    * deep-training → deep-application loop closed end to end.
+    */
+  def txBpeApplyDeep(spark: SparkSession, dir: String): DataFrame =
+    bpeBatchSegmentation(spark, dir)
+      .groupBy("term", "tcnt")
+      .agg(count(lit(1)).cast("long").as("n_syms"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          p => p.getField("sym")), "|").as("segmentation"))
+      .select(col("term"), col("tcnt"), col("n_syms"),
+        col("segmentation"))
+      .orderBy("term")
 
   /** The trained segmentation as STANDING models (compute-at-ingest:
     * train once per corpus, tokenize many) — `bpe_seg_3` is the final
@@ -712,6 +768,7 @@ object Curation2 extends QueryPack {
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_batch" -> txBpeBatch _,
     "tx_bpe_apply" -> txBpeApply _,
+    "tx_bpe_apply_deep" -> txBpeApplyDeep _,
     "tx_pack" -> txPack _,
     "tx_dsir" -> txDsir _,
     "cu_drift" -> cuDrift _)
@@ -844,8 +901,29 @@ object Curation2 extends QueryPack {
       ORDER BY it, mrank"""
   }
 
+  private def sqlBpeApplyDeep: String = {
+    val iters = (1 to BpeBatchIters)
+      .map(n => sqlBpeBatchIter(n, if (n == 1) "s0" else s"q${n - 1}"))
+      .mkString(",")
+    s"""
+      WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tcnt FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS term
+          FROM documents)
+        GROUP BY term),
+      s0 AS (
+        SELECT term, tcnt, i AS pos, term[i] AS sym
+        FROM tc, UNNEST(generate_series(1, length(term))) AS t(i)),
+      $iters
+      SELECT term, tcnt, CAST(count(*) AS BIGINT) AS n_syms,
+             string_agg(sym, '|' ORDER BY pos) AS segmentation
+      FROM q$BpeBatchIters GROUP BY term, tcnt ORDER BY term"""
+  }
+
   val oracles: Map[String, String] = Map(
     "tx_bpe_batch" -> sqlBpeBatch,
+    "tx_bpe_apply_deep" -> sqlBpeApplyDeep,
     "dd_substring_scrub" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents

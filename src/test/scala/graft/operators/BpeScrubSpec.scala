@@ -81,13 +81,20 @@ class BpeScrubSpec extends AnyFunSuite {
   // pairs one at a time.
 
   private def referenceBatchedBpe(texts: Seq[String], iters: Int,
-      m: Int, k: Int): Seq[(Long, Long, String, String, String, Long)] = {
+      m: Int, k: Int): Seq[(Long, Long, String, String, String, Long)] =
+    referenceBatchedBpeFull(texts, iters, m, k)._1
+
+  /** Reference batched trainer returning BOTH the merge table and the
+    * final per-term segmentation (the deep-apply pin). */
+  private def referenceBatchedBpeFull(texts: Seq[String], iters: Int,
+      m: Int, k: Int): (Seq[(Long, Long, String, String, String, Long)],
+        Map[String, Vector[String]]) = {
     val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
     val counts = words.groupBy(identity)
       .view.mapValues(_.size.toLong).toMap
     var seqs: Map[String, Vector[String]] =
       counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
-    (1 to iters).flatMap { it =>
+    val merges = (1 to iters).flatMap { it =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
       for {
         (w, seq) <- seqs
@@ -106,6 +113,7 @@ class BpeScrubSpec extends AnyFunSuite {
         (it.toLong, rank + 1L, l, r, l + r, c)
       }
     }
+    (merges, seqs)
   }
 
   private def runBpeBatch(dir: String)
@@ -133,6 +141,28 @@ class BpeScrubSpec extends AnyFunSuite {
           s"iteration $it kept interacting pairs ($l1,$r1)/($l2,$r2)")
       }
     }
+  }
+
+  test("tx_bpe_apply_deep serves the reference batched trainer's " +
+      "final segmentation off the standing deep model") {
+    val texts = t(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val refSegs = referenceBatchedBpeFull(texts, Curation2.BpeBatchIters,
+      Curation2.BpeBatchM, Curation2.BpeBatchK)._2
+    val got = Curation2.txBpeApplyDeep(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == refSegs.keySet)
+    refSegs.foreach { case (term, seg) =>
+      assert(got(term) == ((seg.size.toLong, seg.mkString("|"))),
+        s"term '$term': got ${got(term)}, want $seg")
+    }
+    // depth is real: the deep tokenizer segments strictly coarser than
+    // the 3-merge twin overall (fewer total symbols)
+    val shallow = Curation2.txBpeApply(spark, sfDir)
+      .agg(sum(col("n_syms"))).head.getLong(0)
+    val deep = Curation2.txBpeApplyDeep(spark, sfDir)
+      .agg(sum(col("n_syms"))).head.getLong(0)
+    assert(deep < shallow, s"deep=$deep shallow=$shallow")
   }
 
   test("tx_bpe_batch chain-parity batch apply matches the fold on " +
