@@ -703,6 +703,17 @@ object Curation2 extends QueryPack {
     Shared.model(spark, dir, s"bpe_seg_b${BpeBatchIters}x$BpeBatchM",
       "term", (s, d) => bpeBatchTrain(s, d)._2)
 
+  /** The batched trainer's full merge table as a standing model —
+    * the replay target [[graft.streaming.StreamBpeDeep]] applies to
+    * NOVEL words (words outside the trained vocabulary segment by
+    * replaying the learned merges, exactly as the trained tokenizer
+    * would; a dictionary lookup alone would get them wrong). */
+  private[graft] def bpeBatchMerges(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir,
+      s"bpe_merges_b${BpeBatchIters}x$BpeBatchM", "it",
+      (s, d) => txBpeBatch(s, d))
+
   /** E9 — tokenizer application AT DEPTH: every vocab term's
     * segmentation under the BATCHED trainer's full merge sequence (69
     * merges vs the 3-merge [[txBpeApply]] twin), off the standing
