@@ -400,6 +400,11 @@ object Curation2 extends QueryPack {
     */
   private[graft] def driftRefCounts(spark: SparkSession, dir: String)
       : DataFrame =
+    // aggregate-on-read (r12): reference counts are ADDITIVE across
+    // ingest batches, so StandingIngest appends each arriving batch's
+    // even-doc bucket counts and the read rolls the partials up —
+    // bucket-local (b-bucketed), ≤256 groups, identity on a fresh
+    // build
     Shared.model(spark, dir, "drift_ref_256", "b", (s, d) => {
       graft.functions.GraftFunctions.register(s)
       TextAnalysis.docTerms(s, d)
@@ -408,6 +413,17 @@ object Curation2 extends QueryPack {
           col("cnt"))
         .groupBy("b").agg(sum(col("cnt")).as("ref_cnt"))
     })
+      .groupBy("b").agg(sum(col("ref_cnt")).as("ref_cnt"))
+
+  /** An arriving batch's even-doc bucket counts — [[driftRefCounts]]'
+    * per-batch increment kernel. */
+  private[graft] def driftRefCountsOf(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch.filter(col("doc_id") % 2 === 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(expr("graft_md5_prefix(term, 4) % 256").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ref_cnt"))
+  }
 
   def cuDrift(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -22,18 +22,21 @@ import graft.api.WriteResult
   *   - appended (this object): models whose rows are keyed per doc or
   *     per (doc-local) group, where a new-docs batch's rows equal the
   *     full build restricted to those docs — gram_starts_10, doc_terms,
-  *     doc_shingles, MinHash/SimHash signatures, the LSH band index —
-  *     plus gram_shared_10, whose increment (grams newly promoted to
-  *     corpus-duplicated) is computable bucket-locally against the
-  *     PRE-append gram_starts state, and the IVF assignment rows under
-  *     the fixed-centroid policy;
+  *     doc_shingles, the doc_id-bucketed corpus copy, MinHash/SimHash
+  *     signatures, the LSH band index — plus gram_shared_10, whose
+  *     increment (grams newly promoted to corpus-duplicated) is
+  *     computable bucket-locally against the PRE-append gram_starts
+  *     state; ADDITIVE aggregates (bigram_counts, drift_ref_256),
+  *     whose batch partials append and whose accessors roll partials
+  *     up on read; and the IVF assignment rows under the
+  *     fixed-centroid policy;
   *   - rebuilt on next touch (fingerprint mismatch, automatic): models
-  *     whose rows mix old and new docs in one group or training loop —
-  *     bigram_counts / doc_perplexity (cross-doc counts), the
-  *     shingle_overlap pair table and cluster scores, drift_ref_256 /
-  *     BPE / PQ (aggregates & trained state), IVF centroids when the
-  *     corpus crosses a K geometry boundary (the model NAME carries K,
-  *     so the rebuild is automatic).
+  *     whose rows mix old and new docs through non-additive state —
+  *     doc_perplexity (every doc's score shifts with the grown LM),
+  *     the shingle_overlap pair table and cluster scores, BPE / PQ
+  *     trained state, IVF centroids when the corpus crosses a K
+  *     geometry boundary (the model NAME carries K, so the rebuild is
+  *     automatic).
   *
   * Contract: land the batch's files in the corpus dir FIRST, then call
   * with the batch as a DataFrame; batch ids must be new (disjoint from
@@ -132,6 +135,16 @@ object StandingIngest {
 
     appendOne(spark, dir, "doc_terms", "term", docTab,
       TextAnalysis.docTermsOf(batch), batchId)
+      .foreach { case (k, v) => results.put(k, v) }
+
+    // additive aggregates: the batch's PARTIAL counts append and the
+    // accessors roll partials up on read (aggregate-on-read)
+    appendOne(spark, dir, "bigram_counts", "w1", docTab,
+      TextAnalysis.bigramCountsOf(batch), batchId)
+      .foreach { case (k, v) => results.put(k, v) }
+
+    appendOne(spark, dir, "drift_ref_256", "b", docTab,
+      Curation2.driftRefCountsOf(batch), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "doc_shingles", "shingle", docTab,

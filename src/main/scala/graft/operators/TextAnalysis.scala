@@ -56,15 +56,29 @@ object TextAnalysis extends QueryPack {
     */
   private[operators] def bigramCounts(spark: SparkSession,
       dir: String): DataFrame =
+    // aggregate-on-read (r12): the standing model may hold PARTIAL
+    // per-(w1,w2) rows — the original build plus per-ingest-batch
+    // increments appended by StandingIngest — so consumers read the
+    // bucket-local rollup (HashPartitioning(w1) clusters every (w1,w2)
+    // group, so this adds no exchange). On the freshly-built model the
+    // rollup is the identity.
     graft.operators.Shared.model(spark, dir, "bigram_counts", "w1",
-      (s, d) => t(s, d, "documents")
-        .select(tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+      (s, d) => bigramCountsOf(t(s, d, "documents")))
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+
+  /** Adjacent-bigram counts of any (…, text) frame — the build kernel
+    * of [[bigramCounts]] and StandingIngest's per-batch increment
+    * (bigram counts are ADDITIVE across document batches: a batch's
+    * partial counts append, the read rolls them up). */
+  private[operators] def bigramCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
 
   private val stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

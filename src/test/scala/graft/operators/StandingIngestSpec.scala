@@ -92,13 +92,16 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     Curation2.gramStarts(spark, dir).count()
     Curation2.sharedGrams(spark, dir).count()
     Curation2.docsById(spark, dir).count()
+    Curation2.driftRefCounts(spark, dir).count()
     TextAnalysis.docTerms(spark, dir).count()
+    TextAnalysis.bigramCounts(spark, dir).count()
     Dedup.docShingles(spark, dir).count()
     Dedup.sigModel(spark, dir).count()
     Dedup.bandIndexModel(spark, dir).count()
     Dedup.simhashSigs(spark, dir).count()
     val baseBuilds = Seq("gram_starts_10", "gram_shared_10",
-      "documents_by_doc", "doc_terms", "doc_shingles", "graft_lsh_sigs",
+      "documents_by_doc", "doc_terms", "bigram_counts", "drift_ref_256",
+      "doc_shingles", "graft_lsh_sigs",
       "graft_lsh_band_index", "graft_simhash_sigs")
     baseBuilds.foreach(m => assert(builds(m) >= 1, s"$m not built"))
     val snapshot = baseBuilds.map(m => m -> builds(m)).toMap
@@ -132,6 +135,11 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(Curation2.docsById(spark, dir)
         .select(full.columns.map(col).toIndexedSeq: _*),
       full, "documents_by_doc")
+    // additive aggregates: partial rows rolled up on read ≡ rebuild
+    assertSameRows(TextAnalysis.bigramCounts(spark, dir),
+      TextAnalysis.bigramCountsOf(full), "bigram_counts")
+    assertSameRows(Curation2.driftRefCounts(spark, dir),
+      Curation2.driftRefCountsOf(full), "drift_ref_256")
     assertSameRows(Dedup.docShingles(spark, dir)
         .select("doc_id", "source", "shingle"),
       Dedup.shingleSet(full.select(col("doc_id"), col("source"),
