@@ -157,7 +157,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // gaps: lag over the per-bucket (min, max) summary — a 4096×
     // reduction of the distinct-key table (the raw keys only ever see
     // the bucket-keyed window)
-    "q_gaps")
+    "q_gaps",
+    // batched BPE keeper ranks: one row_number per iteration over the
+    // ≤16-row kept-candidate table (post TakeOrdered(48) + anti-join +
+    // limit) — bounded by the K/M constants at any corpus size.
+    // Whether these windows are visible to the walk depends on cache
+    // registry state (materialized kept frames plan as
+    // InMemoryTableScan), so the whitelist entry keeps the guard
+    // deterministic.
+    "tx_bpe_batch")
 
   test("bucketed-model consumers aggregate in place (no exchange below the final agg)") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
