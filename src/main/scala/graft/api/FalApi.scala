@@ -239,8 +239,10 @@ final class FalApi(
 
   /** The bucket spec a version's FILES were actually written with
     * (recorded in its `_bucketed_table` marker), independent of what
-    * is registered in this process. */
-  private def markerBucketSpec(versionDir: String)
+    * is registered in this process. Shared with the standing-model
+    * maintenance layer (compaction thresholds, append-path
+    * fingerprints) so the marker format is parsed in ONE place. */
+  private[graft] def markerBucketSpec(versionDir: String)
       : Option[(Int, Seq[String])] = {
     val marker = FsIO.child(versionDir, "_bucketed_table")
     if (!FsIO.exists(marker)) None
@@ -434,6 +436,7 @@ final class FalApi(
     require(allowWrites, "write_to_model is not allowed in hooks")
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
+    val baseVersion = registry.currentVersion(name)
     val marker = FsIO.child(cur, "_bucketed_table")
     require(FsIO.exists(marker),
       s"appendToBucketedModel: $name's current version is not bucketed " +
@@ -446,18 +449,31 @@ final class FalApi(
     require(df.columns.toSet == cols.toSet,
       s"append increment columns ${df.columns.mkString(",")} != model " +
         s"columns ${cols.mkString(",")}")
+    // O(increment) accounting: count the increment once up front (the
+    // plan runs twice — count + insert — both O(batch)); a post-append
+    // count of the TABLE would scan the whole accumulated model per
+    // ingest batch, breaking this path's O(increment) contract
+    val inc = df.select(cols.map(col).toIndexedSeq: _*)
+      .localCheckpoint()
+    val rows = inc.count()
     // insertInto resolves POSITIONALLY — align to the table's order
-    df.select(cols.map(col).toIndexedSeq: _*).write.insertInto(tbl)
+    inc.write.insertInto(tbl)
     // insertInto refreshes the WRITING session's relation cache only;
     // when the increment frame rides a cloned session (a foreachBatch
     // micro-batch), THIS api's session would otherwise keep serving
     // the pre-append file listing — refresh it explicitly so readers
     // through this session see the appended buckets
     spark.catalog.refreshTable(tbl)
-    registry.swapPointer(name, cur, pointerMeta)
-    val rows = spark.table(tbl).count()
+    // version-checked: a concurrent REWRITE (compaction, overwrite) of
+    // this model between our read and this commit would mean the files
+    // just appended landed in a version dir that is no longer live —
+    // surface that as a conflict (caller re-runs against the new
+    // current, e.g. via Registry.retrySwap) instead of silently
+    // re-pointing readers at the superseded dir
+    registry.swapPointer(name, cur, pointerMeta,
+      expectedVersion = baseVersion)
     ledger.record(name, Status.Success,
-      s"append_bucketed totalRows=$rows${fileSkew(cur)}")
+      s"append_bucketed appendedRows=$rows${fileSkew(cur)}")
     registry.setStatus(name, Status.Success)
     WriteResult(name, rows, "append_bucketed")
   }

@@ -195,12 +195,28 @@ private[graft] object Shared {
   /** The canonical fingerprint of standing model `name` for `dir`'s
     * CURRENT corpus state — one formula shared by the build, resolve,
     * and append paths so an append's advance is exactly what the next
-    * resolve recomputes. */
+    * resolve recomputes. `preferMarkerBuckets` (the APPEND/ADVANCE
+    * paths) stamps the bucket count the FILES actually have (the
+    * current version's marker) rather than this session's
+    * shuffle-partitions conf: a maintenance process running a
+    * different conf would otherwise commit a fingerprint no resolve in
+    * the build conf ever matches, forcing a full rebuild on every cold
+    * start. The BUILD/RESOLVE path keeps the session conf — a conf
+    * change is an intentional re-layout and must rebuild.
+    */
   private[operators] def modelFingerprint(spark: SparkSession,
       dir: String, name: String, bucketBy: String, inputs: Seq[String],
-      logicVersion: String = "1"): String =
+      logicVersion: String = "1",
+      preferMarkerBuckets: Boolean = false): String = {
+    val buckets = (if (preferMarkerBuckets) {
+      val reg = registryFor(spark, dir)
+      reg.currentPath(name)
+        .flatMap(cur => new FalApi(spark, reg, new RunLedger)
+          .markerBucketSpec(cur).map(_._1.toString))
+    } else None).getOrElse(bucketsOf(spark))
     fingerprint(spark, dir, inputs,
-      Seq(name, bucketBy, bucketsOf(spark), logicVersion))
+      Seq(name, bucketBy, buckets, logicVersion))
+  }
 
   /** Trust (dir, name) as resolved in this process (called after an
     * incremental append commits its fingerprint advance). */
@@ -301,10 +317,11 @@ private[graft] object Shared {
       logicVersion: String = "1"): Unit = {
     val reg = registryFor(spark, dir)
     val fp = modelFingerprint(spark, dir, name, bucketBy, inputs,
-      logicVersion)
+      logicVersion, preferMarkerBuckets = true)
     val cur = reg.currentPath(name).getOrElse(throw new IllegalStateException(
       s"standing model not materialized: $name"))
-    reg.swapPointer(name, cur, Map(FingerprintKey -> fp))
+    reg.swapPointer(name, cur, Map(FingerprintKey -> fp),
+      expectedVersion = reg.currentVersion(name))
     built.put((dir, name), reg)
   }
 }

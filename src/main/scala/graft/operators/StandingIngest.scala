@@ -75,7 +75,7 @@ object StandingIngest {
       if (batchId.exists(id => committed.exists(_ >= id))) None
       else {
         val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
-          inputs)
+          inputs, preferMarkerBuckets = true)
         val res = api(spark, dir).appendToBucketedModel(increment, name,
           Map(Shared.FingerprintKey -> fp) ++
             batchId.map(id => BatchMetaKey -> id.toString))
@@ -158,14 +158,19 @@ object StandingIngest {
     // applies per doc, so the batch's derived rows are exactly the
     // full derivation restricted to the batch
     lazy val batchCorpus = Dedup.corpusOf(batch)
+    // the MinHash signature pass over the derived batch corpus is
+    // shared by the signature table and the band index (lazy: neither
+    // model present -> never computed; checkpointed so the second
+    // consumer reads blocks instead of re-running shingle+minhash)
+    lazy val batchSigs = Dedup
+      .sigsOf(batchCorpus.select("doc_id", "text")).localCheckpoint()
     appendOne(spark, dir, "graft_lsh_sigs", "doc_id", docTab,
-      Dedup.sigsOf(batchCorpus.select("doc_id", "text")), batchId)
+      batchSigs, batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_lsh_band_index", "bb", docTab,
       Dedup.withBb(Dedup.bandedOf(
-        Dedup.sigsOf(batchCorpus.select("doc_id", "text"))
-          .filter(col("doc_id") % 10 =!= 9))), batchId)
+        batchSigs.filter(col("doc_id") % 10 =!= 9))), batchId)
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_simhash_sigs", "simhash", docTab,
@@ -176,26 +181,32 @@ object StandingIngest {
   }
 
   /** Attach standing-model maintenance to a (doc_id, …) document
-    * STREAM via foreachBatch: per micro-batch, `land` persists the
-    * batch into the corpus store (an A-layer append via
-    * [[graft.streaming.StreamIngest.applyBatch]] when the corpus is a
-    * catalog model, or a parquet append for a plain dir), then every
-    * appendable standing model absorbs its increment with the batch id
-    * committed per model ([[BatchMetaKey]]) — a replayed batch after a
-    * mid-way crash re-appends exactly the models that missed it. The
-    * batch is localCheckpoint'd before landing so the increments read
-    * a stable snapshot rather than re-pulling the streaming source.
-    * Caller adds checkpointing/trigger options and starts.
+    * STREAM via foreachBatch: per micro-batch, `land(batch, batchId)`
+    * persists the batch into the corpus store, then every appendable
+    * standing model absorbs its increment with the batch id committed
+    * per model ([[BatchMetaKey]]) — a replayed batch after a mid-way
+    * crash re-appends exactly the models that missed it. `land`
+    * receives the BATCH ID precisely so the corpus landing can apply
+    * the same exactly-once discipline: route it through
+    * [[graft.streaming.StreamIngest.applyBatch]] (id-guarded A-layer
+    * append) when the corpus is a catalog model; a bare parquet append
+    * to a plain dir is NOT replay-safe on its own (a re-delivered
+    * batch would duplicate corpus rows and every fingerprint would
+    * advance over the duplicated listing — track the id or write to
+    * an id-named file). The batch is localCheckpoint'd before landing
+    * so the increments read a stable snapshot rather than re-pulling
+    * the streaming source. Caller adds checkpointing/trigger options
+    * and starts.
     */
   def attach(spark: SparkSession, dir: String, docs: DataFrame)(
-      land: DataFrame => Unit,
+      land: (DataFrame, Long) => Unit,
       onBatch: Map[String, WriteResult] => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint()
-        land(b)
+        land(b, batchId)
         onBatch(appendDocBatch(spark, dir, b, batchId = Some(batchId)))
         ()
     }
@@ -222,14 +233,10 @@ object StandingIngest {
       val cur = reg.currentPath(name).get
       val files = graft.api.FsIO.parquetSizes(cur).size
       // bucket count the FILES were written with, from the marker
-      val marker = graft.api.FsIO.child(cur, "_bucketed_table")
-      val buckets =
-        if (graft.api.FsIO.exists(marker)) {
-          val lines = graft.api.FsIO.readString(marker).trim
-            .split("\n").toSeq
-          if (lines.size >= 2) lines(1).trim.toInt
-          else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        } else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // (FalApi.markerBucketSpec is the one parser of that format)
+      val buckets = a.markerBucketSpec(cur).map(_._1)
+        .getOrElse(spark.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt)
       if (files <= buckets.toLong * maxFilesPerBucket) None
       else {
         val res = a.compactModel(name)
@@ -249,7 +256,8 @@ object StandingIngest {
     * the grown corpus crossed a K boundary (next touch rebuilds).
     */
   def appendEmbeddingBatch(spark: SparkSession, dir: String,
-      batch: DataFrame): Map[String, WriteResult] = {
+      batch: DataFrame, batchId: Option[Long] = None)
+      : Map[String, WriteResult] = {
     val p = Similarity.ivfParams(spark, dir)
     val r = Similarity.LloydRounds
     val idxName = s"graft_ivf_index_k${p.k}_r$r"
@@ -257,18 +265,30 @@ object StandingIngest {
     (Shared.resolveExisting(spark, dir, idxName),
         Shared.resolveExisting(spark, dir, centsName)) match {
       case (Some(_), Some(cents)) =>
+        // replay guard (same convention as appendOne): an already-
+        // committed batch id no-ops instead of double-appending
+        // assignment rows
+        val committed = Shared.registryOf(spark, dir)
+          .pointerMeta(idxName).get(BatchMetaKey).map(_.toLong)
+        if (batchId.exists(id => committed.exists(_ >= id)))
+          return Map.empty
+        // ORDER: advance the RETAINED centroids' fingerprint FIRST.
+        // Both crash windows then self-heal: a crash before the index
+        // append leaves a stale index fingerprint, and the rebuild
+        // re-assigns against the fingerprint-current retained
+        // centroids. The reverse order left a committed index whose
+        // rows were assigned against centroids a later resolve would
+        // RETRAIN — fingerprint-current but silently inconsistent.
+        Shared.advanceFingerprint(spark, dir, centsName,
+          Seq("embeddings"), "cell")
         val inc = Similarity.ivfAssign(
           Similarity.embNormOf(batch).filter(col("vec_id") >= 10), cents)
         val fp = Shared.modelFingerprint(spark, dir, idxName, "cell",
-          Seq("embeddings"))
+          Seq("embeddings"), preferMarkerBuckets = true)
         val res = api(spark, dir).appendToBucketedModel(inc, idxName,
-          Map(Shared.FingerprintKey -> fp))
+          Map(Shared.FingerprintKey -> fp) ++
+            batchId.map(id => BatchMetaKey -> id.toString))
         Shared.markResolved(spark, dir, idxName)
-        // centroid set intentionally unchanged: advance its
-        // fingerprint so the retained centroids stay resolvable
-        // against the grown corpus
-        Shared.advanceFingerprint(spark, dir, centsName,
-          Seq("embeddings"), "cell")
         Map(idxName -> res)
       case _ => Map.empty
     }

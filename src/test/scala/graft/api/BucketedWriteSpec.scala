@@ -63,9 +63,11 @@ class BucketedWriteSpec extends AnyFunSuite {
     val res = api.appendToBucketedModel(
       (401L to 500L).map(i => (i, s"v$i")).toDF("key", "v"), "ab_m",
       Map("fp" -> "advanced"))
-    // same version dir (in-place bucket-aligned append), total rows
+    // same version dir (in-place bucket-aligned append); rowsAffected
+    // reports the INCREMENT (an O(batch) count — a total-rows count
+    // would scan the whole accumulated model per append)
     assert(reg.currentPath("ab_m").contains(cur))
-    assert(res.rowsAffected == 500 && api.ref("ab_m").count() == 500)
+    assert(res.rowsAffected == 100 && api.ref("ab_m").count() == 500)
     assert(reg.pointerMeta("ab_m").get("fp").contains("advanced"))
     // bucket locality survives the multi-file-per-bucket layout
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -221,7 +221,12 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       val q = StandingIngest.attach(spark, dir2,
           input.toDF().toDF("doc_id", "text", "lang", "source",
             "n_chars"))(
-        land = { b =>
+        land = { (b, _) =>
+          // the landing callback receives the batch id so a production
+          // corpus (an A-layer model) can route through the id-guarded
+          // StreamIngest.applyBatch; this plain-dir fixture lands each
+          // batch once (the replay case below drives appendDocBatch
+          // directly)
           b.write.mode("append").parquet(s"$dir2/documents.parquet")
           Tables.invalidate(dir2, "documents")
         },
