@@ -188,14 +188,50 @@ final class Registry(val root: String) {
       .map(_.getPath.getName)
       .filter(v => v.startsWith("v") && v.drop(1).toIntOption.isDefined)
 
-  /** Allocate the next version directory for a write. */
+  /** Allocate the next version directory for a write — CLAIMED, not
+    * just computed: the max+1 scan alone lets two DRIVERS allocating
+    * concurrently both pick the same `vN` and write into one directory
+    * (in-JVM the swap locks serialize; cross-JVM nothing did). Each
+    * candidate is claimed by an exclusive create of a `_alloc` marker
+    * (`overwrite = false` — atomic on real filesystems/HDFS,
+    * best-effort HEAD-then-PUT on object stores, where the losing
+    * driver still almost always observes the winner's marker); a lost
+    * claim advances to the next number. The marker's underscore prefix
+    * keeps it invisible to Spark's parquet listing, and an overwrite
+    * materialization into the dir may delete it — harmless, the claim
+    * only needs to cover the allocate window (the dir itself exists
+    * from then on and the max+1 scan sees it).
+    */
   def nextVersionDir(name: String): String = {
     val dir = modelDir(name)
     fs.mkdirs(dir)
     val existing = versionNames(dir).map(_.drop(1).toInt)
-    val next = if (existing.isEmpty) 1 else existing.max + 1
+    var next = if (existing.isEmpty) 1 else existing.max + 1
+    val giveUp = next + 1000
+    while (!claimVersion(new Path(dir, s"v$next"))) {
+      next += 1
+      // a systemic create failure (permissions, quota) must surface,
+      // not spin the counter forever
+      if (next > giveUp) throw new IllegalStateException(
+        s"cannot claim a version directory under $dir after 1000 " +
+          "attempts — check filesystem permissions/quota")
+    }
     new Path(dir, s"v$next").toString
   }
+
+  private def claimVersion(versionDir: Path): Boolean =
+    try {
+      if (fs.exists(versionDir)) false
+      else {
+        val out = fs.create(new Path(versionDir, "_alloc"),
+          /* overwrite = */ false)
+        out.close()
+        true
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
 
   /** All version directories for a model, oldest first. */
   def listVersions(name: String): Seq[String] = {

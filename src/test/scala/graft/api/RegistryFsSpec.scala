@@ -232,6 +232,24 @@ class RegistryFsSpec extends AnyFunSuite {
     assert(!r2.retrySwap("m")(_ => None))
   }
 
+  test("nextVersionDir claims are exclusive across drivers (no shared " +
+      "vN between two registries over one root)") {
+    val root = schemedRoot()
+    val r1 = new Registry(root)
+    val r2 = new Registry(root)
+    // interleaved allocation from two drivers over the same model:
+    // without the claim markers both max+1 scans return the same vN
+    val dirs = (1 to 6).flatMap { _ =>
+      Seq(r1.nextVersionDir("m"), r2.nextVersionDir("m"))
+    }
+    assert(dirs.distinct.size == dirs.size,
+      s"duplicate version allocation across drivers: $dirs")
+    // allocation does not disturb normal writes/reads
+    val api = new FalApi(spark, r1, new RunLedger)
+    api.writeToModel(df(1, 2, 3), "m")
+    assert(api.ref("m").count() == 3)
+  }
+
   test("retrySwap converges interleaved writers on the rename branch " +
       "(VERDICT r11 #5)") {
     interleavedRetry(schemedRoot())
