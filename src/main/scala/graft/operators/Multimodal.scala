@@ -146,14 +146,69 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E8f — FRAME-LEVEL dedup across videos (the E8×E5 crossover every
+    * video pipeline runs: identical intro/outro/static frames recur
+    * across files and within a file, and storage/training both want
+    * one copy): each stub frame fingerprints its CONTENT slice (a real
+    * pipeline pHashes the decoded frame — same dataflow, the hash
+    * input is the only stub), duplicated fingerprints group, and each
+    * group reports its copy count, distinct-video spread, and the
+    * kept (min doc, min frame) representative. The corpus's
+    * duplicate/near-duplicate document structure yields real
+    * cross-video frame collisions.
+    *
+    * Scale: one explode over frame COUNTS (metadata, not pixels), the
+    * hash dies into a fixed-width group key, and the single shuffle is
+    * the fingerprint groupBy with O(1) partial state (count + two
+    * mins + the distinct-doc count's per-key state) — the exact-dedup
+    * plan shape at frame granularity. No pairs, no windows.
+    */
+  def mmFrameDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          expr("(n_chars - 1) div 40"))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        md5(expr("substr(text, CAST(frame_no * 40 + 1 AS INT), 40)"))
+          .as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_videos"),
+        min(col("doc_id")).as("keep_doc"),
+        min(struct(col("doc_id"), col("frame_no")))
+          .getField("frame_no").as("keep_frame"))
+      .filter(col("n_copies") > 1)
+      .orderBy("frame_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta _,
     "mm_frames" -> mmFrames _,
+    "mm_frame_dedup" -> mmFrameDedup _,
     "mm_decode_partitions" -> mmDecodePartitions _,
     "mm_resize" -> mmResize _,
     "mm_embed_partitions" -> mmEmbedPartitions _)
 
   val oracles: Map[String, String] = Map(
+    "mm_frame_dedup" -> """
+      WITH frames AS (
+        SELECT doc_id, frame_no,
+               md5(substr(text, CAST(frame_no * 40 + 1 AS INT), 40))
+                 AS frame_hash
+        FROM (
+          SELECT doc_id, text,
+                 unnest(range(0, (n_chars - 1) // 40 + 1)) AS frame_no
+          FROM documents)
+      )
+      SELECT frame_hash,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+             min(doc_id) AS keep_doc,
+             min(struct_pack(doc_id := doc_id, frame_no := frame_no))
+               .frame_no AS keep_frame
+      FROM frames
+      GROUP BY frame_hash
+      HAVING count(*) > 1
+      ORDER BY frame_hash""",
     "mm_decode_partitions" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
