@@ -93,7 +93,7 @@ object Curation2 extends QueryPack {
     * driver's fixture arrives unbucketed, so the engine's ingest
     * materializes it). Guarded by PlanPropertiesSpec's scrub test.
     */
-  private[operators] def docsById(spark: SparkSession, dir: String)
+  private[graft] def docsById(spark: SparkSession, dir: String)
       : DataFrame =
     Shared.model(spark, dir, "documents_by_doc", "doc_id",
       (s, d) => t(s, d, "documents"))

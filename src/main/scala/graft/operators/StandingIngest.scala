@@ -211,6 +211,28 @@ object StandingIngest {
         ()
     }
 
+  /** Embedding-stream twin of [[attach]]: per micro-batch of (vec_id,
+    * embedding) rows, `land` persists the batch into the embeddings
+    * store (id-guarded, same discipline as the document attach), then
+    * the standing IVF index absorbs the batch's assignment rows with
+    * the batch id committed ([[BatchMetaKey]]) — replay-safe under the
+    * fixed-centroid policy.
+    */
+  def attachEmbeddings(spark: SparkSession, dir: String,
+      vecs: DataFrame)(
+      land: (DataFrame, Long) => Unit,
+      onBatch: Map[String, WriteResult] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        land(b, batchId)
+        onBatch(appendEmbeddingBatch(spark, dir, b,
+          batchId = Some(batchId)))
+        ()
+    }
+
   /** Maintenance compaction over every materialized standing model of
     * `dir` with more than `maxFilesPerBucket` files per bucket: the
     * bucket-aligned append path trades O(increment) writes for file

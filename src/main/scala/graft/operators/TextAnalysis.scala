@@ -30,7 +30,7 @@ object TextAnalysis extends QueryPack {
     * `groupBy(term)` (and `groupBy(source, term)`) aggregates in place
     * with no exchange; source/lang ride along as per-doc passthroughs.
     */
-  private[operators] def docTerms(spark: SparkSession,
+  private[graft] def docTerms(spark: SparkSession,
       dir: String): DataFrame =
     graft.operators.Shared.model(spark, dir, "doc_terms", "term",
       (s, d) => docTermsOf(t(s, d, "documents")))
