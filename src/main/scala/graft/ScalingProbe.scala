@@ -80,6 +80,8 @@ object ScalingProbe {
       "tx_bpe_apply_deep" ->
         "deep (69-merge) segmentation rollup off the standing batch-trained model",
       "cu_drift" -> "corpus drift profile (256-bucket aggregate)",
+      "mm_frame_dedup" ->
+        "frame-level cross-video dedup (metadata explode + O(1)-state hash agg)",
       "sim_rand_projection" -> "JL random projection (one map pass)",
       "sim_hard_negatives" ->
         "banded hard-negative mining on the standing IVF index")
