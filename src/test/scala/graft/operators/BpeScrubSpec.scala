@@ -18,7 +18,8 @@ import graft.TestSpark
   *    duplicated spans, including the all-covered (empty scrub) and
   *    untouched-document edges.
   */
-class BpeScrubSpec extends AnyFunSuite {
+class BpeScrubSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -61,15 +62,30 @@ class BpeScrubSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
 
+  private val fixtureDirs = scala.collection.mutable.Buffer[String]()
+
   private def writeDocs(texts: Seq[String]): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bpe_fix").toString
+    fixtureDirs += dir
     texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "fix", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     dir
+  }
+
+  // temp fixtures build standing models into the DURABLE catalog since
+  // r12 — drop their namespaces so test runs don't accumulate garbage
+  // under standing_models/
+  override protected def afterAll(): Unit = {
+    fixtureDirs.foreach { d =>
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, d))
+      graft.api.FsIO.deleteTree(d)
+      Shared.invalidate(d)
+    }
+    super.afterAll()
   }
 
   // ---- reference BATCHED trainer (VERDICT r11 #2): conservative
