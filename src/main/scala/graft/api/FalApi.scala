@@ -611,6 +611,14 @@ final class FalApi(
     require(allowWrites, "compact_model is not allowed in hooks")
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
+    // version-checked commit (ADVICE r12): an appendToBucketedModel
+    // landing between this read and the swap would be SILENTLY DROPPED
+    // by an unconditional swap (the compacted snapshot predates the
+    // increment, yet the pointer would repoint readers at it) — so the
+    // swap aborts with SwapConflictException instead, and the caller
+    // re-compacts from the advanced state (compactStanding skips to
+    // the next sweep). The orphaned compacted dir is vacuumed later.
+    val baseVersion = registry.currentVersion(name)
     // readVersion: the rewrite must not re-infer partition-column types
     // (string '01' would come back — and be rewritten — as int 1)
     val df = readVersion(cur)
@@ -636,7 +644,7 @@ final class FalApi(
         materialize(df.coalesce(nFiles), name, target)
         s"files<=$nFiles"
     }
-    registry.swapPointer(name, target)
+    registry.swapPointer(name, target, expectedVersion = baseVersion)
     val rows = spark.read.parquet(target).count()
     ledger.record(name, Status.Success,
       s"compact rows=$rows $detail${fileSkew(target)}")

@@ -213,8 +213,12 @@ object Curation2 extends QueryPack {
         size(graft.operators.TextAnalysis.tokens(col("text")))
           .cast("long").as("n_tok"),
         md5(col("doc_id").cast("string")).as("h"))
+      // native md5-prefix (VERDICT r12 item #6 — the last composed
+      // conv(substr(...)) retired); bit-identical to
+      // CAST(conv(substr(h,1,4),16,10) AS BIGINT), and `h` itself
+      // stays: it is the within-shard ORDER key below
       .withColumn("shard",
-        expr("CAST(conv(substr(h,1,4),16,10) AS BIGINT) % 8"))
+        expr("graft_md5_prefix(CAST(doc_id AS STRING), 4) % 8"))
     val byShard = Window.partitionBy("shard")
       .orderBy(col("h"), col("doc_id"))
     d.withColumn("start_tok",

@@ -56,8 +56,11 @@ object Graph extends QueryPack {
     * decimal(28,12) cast-and-sum per contribution — the round-then-
     * decimal arithmetic that made the exact twin's sf1 row 7× the
     * production twin's without changing the engine dataflow. Overflow
-    * headroom: contributions ≤ 1, so a node's sum ≤ degree·1e9 —
-    * 2^63 covers degree 9×10⁹, far past any real hub; the long→double
+    * headroom (ADVICE r12): a contribution is rank/deg with rank
+    * UNNORMALIZED (total rank mass ≈ node count N), so a node's sum is
+    * bounded by the total quantized mass ≤ N·1e9, not degree·1e9 —
+    * 2^63 covers N ≈ 9×10⁹ nodes, far past any real graph; the
+    * long→double
     * conversion and the division are IEEE round-to-nearest in both
     * engines, so the restored double is bit-identical.
     */

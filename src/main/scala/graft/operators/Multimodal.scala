@@ -165,6 +165,11 @@ object Multimodal extends QueryPack {
     */
   def mmFrameDedup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // empty docs emit no frames — guarded IDENTICALLY in the oracle
+      // (ADVICE r12: Spark's `div` truncates toward zero while DuckDB's
+      // `//` floors, so n_chars = 0 would otherwise yield one empty
+      // frame here and none there)
+      .filter(col("n_chars") >= 1)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           expr("(n_chars - 1) div 40"))).as("frame_no"))
@@ -197,7 +202,7 @@ object Multimodal extends QueryPack {
         FROM (
           SELECT doc_id, text,
                  unnest(range(0, (n_chars - 1) // 40 + 1)) AS frame_no
-          FROM documents)
+          FROM documents WHERE n_chars >= 1)
       )
       SELECT frame_hash,
              CAST(count(*) AS BIGINT) AS n_copies,

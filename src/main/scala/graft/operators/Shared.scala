@@ -156,12 +156,17 @@ private[graft] object Shared {
 
   /** Corpus-content fingerprint for a standing model: md5 over the
     * build-logic epoch, the model's `logicVersion`, its bucket layout,
-    * and — per input table — the sorted (file name, length, mtime)
-    * listing of `dir/<table>.parquet`. Pure filesystem METADATA (no
-    * data read, no Spark job): any append, rewrite, or regeneration of
-    * an input table changes the listing, so a stale materialization can
-    * never satisfy a resolve. O(files) via the same Hadoop FileSystem
-    * the Registry rides, so it works on object stores too.
+    * and — per input table — the sorted (relative file path, length,
+    * mtime) listing of `dir/<table>.parquet`. The listing is RECURSIVE
+    * (ADVICE r12): object stores have no real directories, so a
+    * partitioned/nested corpus layout whose new files land under
+    * nested prefixes would not change a top-level listing — leaf files
+    * are the only change signal that exists on every store. Pure
+    * filesystem METADATA (no data read, no Spark job): any append,
+    * rewrite, or regeneration of an input table changes the listing,
+    * so a stale materialization can never satisfy a resolve. O(files)
+    * via the same Hadoop FileSystem the Registry rides (one flat LIST
+    * per table on object stores).
     */
   def fingerprint(spark: SparkSession, dir: String,
       inputs: Seq[String], layout: Seq[String]): String = {
@@ -174,9 +179,19 @@ private[graft] object Shared {
       val fs = p.getFileSystem(conf)
       sb.append(t).append('[')
       if (fs.exists(p)) {
-        fs.listStatus(p).toSeq
-          .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-          .sorted
+        val base = fs.makeQualified(p).toString
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val files = scala.collection.mutable
+          .ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          val full = s.getPath.toString
+          val rel =
+            if (full.startsWith(base)) full.substring(base.length)
+            else full
+          files += ((rel, s.getLen, s.getModificationTime))
+        }
+        files.sorted
           .foreach { case (n, len, mt) =>
             sb.append(n).append(':').append(len).append(':')
               .append(mt).append(';')

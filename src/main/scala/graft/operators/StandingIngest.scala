@@ -38,13 +38,23 @@ import graft.api.WriteResult
   *     geometry boundary (the model NAME carries K, so the rebuild is
   *     automatic).
   *
-  * Contract: land the batch's files in the corpus dir FIRST, then call
-  * with the batch as a DataFrame; batch ids must be new (disjoint from
-  * the existing corpus — the reference's incremental-model semantics,
-  * `impl.py` incremental strategies append new keys). A crash mid-way
-  * leaves some models advanced and others carrying the stale
-  * fingerprint; the stale ones rebuild on next touch — self-healing,
-  * never silently wrong. Batch ≡ rebuild equality on the gram and
+  * Contract: capture [[capturePre]] BEFORE landing the batch's files
+  * (or run under a streaming batch id), land the files in the corpus
+  * dir, then call with the batch as a DataFrame; batch ids must be new
+  * (disjoint from the existing corpus — the reference's
+  * incremental-model semantics, `impl.py` incremental strategies
+  * append new keys). A crash mid-way leaves some models advanced and
+  * others carrying the stale fingerprint; the stale ones rebuild on
+  * next touch — self-healing, never silently wrong. The guard that
+  * keeps that claim honest (ADVICE r12): an append proceeds only when
+  * the model's state verifiably includes EVERYTHING BUT this batch —
+  * either its stored fingerprint equals the captured pre-batch
+  * fingerprint, or its committed batch id is exactly this id minus one
+  * (a contiguous stream chain, which is also what lets a crash REPLAY
+  * re-append just the models that missed the batch). A model failing
+  * both checks is skipped, its now-stale fingerprint forcing a full
+  * rebuild on next resolve — never a current fingerprint stamped over
+  * silently-missing rows. Batch ≡ rebuild equality on the gram and
   * signature models is pinned by StandingIngestSpec.
   */
 object StandingIngest {
@@ -62,17 +72,90 @@ object StandingIngest {
     new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
       new graft.api.RunLedger)
 
+  /** The documents-derived appendable standing models: (name, bucket
+    * key, fingerprint input tables) — the one list [[capturePre]] and
+    * [[appendDocBatch]] share, so a captured pre-state always covers
+    * exactly the models the append maintains. */
+  private val DocModels: Seq[(String, String)] = Seq(
+    "gram_shared_10" -> "gh",
+    "gram_starts_10" -> "gh",
+    "documents_by_doc" -> "doc_id",
+    "doc_terms" -> "term",
+    "bigram_counts" -> "w1",
+    "drift_ref_256" -> "b",
+    "doc_shingles" -> "shingle",
+    "graft_lsh_sigs" -> "doc_id",
+    "graft_lsh_band_index" -> "bb",
+    "graft_simhash_sigs" -> "simhash")
+
+  /** Capture the expected PRE-BATCH fingerprints of every materialized
+    * documents-derived standing model — call BEFORE landing a batch's
+    * files (the corpus listing is the fingerprint's input, so after
+    * landing the pre-state is unrecoverable). [[appendDocBatch]] uses
+    * the capture to verify each model is current w.r.t. the corpus
+    * WITHOUT this batch before appending (ADVICE r12): a model whose
+    * stored fingerprint lags (an earlier batch's append was missed)
+    * skips the append and rebuilds on next resolve instead of being
+    * stamped fingerprint-current while silently incomplete. Pure
+    * filesystem metadata — no Spark job.
+    */
+  def capturePre(spark: SparkSession, dir: String): Map[String, String] = {
+    val reg = Shared.registryOf(spark, dir)
+    DocModels.collect {
+      case (name, bucketBy) if reg.relationExists(name) =>
+        name -> Shared.modelFingerprint(spark, dir, name, bucketBy,
+          Seq("documents"), preferMarkerBuckets = true)
+    }.toMap
+  }
+
+  /** [[capturePre]] twin for the embeddings-derived standing IVF index
+    * (and its retained centroids) — call before landing an embedding
+    * batch. The index name carries the corpus-derived K, so the capture
+    * runs `ivfParams` against the PRE-batch corpus, exactly the state
+    * [[appendEmbeddingBatch]]'s guard must verify against. */
+  def capturePreEmbeddings(spark: SparkSession,
+      dir: String): Map[String, String] = {
+    val p = Similarity.ivfParams(spark, dir)
+    val idxName = s"graft_ivf_index_k${p.k}_r${Similarity.LloydRounds}"
+    val reg = Shared.registryOf(spark, dir)
+    if (reg.relationExists(idxName))
+      Map(idxName -> Shared.modelFingerprint(spark, dir, idxName, "cell",
+        Seq("embeddings"), preferMarkerBuckets = true))
+    else Map.empty
+  }
+
+  /** The pre-state guard (ADVICE r12): proceed only when the model's
+    * stored state verifiably includes everything but this batch —
+    * stored fingerprint == captured pre-batch fingerprint, OR committed
+    * batch id == this id - 1 (contiguous stream chain; also the crash-
+    * replay path, where the re-delivered batch's files already sit in
+    * the corpus so the captured "pre" fingerprint legitimately cannot
+    * match the missed models). */
+  private def preStateOk(meta: Map[String, String],
+      batchId: Option[Long], expectedFp: Option[String]): Boolean = {
+    val committed = meta.get(BatchMetaKey).map(_.toLong)
+    val contiguous = batchId.zip(committed)
+      .exists { case (id, c) => c == id - 1 }
+    val fpCurrent = expectedFp
+      .exists(meta.get(Shared.FingerprintKey).contains)
+    contiguous || fpCurrent
+  }
+
   /** Append one model's increment + fingerprint advance; None when the
     * model was never materialized for this corpus (first touch will
-    * build it from the full corpus — already batch-inclusive) or when
-    * `batchId` was already committed to it (a streaming replay). */
+    * build it from the full corpus — already batch-inclusive), when
+    * `batchId` was already committed to it (a streaming replay), or
+    * when the pre-state guard fails (stale model: skip now, rebuild on
+    * next resolve). */
   private def appendOne(spark: SparkSession, dir: String, name: String,
       bucketBy: String, inputs: Seq[String], increment: => DataFrame,
-      batchId: Option[Long] = None): Option[(String, WriteResult)] =
+      batchId: Option[Long] = None,
+      expectedFp: Option[String] = None): Option[(String, WriteResult)] =
     Shared.resolveExisting(spark, dir, name).flatMap { _ =>
-      val committed = Shared.registryOf(spark, dir).pointerMeta(name)
-        .get(BatchMetaKey).map(_.toLong)
+      val meta = Shared.registryOf(spark, dir).pointerMeta(name)
+      val committed = meta.get(BatchMetaKey).map(_.toLong)
       if (batchId.exists(id => committed.exists(_ >= id))) None
+      else if (!preStateOk(meta, batchId, expectedFp)) None
       else {
         val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
           inputs, preferMarkerBuckets = true)
@@ -88,11 +171,21 @@ object StandingIngest {
     * table: doc_id, source, lang, text, n_chars at minimum) into every
     * appendable documents-derived standing model that exists for `dir`.
     * Returns the per-model write results (absent key = model not
-    * materialized yet, nothing to maintain).
+    * materialized yet / pre-state guard skipped it, nothing appended).
+    *
+    * Replay protection is REQUIRED (ADVICE r12): pass the streaming
+    * `batchId`, or a [[capturePre]] snapshot taken before the batch's
+    * files landed — without either, an append could stamp a current
+    * fingerprint over a model that silently missed an earlier batch.
     */
   def appendDocBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, batchId: Option[Long] = None)
+      batch: DataFrame, batchId: Option[Long] = None,
+      pre: Option[Map[String, String]] = None)
       : Map[String, WriteResult] = {
+    require(batchId.isDefined || pre.isDefined,
+      "appendDocBatch needs replay protection: pass the streaming " +
+        "batchId, or capturePre(spark, dir) BEFORE landing the batch")
+    def preFp(name: String): Option[String] = pre.flatMap(_.get(name))
     val docTab = Seq("documents")
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, WriteResult]
@@ -107,7 +200,9 @@ object StandingIngest {
     val batchW = batch
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val batchGrams = Curation2.gramHashes(batchW)
-    appendOne(spark, dir, "gram_shared_10", "gh", docTab, batchId = batchId, increment = {
+    appendOne(spark, dir, "gram_shared_10", "gh", docTab,
+        batchId = batchId, expectedFp = preFp("gram_shared_10"),
+        increment = {
       val oldStarts = Shared.resolveExisting(spark, dir, "gram_starts_10")
         .getOrElse(throw new IllegalStateException(
           "gram_shared_10 exists without gram_starts_10"))
@@ -126,32 +221,35 @@ object StandingIngest {
         .join(oldShared, Seq("gh"), "left_anti")
     }).foreach { case (k, v) => results.put(k, v) }
 
-    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams, batchId)
+    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams,
+        batchId, preFp("gram_starts_10"))
       .foreach { case (k, v) => results.put(k, v) }
 
     // the bucketed corpus copy itself absorbs the batch rows directly
-    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch, batchId)
+    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch,
+        batchId, preFp("documents_by_doc"))
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "doc_terms", "term", docTab,
-      TextAnalysis.docTermsOf(batch), batchId)
+      TextAnalysis.docTermsOf(batch), batchId, preFp("doc_terms"))
       .foreach { case (k, v) => results.put(k, v) }
 
     // additive aggregates: the batch's PARTIAL counts append and the
     // accessors roll partials up on read (aggregate-on-read)
     appendOne(spark, dir, "bigram_counts", "w1", docTab,
-      TextAnalysis.bigramCountsOf(batch), batchId)
+      TextAnalysis.bigramCountsOf(batch), batchId, preFp("bigram_counts"))
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "drift_ref_256", "b", docTab,
-      Curation2.driftRefCountsOf(batch), batchId)
+      Curation2.driftRefCountsOf(batch), batchId, preFp("drift_ref_256"))
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "doc_shingles", "shingle", docTab,
       Dedup.shingleSet(batch.select(col("doc_id"), col("source"),
           col("text")))
         .select(col("doc_id"), col("source"),
-          xxhash64(col("shingle")).as("shingle")), batchId)
+          xxhash64(col("shingle")).as("shingle")), batchId,
+      preFp("doc_shingles"))
       .foreach { case (k, v) => results.put(k, v) }
 
     // the dedup corpus derivation (originals ∪ truncations ∪ clones)
@@ -165,16 +263,18 @@ object StandingIngest {
     lazy val batchSigs = Dedup
       .sigsOf(batchCorpus.select("doc_id", "text")).localCheckpoint()
     appendOne(spark, dir, "graft_lsh_sigs", "doc_id", docTab,
-      batchSigs, batchId)
+      batchSigs, batchId, preFp("graft_lsh_sigs"))
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_lsh_band_index", "bb", docTab,
       Dedup.withBb(Dedup.bandedOf(
-        batchSigs.filter(col("doc_id") % 10 =!= 9))), batchId)
+        batchSigs.filter(col("doc_id") % 10 =!= 9))), batchId,
+      preFp("graft_lsh_band_index"))
       .foreach { case (k, v) => results.put(k, v) }
 
     appendOne(spark, dir, "graft_simhash_sigs", "simhash", docTab,
-      Dedup.simhashOf(batchCorpus), batchId)
+      Dedup.simhashOf(batchCorpus), batchId,
+      preFp("graft_simhash_sigs"))
       .foreach { case (k, v) => results.put(k, v) }
 
     results.toMap
@@ -195,10 +295,17 @@ object StandingIngest {
     * advance over the duplicated listing — track the id or write to
     * an id-named file). The batch is localCheckpoint'd before landing
     * so the increments read a stable snapshot rather than re-pulling
-    * the streaming source. Caller adds checkpointing/trigger options
-    * and starts.
+    * the streaming source. The pre-batch fingerprints are captured
+    * BEFORE `land` runs (ADVICE r12), so each model's append verifies
+    * it was current up to exactly this batch. `compactEvery = Some(k)`
+    * adds the default maintenance cadence (VERDICT r12 item #4): a
+    * [[compactStanding]] sweep after every k-th micro-batch commits,
+    * bounding the per-bucket file accumulation a continual-ingest
+    * deployment otherwise has to schedule out-of-band. Caller adds
+    * checkpointing/trigger options and starts.
     */
-  def attach(spark: SparkSession, dir: String, docs: DataFrame)(
+  def attach(spark: SparkSession, dir: String, docs: DataFrame,
+      compactEvery: Option[Int] = None, maxFilesPerBucket: Int = 4)(
       land: (DataFrame, Long) => Unit,
       onBatch: Map[String, WriteResult] => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -206,8 +313,16 @@ object StandingIngest {
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint()
+        val pre = capturePre(spark, dir)
         land(b, batchId)
-        onBatch(appendDocBatch(spark, dir, b, batchId = Some(batchId)))
+        onBatch(appendDocBatch(spark, dir, b, batchId = Some(batchId),
+          pre = Some(pre)))
+        compactEvery.foreach { k =>
+          require(k >= 1, "compactEvery must be >= 1")
+          if ((batchId + 1) % k == 0) {
+            compactStanding(spark, dir, maxFilesPerBucket); ()
+          }
+        }
         ()
     }
 
@@ -227,9 +342,10 @@ object StandingIngest {
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint()
+        val pre = capturePreEmbeddings(spark, dir)
         land(b, batchId)
         onBatch(appendEmbeddingBatch(spark, dir, b,
-          batchId = Some(batchId)))
+          batchId = Some(batchId), pre = Some(pre)))
         ()
     }
 
@@ -246,6 +362,14 @@ object StandingIngest {
     * forward through the swap (content is unchanged), so compaction
     * never triggers a rebuild or a replay. Returns the compacted
     * models' write results.
+    *
+    * Concurrency (ADVICE r12): `compactModel`'s commit is now
+    * version-checked, so an append landing mid-rewrite (the advertised
+    * "fresh maintenance process alongside ingest" deployment) aborts
+    * the compaction with a [[graft.api.SwapConflictException]] instead
+    * of repointing readers at a snapshot missing the increment — this
+    * sweep catches it and SKIPS the model (the next sweep compacts the
+    * advanced state; the orphaned rewrite dir is vacuumed then).
     */
   def compactStanding(spark: SparkSession, dir: String,
       maxFilesPerBucket: Int = 4): Map[String, WriteResult] = {
@@ -260,11 +384,13 @@ object StandingIngest {
         .getOrElse(spark.conf
           .get("spark.sql.shuffle.partitions", "32").toInt)
       if (files <= buckets.toLong * maxFilesPerBucket) None
-      else {
+      else try {
         val res = a.compactModel(name)
         a.vacuumModel(name, keep = 1)
         Shared.markResolved(spark, dir, name)
         Some(name -> res)
+      } catch {
+        case _: graft.api.SwapConflictException => None
       }
     }.toMap
   }
@@ -274,12 +400,20 @@ object StandingIngest {
     * RETAINED centroid (the standard IVF ingest policy — centroids
     * retrain on geometry changes, which surface as a K change in the
     * model name and rebuild automatically) and append the assignment
-    * rows cell-bucketed. Empty map when the index does not exist or
-    * the grown corpus crossed a K boundary (next touch rebuilds).
+    * rows cell-bucketed. Empty map when the index does not exist,
+    * the grown corpus crossed a K boundary (next touch rebuilds), or
+    * the pre-state guard skipped a stale index. Replay protection is
+    * required — pass the streaming `batchId` or a
+    * [[capturePreEmbeddings]] snapshot taken before the batch landed.
     */
   def appendEmbeddingBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, batchId: Option[Long] = None)
+      batch: DataFrame, batchId: Option[Long] = None,
+      pre: Option[Map[String, String]] = None)
       : Map[String, WriteResult] = {
+    require(batchId.isDefined || pre.isDefined,
+      "appendEmbeddingBatch needs replay protection: pass the " +
+        "streaming batchId, or capturePreEmbeddings(spark, dir) " +
+        "BEFORE landing the batch")
     val p = Similarity.ivfParams(spark, dir)
     val r = Similarity.LloydRounds
     val idxName = s"graft_ivf_index_k${p.k}_r$r"
@@ -290,9 +424,14 @@ object StandingIngest {
         // replay guard (same convention as appendOne): an already-
         // committed batch id no-ops instead of double-appending
         // assignment rows
-        val committed = Shared.registryOf(spark, dir)
-          .pointerMeta(idxName).get(BatchMetaKey).map(_.toLong)
+        val meta = Shared.registryOf(spark, dir).pointerMeta(idxName)
+        val committed = meta.get(BatchMetaKey).map(_.toLong)
         if (batchId.exists(id => committed.exists(_ >= id)))
+          return Map.empty
+        // pre-state guard (ADVICE r12): a stale index (a missed prior
+        // batch) skips and rebuilds on next resolve rather than being
+        // stamped current while incomplete
+        if (!preStateOk(meta, batchId, pre.flatMap(_.get(idxName))))
           return Map.empty
         // ORDER: advance the RETAINED centroids' fingerprint FIRST.
         // Both crash windows then self-heal: a crash before the index

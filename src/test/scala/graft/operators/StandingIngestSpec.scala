@@ -106,13 +106,19 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     baseBuilds.foreach(m => assert(builds(m) >= 1, s"$m not built"))
     val snapshot = baseBuilds.map(m => m -> builds(m)).toMap
 
-    // the batch lands in the corpus dir FIRST (new part files), then
-    // the standing models absorb the increment
+    // the pre-batch fingerprints are captured FIRST (ADVICE r12 —
+    // verifiable "current up to exactly this batch" state), then the
+    // batch lands in the corpus dir (new part files), then the
+    // standing models absorb the increment
     val batch = batchDocs.cache()
     assert(batch.count() > 0)
+    val pre = StandingIngest.capturePre(spark, dir)
+    assert(baseBuilds.forall(pre.contains),
+      s"capturePre must cover every materialized model: ${pre.keySet}")
     batch.write.mode("append").parquet(s"$dir/documents.parquet")
     Tables.invalidate(dir, "documents")
-    val results = StandingIngest.appendDocBatch(spark, dir, batch)
+    val results = StandingIngest.appendDocBatch(spark, dir, batch,
+      pre = Some(pre))
     assert(results.keySet == baseBuilds.toSet,
       s"every maintained model appended: ${results.keySet}")
 
@@ -308,6 +314,108 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def builds2(d: String, name: String): Long =
     Shared.buildCounts.getOrElse((d, name), 0L)
 
+  test("pre-state guard: a model that missed an earlier batch is " +
+      "skipped (stale fingerprint -> rebuild), never stamped current " +
+      "while incomplete (ADVICE r12)") {
+    val dir3 = Files.createTempDirectory("graft_ingest_guard").toString
+    try {
+      allDocs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+      Tables.invalidate(dir3, "documents")
+      assert(Curation2.gramStarts(spark, dir3).count() > 0)
+      val b0 = builds2(dir3, "gram_starts_10")
+
+      // batch A lands SILENTLY — its standing-model append is "missed"
+      // (the mid-way-crash / non-id-guarded-landing scenario)
+      allDocs.filter(col("doc_id") % 3 === 1)
+        .write.mode("append").parquet(s"$dir3/documents.parquet")
+      Tables.invalidate(dir3, "documents")
+
+      // batch B follows the contract (capturePre before landing) — but
+      // gram_starts' stored fingerprint predates batch A, so the guard
+      // must SKIP the append: proceeding would stamp a current
+      // fingerprint over a model missing A's rows
+      val batchB = allDocs.filter(col("doc_id") % 3 === 2)
+      val pre = StandingIngest.capturePre(spark, dir3)
+      assert(pre.contains("gram_starts_10"))
+      batchB.write.mode("append").parquet(s"$dir3/documents.parquet")
+      Tables.invalidate(dir3, "documents")
+      val res = StandingIngest.appendDocBatch(spark, dir3, batchB,
+        pre = Some(pre))
+      assert(!res.contains("gram_starts_10"),
+        s"stale model must be skipped, not appended: ${res.keySet}")
+
+      // the skip leaves the stale fingerprint in place: the next
+      // resolve rebuilds over the FULL corpus — no rows lost
+      Shared.invalidate(dir3)
+      assertSameRows(Curation2.gramStarts(spark, dir3),
+        Curation2.gramHashes(graft.operators.t(spark, dir3, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))),
+        "gram_starts_10 after guard-forced rebuild")
+      assert(builds2(dir3, "gram_starts_10") == b0 + 1,
+        "guard skip must surface as exactly one rebuild")
+
+      // without ANY replay protection the call is rejected outright
+      intercept[IllegalArgumentException] {
+        StandingIngest.appendDocBatch(spark, dir3, batchB)
+      }
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir3))
+      graft.api.FsIO.deleteTree(dir3)
+      Shared.invalidate(dir3)
+    }
+  }
+
+  test("attach compactEvery cadence: the sweep fires after every k-th " +
+      "micro-batch (VERDICT r12 item #4 default cadence hook)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir4 = Files.createTempDirectory("graft_ingest_cadence").toString
+    try {
+      allDocs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir4/documents.parquet")
+      Tables.invalidate(dir4, "documents")
+      assert(Curation2.gramStarts(spark, dir4).count() > 0)
+      val reg = Shared.registryOf(spark, dir4)
+      val v0 = reg.currentVersion("gram_starts_10").get
+
+      def rows(m: Long) = allDocs.filter(col("doc_id") % 3 === m)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val q = StandingIngest.attach(spark, dir4,
+          input.toDF().toDF("doc_id", "text", "lang", "source",
+            "n_chars"),
+          compactEvery = Some(2), maxFilesPerBucket = 0)(
+        land = { (b, _) =>
+          b.write.mode("append").parquet(s"$dir4/documents.parquet")
+          Tables.invalidate(dir4, "documents")
+        }).start()
+      try {
+        input.addData(rows(1))
+        q.processAllAvailable()
+        // batch 0: appended, no sweep yet — still the in-place version
+        assert(reg.currentVersion("gram_starts_10").get == v0)
+        input.addData(rows(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      // batch 1 closed the k=2 window: the sweep compacted (fresh
+      // version dir swapped in) and content survived
+      assert(reg.currentVersion("gram_starts_10").get != v0,
+        "cadence sweep must have compacted after the 2nd micro-batch")
+      assertSameRows(Curation2.gramStarts(spark, dir4),
+        Curation2.gramHashes(graft.operators.t(spark, dir4, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))),
+        "gram_starts_10 after cadence compaction")
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir4))
+      graft.api.FsIO.deleteTree(dir4)
+      Shared.invalidate(dir4)
+    }
+  }
+
   test("appendEmbeddingBatch appends assignment rows against retained " +
       "centroids (fixed-centroid IVF ingest)") {
     val idx0 = Similarity.ivfIndexModel(spark, dir)
@@ -316,9 +424,12 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = batchVecs.cache()
     val bn = batch.count()
     assert(bn > 0)
+    val pre = StandingIngest.capturePreEmbeddings(spark, dir)
+    assert(pre.nonEmpty, "capturePreEmbeddings must see the built index")
     batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
     Tables.invalidate(dir, "embeddings")
-    val results = StandingIngest.appendEmbeddingBatch(spark, dir, batch)
+    val results = StandingIngest.appendEmbeddingBatch(spark, dir, batch,
+      pre = Some(pre))
     assert(results.size == 1, s"index append expected: $results")
     val idxName = results.keySet.head
     val idx = Shared.resolveExisting(spark, dir, idxName).get
