@@ -207,6 +207,10 @@ object Curation2 extends QueryPack {
     * of parallel writing — more shards, same plan, no global sort.
     */
   def txPack(spark: SparkSession, dir: String): DataFrame = {
+    // self-sufficient registration (the shard key is the native
+    // md5-prefix expression): a filtered Verify run or a fresh session
+    // must not depend on some OTHER query having registered first
+    graft.functions.GraftFunctions.register(spark)
     val seqLen = 2048L
     val d = t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -607,50 +611,116 @@ object Curation2 extends QueryPack {
     * shuffle, and the candidate/keeper tables are ≤ K rows (broadcast
     * self-join + a K-row global window — bounded, audited).
     */
-  private def bpeBatchKept(seq: DataFrame): DataFrame = {
+  private def bpeBatchKept(seq: DataFrame, k: Int = BpeBatchK,
+      m: Int = BpeBatchM, thin: Boolean = false,
+      sep: String = "", chainOnly: Boolean = false): DataFrame = {
     val byPos = Window.partitionBy("term").orderBy("pos")
     val s1 = seq.withColumn("nxt", lead(col("sym"), 1).over(byPos))
-    val cand = s1.filter(col("nxt").isNotNull)
+    val topK = s1.filter(col("nxt").isNotNull)
       .select(col("sym").as("l"), col("nxt").as("r"), col("tcnt"))
       .groupBy("l", "r").agg(sum(col("tcnt")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
-      .limit(BpeBatchK)
-      .cache()
+      .limit(k)
+    // the DEEP schedule thins candidates to the best pair PER LEFT
+    // SYMBOL before the keeper rule (VERDICT r12 item #1): the top-K
+    // pairs concentrate on a few dominant symbols, so the conservative
+    // NOT-EXISTS rule over the raw top-K drops almost everything
+    // (every candidate shares a symbol with some higher-ranked one) —
+    // measured ~3 merges/iteration however large K grows. One
+    // deterministic argmax per left symbol (count desc, r asc)
+    // sparsifies the interaction graph — candidates then share symbols
+    // only through r-collisions — and the SAME rule keeps most of the
+    // batch. Deferred second-best pairs for a popular left symbol
+    // simply surface in a later iteration's recount, exactly like
+    // pairs outside the window.
+    val cand = (if (!thin) topK
+      else {
+        val byL = Window.partitionBy("l")
+          .orderBy(col("pair_count").desc, col("r"))
+        topK.withColumn("lrn", row_number().over(byL))
+          .filter(col("lrn") === 1).drop("lrn")
+      }).cache()
     val q = cand.toDF("ql", "qr", "qc")
     val higherRanked = col("qc") > col("pair_count") ||
       (col("qc") === col("pair_count") &&
         (col("ql") < col("l") ||
           (col("ql") === col("l") && col("qr") < col("r"))))
-    val interacts = col("ql") === col("l") || col("ql") === col("r") ||
-      col("qr") === col("l") || col("qr") === col("r") ||
-      concat(col("ql"), col("qr")) === concat(col("l"), col("r"))
+    // `sep` is the merged-symbol joiner ("" for character merges, " "
+    // for the phrase trainer) — the collision arm must use it too, or
+    // two phrase pairs like ("a b","c") / ("a","b c") would not be
+    // seen as producing the same merged symbol
+    val collides = concat(col("ql"), lit(sep), col("qr")) ===
+      concat(col("l"), lit(sep), col("r"))
+    // chainOnly (the deep trainer, VERDICT r12 item #1) relaxes the
+    // interaction predicate from ANY shared symbol to CROSS-CHAINING
+    // only: two occurrences of distinct pairs p, q can share a symbol
+    // INSTANCE only when that instance is p's right and q's left (or
+    // vice versa), i.e. p.r = q.l — a position cannot start two
+    // different pairs (same-left is safe) nor end two (same-right is
+    // safe), and same-pair runs are what the parity window already
+    // resolves. On a small closed alphabet this is the difference
+    // between ~8 keepers per round (every top pair shares a word with
+    // a higher-ranked one) and alphabet-bound batches; batch ≡
+    // sequential-fold still holds (BpeScrubSpec pins the same-left /
+    // same-right / chain cases).
+    val interacts =
+      if (chainOnly)
+        col("ql") === col("r") || col("qr") === col("l") || collides
+      else col("ql") === col("l") || col("ql") === col("r") ||
+        col("qr") === col("l") || col("qr") === col("r") || collides
     cand
       .join(broadcast(q), higherRanked && interacts, "left_anti")
       .orderBy(col("pair_count").desc, col("l"), col("r"))
-      .limit(BpeBatchM)
+      .limit(m)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pair_count").desc, col("l"), col("r"))))
-      .withColumn("merged", concat(col("l"), col("r")))
+      .withColumn("merged", concat(col("l"), lit(sep), col("r")))
   }
 
-  private def bpeBatchIter(seq: DataFrame): (DataFrame, DataFrame) = {
-    val kept = bpeBatchKept(seq).cache()
+  /** localCheckpoint + SEVER the statistics lineage. Checkpointing
+    * truncates the LOGICAL lineage (LogicalRDD), but
+    * `LogicalRDD.fromDataset` copies the origin plan's STATISTICS
+    * forward — and the trainer's per-iteration join products compound
+    * those BigInt `sizeInBytes` estimates exponentially (each round's
+    * plan multiplies the previous round's estimate several times, so
+    * the integer's BIT LENGTH roughly triples per iteration; by
+    * iteration ~20 the driver spends minutes inside Karatsuba/ToomCook
+    * multiplication in `SizeInBytesOnlyStatsPlanVisitor`, one core
+    * pinned, executors idle — observed live via jstack at
+    * [[BpeDeepIters]] depth). Rebuilding the DataFrame from the
+    * checkpointed RDD + schema drops the carried stats to the default
+    * estimate, which is harmless here: every size-sensitive join in
+    * the trainer is an explicit `broadcast()`. The Row round-trip
+    * costs one extra deserialization over a vocabulary-sized frame —
+    * nothing next to the minutes of BigInteger math it removes.
+    */
+  private[graft] def checkpointSevered(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  private def bpeBatchIter(seq: DataFrame, k: Int = BpeBatchK,
+      m: Int = BpeBatchM, thin: Boolean = false, sep: String = "",
+      chainOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val kept = bpeBatchKept(seq, k, m, thin, sep, chainOnly).cache()
     val next = bpeApplyMerge(seq, kept.select(col("l").as("bl"),
       col("r").as("br"), col("merged").as("bm")))
-    // localCheckpoint, not cache: each iteration's plan embeds the
+    // checkpoint, not cache: each iteration's plan embeds the
     // previous seq ~3× (the apply kernel reads it for the lead frame,
-    // the occurrence join, and the reassembly), so 12 lazily-chained
+    // the occurrence join, and the reassembly), so lazily-chained
     // iterations build an exponentially-sized logical tree that the
     // analyzer walks on every further op — measured as minutes of
     // plan-time at iteration depth 12 vs milliseconds of data-time on
     // the vocab-sized table. Checkpointing truncates the lineage to a
     // constant-size LogicalRDD per iteration (local is fine: the
     // frame is vocabulary-sized and the trainer is one job; a cluster
-    // run with executor churn would use reliable checkpointing).
+    // run with executor churn would use reliable checkpointing), and
+    // [[checkpointSevered]] additionally drops the carried statistics
+    // (see its scaladoc — the stats compound exponentially too).
     // (Measured and rejected: checkpointing every 2nd iteration with
     // lazy or cached odd iterations — both ~7-15% SLOWER; the eager
     // truncation each round is the cheapest shape.)
-    (kept, next.localCheckpoint())
+    (kept, checkpointSevered(next))
   }
 
   /** E9/E7 — batched tokenizer training at depth: [[BpeBatchIters]]
@@ -713,11 +783,185 @@ object Curation2 extends QueryPack {
   def txBpeBatch(spark: SparkSession, dir: String): DataFrame =
     bpeBatchTrain(spark, dir)._1.reduce(_.union(_)).orderBy("it", "mrank")
 
-  /** The DEEP trained segmentation as a standing term-bucketed model —
-    * the batched trainer's final symbol table (69 merges on this
-    * corpus), the state a production tokenizer actually serves. Paid
-    * once per corpus at ingest (catalog-resident like every standing
-    * model); the depth apply below reads it bucket-locally. */
+  /** PRODUCTION-DEPTH BPE training (VERDICT r12 item #1, ≥1,000
+    * merges). Two data facts shape the design:
+    *
+    *   1. This corpus's WORD vocabulary is CLOSED — 31 distinct words
+    *      at every scale factor — so word-internal BPE saturates at 89
+    *      merges with every vocab word a single symbol (pinned by
+    *      BpeScrubSpec); no schedule can train deeper within words.
+    *      The depth that exists in the corpus is its PHRASE structure,
+    *      so the deep trainer follows the sentencepiece convention
+    *      (no whitespace pre-split: merges may cross word boundaries),
+    *      initialized at word granularity — each document's word
+    *      stream is one training sequence, merged symbols are
+    *      space-joined phrases. Word-boundary initialization keeps the
+    *      symbol table at O(corpus word positions), not characters,
+    *      and the first-89-merge word-collapse phase (already covered
+    *      by the word-level twins) is skipped rather than re-learned.
+    *   2. The fixed 16-of-48 batch left merge throughput flat, so the
+    *      candidate window and batch cap SCALE WITH THE ITERATION
+    *      ([[bpeDeepM]] = min(4·m, cap), K = 3·M) and candidates are
+    *      thinned to the best pair per left symbol before the
+    *      unchanged symbol-disjoint keeper rule (see [[bpeBatchKept]]
+    *      — the raw top-K concentrates on dominant symbols and the
+    *      conservative rule over it keeps ~3/iteration no matter how
+    *      large K grows).
+    *
+    * The schedule is a pure function of the iteration index, so the
+    * DuckDB oracle replays it exactly (per-iteration LIMITs in the
+    * unrolled CTEs), and batched ≡ sequential-fold holds per batch
+    * (kept pairs stay pairwise symbol-disjoint — the same argument,
+    * now over phrase symbols).
+    *
+    * Scale: the symbol table is one row per corpus word POSITION
+    * (sequences shard by doc_id), shrinking as merges apply; each
+    * iteration is the same map-side-combined pair count + bounded
+    * candidate selection + one chain-parity pass the 12×16 trainer
+    * runs. Real tokenizer training samples a bounded corpus subset —
+    * at 100 TB this trainer would read a sampled standing corpus
+    * slice, same plan.
+    */
+  private[graft] val BpeDeepIters = 84
+  private[graft] val BpeDeepCapM = 128
+  private[graft] def bpeDeepM(it: Int): Int = math.min(4 * it, BpeDeepCapM)
+  private[graft] def bpeDeepK(it: Int): Int = math.min(16 * it, 1024)
+  /** Deterministic training sample: every 10th document — production
+    * tokenizer training reads a bounded corpus sample, never the full
+    * corpus, and the sample keeps ~120 vocabulary-sized iterations in
+    * the tens-of-seconds build class. The modulus is part of the
+    * trained artifact's definition (the oracle applies the same
+    * filter). */
+  private[graft] val BpeDeepSampleMod = 10L
+
+  /** The deep training pass: (per-iteration kept-merge frames, FINAL
+    * symbol table — `term` is the doc_id, `sym` a space-joined
+    * phrase). Memoized per (session, dir) like the fixed-batch
+    * trainer; the standing models below make the memo a same-process
+    * convenience only (the catalog pays training once per corpus
+    * EVER). */
+  private val bpeDeepTrained = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, Seq[DataFrame], DataFrame)]
+
+  Shared.onInvalidate(dir => { bpeDeepTrained.remove(dir); () })
+
+  private def bpeDeepTrain(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    if (Shared.schemaOnly(spark)) bpeDeepTrainOnce(spark, dir)
+    else bpeDeepTrained.get(dir) match {
+      case Some((owner, merges, seq))
+          if (owner eq spark) && !owner.sparkContext.isStopped =>
+        (merges, seq)
+      case _ =>
+        val trained = bpeDeepTrainOnce(spark, dir)
+        bpeDeepTrained.put(dir, (spark, trained._1, trained._2))
+        trained
+    }
+
+  private def bpeDeepTrainOnce(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    // one training sequence per document: term = doc_id, symbols = the
+    // doc's words in order (the sentencepiece no-presplit convention
+    // at word granularity; doc_id is unique, so tcnt = 1)
+    // the sampled symbol table is tiny (one row per sampled word
+    // position); pre-shard it on the sequence key at low parallelism
+    // so the ~[[BpeDeepIters]] per-iteration window/agg stages run a
+    // handful of tasks instead of 32 near-empty ones
+    var seq = t(spark, dir, "documents")
+      .filter(col("doc_id") % BpeDeepSampleMod === 0)
+      .select(col("doc_id").as("term"), lit(1L).as("tcnt"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "sym")))
+      .select(col("term"), col("tcnt"),
+        (col("p0") + 1).cast("int").as("pos"), col("sym"))
+      .repartition(8, col("term"))
+    val iters = if (Shared.schemaOnly(spark)) 1 else BpeDeepIters
+    val merges = (1 to iters).map { it =>
+      val (kept, next) =
+        if (Shared.schemaOnly(spark)) {
+          val k = bpeBatchKept(seq, bpeDeepK(it), bpeDeepM(it),
+            thin = true, sep = " ", chainOnly = true)
+          (k, seq)
+        } else bpeBatchIter(seq, bpeDeepK(it), bpeDeepM(it),
+          thin = true, sep = " ", chainOnly = true)
+      seq = next
+      kept.select(lit(it.toLong).as("it"),
+        col("rank").cast("long").as("mrank"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("merged"), col("pair_count"))
+    }
+    (merges, seq)
+  }
+
+  /** The deep trainer's raw merge table (training runs here). The
+    * GATED [[txBpeDeep]] reads the standing model instead, so queries
+    * pay catalog-resolve cost, not training. */
+  private def txBpeDeepTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeDeepTrain(spark, dir)._1.reduce(_.union(_)).orderBy("it", "mrank")
+
+  /** Training-throughput probe (graft.ScalingProbe's deep-BPE block):
+    * run the trainer end-to-end BYPASSING the memo and the catalog,
+    * returning (total merges, wall seconds, per-iteration yields) —
+    * the merges/second evidence VERDICT r12 item #1 asks for. */
+  private[graft] def bpeDeepProbe(spark: SparkSession, dir: String)
+      : (Long, Double, Seq[Long]) = {
+    val t0 = System.nanoTime()
+    val (merges, _) = bpeDeepTrainOnce(spark, dir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val perIter = merges.map(_.count())
+    (perIter.sum, secs, perIter)
+  }
+
+  /** The deep trained segmentation as a standing doc-bucketed model —
+    * the phrase trainer's final symbol table (≥1,000 merges at sf0.1),
+    * the state a production tokenizer serves. Trained once per corpus
+    * as a catalog-resident build. */
+  private[graft] def bpePhraseSeg(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, s"bpe_phrase_seg_$BpeDeepIters",
+      "term", (s, d) => bpeDeepTrain(s, d)._2)
+
+  /** The deep trainer's full merge table as a standing model — the
+    * replay target for tokenizing documents the trainer never saw. */
+  private[graft] def bpePhraseMerges(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.model(spark, dir, s"bpe_phrase_merges_$BpeDeepIters", "it",
+      (s, d) => txBpeDeepTrain(s, d))
+
+  /** E9 — tokenizer training AT PRODUCTION DEPTH (VERDICT r12 item
+    * #1): the adaptive-schedule phrase trainer's learned merge table,
+    * one row per merge `(it, mrank, left_sym, right_sym, merged,
+    * pair_count)` — ≥1,000 rows at sf0.1 — read off the standing
+    * catalog model (training is an ingest-time build, not a query
+    * cost). The oracle replays all [[BpeDeepIters]] adaptive
+    * iterations in unrolled materialized CTEs.
+    */
+  def txBpeDeep(spark: SparkSession, dir: String): DataFrame =
+    bpePhraseMerges(spark, dir).orderBy("it", "mrank")
+
+  /** E9 — deep-tokenizer APPLICATION over the corpus: every document's
+    * segmentation under the full learned phrase-merge sequence, off
+    * the standing doc-bucketed segmentation model — one row per doc
+    * with its symbol count and '|'-joined segmentation. The rollup is
+    * bucket-local on the doc key; the oracle replays the schedule and
+    * aggregates the final table.
+    */
+  def txBpeDeepApply(spark: SparkSession, dir: String): DataFrame =
+    bpePhraseSeg(spark, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("n_syms"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          p => p.getField("sym")), "|").as("segmentation"))
+      .select(col("term").as("doc_id"), col("n_syms"),
+        col("segmentation"))
+      .orderBy("doc_id")
+
+  /** The deep trained segmentation of the WORD vocabulary as a
+    * standing term-bucketed model — the 12×16 batched trainer's final
+    * symbol table. On this corpus's CLOSED 31-word vocabulary that is
+    * 69 merges from full depth (word-internal BPE saturates at 89
+    * merges with every vocab word a single symbol — pinned by
+    * BpeScrubSpec; the production-depth trainer continues PAST the
+    * word boundary, see [[bpePhraseMerges]]). */
   private[graft] def bpeBatchSegmentation(spark: SparkSession,
       dir: String): DataFrame =
     Shared.model(spark, dir, s"bpe_seg_b${BpeBatchIters}x$BpeBatchM",
@@ -798,6 +1042,8 @@ object Curation2 extends QueryPack {
     "dd_substring_scrub" -> ddSubstringScrub _,
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_batch" -> txBpeBatch _,
+    "tx_bpe_deep" -> txBpeDeep _,
+    "tx_bpe_deep_apply" -> txBpeDeepApply _,
     "tx_bpe_apply" -> txBpeApply _,
     "tx_bpe_apply_deep" -> txBpeApplyDeep _,
     "tx_pack" -> txPack _,
@@ -856,30 +1102,43 @@ object Curation2 extends QueryPack {
     * (each occurrence carries its own merged symbol through the
     * parity window).
     */
-  private def sqlBpeBatchIter(n: Int, in: String): String = s"""
+  private def sqlBpeBatchIter(n: Int, in: String,
+      k: Int = BpeBatchK, m: Int = BpeBatchM,
+      thin: Boolean = false, sep: String = "",
+      chainOnly: Boolean = false): String = s"""
       s$n AS MATERIALIZED (
         SELECT term, tcnt, pos, sym,
                lead(sym) OVER (PARTITION BY term ORDER BY pos) AS nxt
         FROM $in),
-      c$n AS MATERIALIZED (
+      c$n AS MATERIALIZED (${if (!thin) s"""
         SELECT sym AS l, nxt AS r, CAST(sum(tcnt) AS BIGINT)
                  AS pair_count
         FROM s$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
-        ORDER BY pair_count DESC, l, r LIMIT $BpeBatchK),
+        ORDER BY pair_count DESC, l, r LIMIT $k""" else s"""
+        SELECT l, r, pair_count FROM (
+          SELECT l, r, pair_count, row_number() OVER
+                   (PARTITION BY l ORDER BY pair_count DESC, r) AS lrn
+          FROM (
+            SELECT sym AS l, nxt AS r, CAST(sum(tcnt) AS BIGINT)
+                     AS pair_count
+            FROM s$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
+            ORDER BY pair_count DESC, l, r LIMIT $k))
+        WHERE lrn = 1"""}),
       k$n AS MATERIALIZED (
         SELECT l, r, pair_count,
                CAST(row_number() OVER
                  (ORDER BY pair_count DESC, l, r) AS BIGINT) AS mrank,
-               l || r AS merged
+               l || '$sep' || r AS merged
         FROM c$n c
         WHERE NOT EXISTS (
           SELECT 1 FROM c$n q
           WHERE (q.pair_count > c.pair_count OR
                  (q.pair_count = c.pair_count AND
                   (q.l < c.l OR (q.l = c.l AND q.r < c.r))))
-            AND (q.l IN (c.l, c.r) OR q.r IN (c.l, c.r)
-                 OR q.l || q.r = c.l || c.r))
-        ORDER BY pair_count DESC, l, r LIMIT $BpeBatchM),
+            AND (${if (chainOnly) "q.l = c.r OR q.r = c.l"
+      else "q.l IN (c.l, c.r) OR q.r IN (c.l, c.r)"}
+                 OR q.l || '$sep' || q.r = c.l || '$sep' || c.r))
+        ORDER BY pair_count DESC, l, r LIMIT $m),
       o$n AS (
         SELECT s.term, s.pos, k.merged FROM s$n s
         JOIN k$n k ON s.sym = k.l AND s.nxt = k.r),
@@ -932,11 +1191,13 @@ object Curation2 extends QueryPack {
       ORDER BY it, mrank"""
   }
 
-  private def sqlBpeApplyDeep: String = {
-    val iters = (1 to BpeBatchIters)
-      .map(n => sqlBpeBatchIter(n, if (n == 1) "s0" else s"q${n - 1}"))
-      .mkString(",")
-    s"""
+  /** The 12×16 word-vocabulary iterations (tx_bpe_apply_deep's
+    * oracle). */
+  private def sqlBpeBatchIters: String = (1 to BpeBatchIters)
+    .map(n => sqlBpeBatchIter(n, if (n == 1) "s0" else s"q${n - 1}"))
+    .mkString(",")
+
+  private def sqlBpeApplyDeep: String = s"""
       WITH tc AS (
         SELECT term, CAST(count(*) AS BIGINT) AS tcnt FROM (
           SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
@@ -946,14 +1207,54 @@ object Curation2 extends QueryPack {
       s0 AS (
         SELECT term, tcnt, i AS pos, term[i] AS sym
         FROM tc, UNNEST(generate_series(1, length(term))) AS t(i)),
-      $iters
+      $sqlBpeBatchIters
       SELECT term, tcnt, CAST(count(*) AS BIGINT) AS n_syms,
              string_agg(sym, '|' ORDER BY pos) AS segmentation
       FROM q$BpeBatchIters GROUP BY term, tcnt ORDER BY term"""
+
+  /** The deep phrase schedule's unrolled iterations — each CTE block
+    * carries ITS OWN per-iteration candidate/batch LIMITs
+    * ([[bpeDeepK]]/[[bpeDeepM]]), the per-left-symbol thinning, and
+    * the space-joined merged symbols: the textual twin of
+    * [[bpeDeepTrainOnce]]'s loop. The doc-sequence s0 (term = doc_id,
+    * sym = word) is supplied by the callers. */
+  private def sqlBpeDeepIters: String = (1 to BpeDeepIters)
+    .map(n => sqlBpeBatchIter(n, if (n == 1) "s0" else s"q${n - 1}",
+      bpeDeepK(n), bpeDeepM(n), thin = true, sep = " ",
+      chainOnly = true))
+    .mkString(",")
+
+  private def sqlBpeDeepS0: String = s"""
+      s0 AS MATERIALIZED (
+        SELECT doc_id AS term, CAST(1 AS BIGINT) AS tcnt, i AS pos,
+               w[i] AS sym
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % $BpeDeepSampleMod = 0),
+             UNNEST(generate_series(1, len(w))) AS t(i))"""
+
+  private def sqlBpeDeep: String = {
+    val selects = (1 to BpeDeepIters)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS it, mrank, " +
+        s"l AS left_sym, r AS right_sym, merged, pair_count FROM k$n")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH $sqlBpeDeepS0,
+      $sqlBpeDeepIters
+      $selects
+      ORDER BY it, mrank"""
   }
+
+  private def sqlBpeDeepApply: String = s"""
+      WITH $sqlBpeDeepS0,
+      $sqlBpeDeepIters
+      SELECT term AS doc_id, CAST(count(*) AS BIGINT) AS n_syms,
+             string_agg(sym, '|' ORDER BY pos) AS segmentation
+      FROM q$BpeDeepIters GROUP BY term ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "tx_bpe_batch" -> sqlBpeBatch,
+    "tx_bpe_deep" -> sqlBpeDeep,
+    "tx_bpe_deep_apply" -> sqlBpeDeepApply,
     "tx_bpe_apply_deep" -> sqlBpeApplyDeep,
     "dd_substring_scrub" -> """
       WITH toks AS (

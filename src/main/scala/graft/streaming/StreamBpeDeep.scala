@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.operators.Curation2
 
-/** Streaming tokenization at FULL trained depth — the production
-  * serving shape of the batched (69-merge) tokenizer: per micro-batch,
+/** Streaming tokenization at FULL word-vocabulary depth — the
+  * production serving shape of the batched (69-merge, word-level
+  * saturated) tokenizer: per micro-batch,
   * KNOWN words resolve by a bucket-local lookup against the standing
   * deep-segmentation model (a dictionary hit — O(1) per word, no merge
   * replay), and only NOVEL words (vocabulary the trainer never saw)
@@ -29,7 +30,8 @@ import graft.operators.Curation2
   * model side, O(batch vocab) probe side. The replay path runs ONLY
   * when the batch carries novel vocabulary (one count on the
   * batch-vocab-sized anti-join decides), and then over novel words
-  * only — 12 iteration batches with per-iteration lineage truncation,
+  * only — the trained schedule's iteration batches with per-iteration
+  * lineage truncation,
   * the training loop's own discipline, on a frame bounded by the
   * batch's novel vocabulary, never the corpus or the batch text.
   */
@@ -68,11 +70,13 @@ object StreamBpeDeep {
           .select(col("term"), col("tcnt"), col("pos"),
             col("term").substr(col("pos"), lit(1)).as("sym"))
         for (i <- 1 to Curation2.BpeBatchIters)
-          seq = Curation2.bpeApplyMerge(seq,
+          // checkpointSevered, not plain localCheckpoint: the replay
+          // chains the trainer's iteration count, so the carried-stats
+          // BigInt blowup (see its scaladoc) applies here too
+          seq = Curation2.checkpointSevered(Curation2.bpeApplyMerge(seq,
               merges.filter(col("it") === i)
                 .select(col("left_sym").as("bl"),
-                  col("right_sym").as("br"), col("merged").as("bm")))
-            .localCheckpoint()
+                  col("right_sym").as("br"), col("merged").as("bm"))))
         known.unionByName(
           seq.groupBy("term").agg(count(lit(1)).as("n_syms")))
       }

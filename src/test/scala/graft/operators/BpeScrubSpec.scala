@@ -196,6 +196,113 @@ class BpeScrubSpec extends AnyFunSuite
       Curation2.BpeBatchK))
   }
 
+  // ---- reference DEEP PHRASE trainer (VERDICT r12 #1): sampled doc
+  // word-sequences, per-iteration adaptive (K, M), best-pair-per-left
+  // thinning, CHAIN-ONLY conservative rule, each kept pair applied via
+  // the sequential fold in rank order — the batched ≡ sequential-fold
+  // pin at production depth: equality proves the one-pass chain-parity
+  // apply of a same-left/same-right-admitting batch equals folding the
+  // pairs one at a time.
+
+  private def foldMergeSep(seq: Vector[String], l: String, r: String,
+      sep: String): Vector[String] =
+    seq.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == l && s == r)
+        acc.init :+ (l + sep + r)
+      else acc :+ s
+    }
+
+  private def referenceDeepBpe(docs: Seq[(Long, String)])
+      : (Seq[(Long, Long, String, String, String, Long)],
+        Map[Long, Vector[String]]) = {
+    var seqs: Map[Long, Vector[String]] = docs
+      .filter(_._1 % Curation2.BpeDeepSampleMod == 0)
+      .map { case (id, t) => id -> t.split(" ", -1).toVector }.toMap
+    val merges = (1 to Curation2.BpeDeepIters).flatMap { it =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for { (_, seq) <- seqs; win <- seq.sliding(2) if win.size == 2 }
+        pc((win(0), win(1))) = pc.getOrElse((win(0), win(1)), 0L) + 1L
+      val topK = pc.toSeq.sortBy { case ((pl, pr), c) => (-c, pl, pr) }
+        .take(Curation2.bpeDeepK(it))
+      val thinned = topK.groupBy(_._1._1).values
+        .map(_.minBy { case ((_, pr), c) => (-c, pr) }).toSeq
+        .sortBy { case ((pl, pr), c) => (-c, pl, pr) }
+      val kept = thinned.zipWithIndex.filter { case (((l, r), _), i) =>
+        thinned.take(i).forall { case ((ql, qr), _) =>
+          ql != r && qr != l && ql + " " + qr != l + " " + r
+        }
+      }.map(_._1).take(Curation2.bpeDeepM(it))
+      kept.zipWithIndex.map { case (((l, r), c), rank) =>
+        seqs = seqs.map { case (id, s) =>
+          id -> foldMergeSep(s, l, r, " ") }
+        (it.toLong, rank + 1L, l, r, l + " " + r, c)
+      }
+    }
+    (merges, seqs)
+  }
+
+  private def runBpeDeep(dir: String)
+      : Seq[(Long, Long, String, String, String, Long)] =
+    Curation2.txBpeDeep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+
+  test("tx_bpe_deep: chain-only batches + one-pass apply equal the " +
+      "sequential-fold reference on phrase pathologicals (same-word " +
+      "runs, alternations, same-left batches, chains)") {
+    // doc ids ×10 so every fixture doc is in the training sample
+    import spark.implicits._
+    val texts = Seq(
+      "a a a a a",                       // l = r self-runs (parity)
+      "a b a b a b a",                   // alternation
+      "c d c e c d c e",                 // same-LEFT pairs batch
+      "u v w u v w u v w",               // chain (u,v)/(v,w) must split
+      "x y x y z z z q q x y")           // ties + runs
+    val dir = Files.createTempDirectory("graft_bpe_deep_fix").toString
+    fixtureDirs += dir
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong * 10, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong * 10, t) }
+    val (refMerges, refSegs) = referenceDeepBpe(docs)
+    val got = runBpeDeep(dir)
+    assert(got == refMerges)
+    // kept pairs of one iteration never CHAIN (that is the safety
+    // boundary of the relaxed rule — same-left/same-right is allowed,
+    // p.r = q.l is not)
+    got.groupBy(_._1).foreach { case (it, ms) =>
+      val pairs = ms.map(m => (m._3, m._4))
+      for {
+        Seq(p, q) <- pairs.combinations(2)
+      } assert(p._2 != q._1 && q._2 != p._1,
+        s"iteration $it kept a chaining batch: $p / $q")
+    }
+    // and the standing deep segmentation equals the reference fold
+    val gotSegs = Curation2.txBpeDeepApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(gotSegs.keySet == refSegs.keySet)
+    refSegs.foreach { case (id, seg) =>
+      assert(gotSegs(id) == ((seg.size.toLong, seg.mkString("|"))))
+    }
+  }
+
+  test("tx_bpe_deep equals the sequential-fold reference on the " +
+      "corpus sample and trains past the word-collapse depth") {
+    val docs = t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (refMerges, _) = referenceDeepBpe(docs)
+    val got = runBpeDeep(sfDir)
+    assert(got == refMerges)
+    // the WORD vocabulary of this corpus is closed (31 words) and
+    // saturates at 89 word-internal merges; the phrase trainer must
+    // train past that ceiling even on the sf0.001 sample
+    assert(got.size > 89, s"expected phrase depth, got ${got.size}")
+  }
+
   test("tx_bpe_merges equals the sequential-fold trainer on the corpus") {
     val texts = t(spark, sfDir, "documents")
       .select("text").collect().map(_.getString(0)).toSeq
