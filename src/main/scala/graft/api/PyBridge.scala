@@ -399,6 +399,22 @@ object PyBridge {
     } finally s.close()
   }
 
+  /** Which host set runs partition-mode children: `executor`
+    * (default — each worker child spawns inside a Spark task, so the
+    * Python stage scales with the cluster) or `driver` (the pre-r13
+    * bounded thread pool on the driver host). Sysprop `graft.py.lane`
+    * or session conf `graft.py.lane`. */
+  private[api] def lane(a: FalApi): String =
+    sys.props.getOrElse("graft.py.lane",
+      a.spark.conf.get("graft.py.lane", "executor"))
+
+  /** Diagnostics from the most recent executor-lane run: one
+    * `(worker, taskPartitionId)` per child, recorded FROM the Spark
+    * task that hosted it — the spec's evidence that partition-mode
+    * children really execute inside executor tasks (parallelism
+    * follows the cluster), not on the driver host. */
+  @volatile private[graft] var lastExecutorReport: Seq[(Int, Int)] = Nil
+
   /** Partition-parallel Python model (VERDICT r10 item #2): the
     * distributed answer to the reference's single-pandas-process
     * contract, for models the user declares per-partition-safe
@@ -418,6 +434,22 @@ object PyBridge {
     * parent unions the N output parquets. Memory bound per child is
     * one split, not the relation; a crash in any worker fails the node
     * after the stragglers drain, same task semantics as global.
+    *
+    * EXECUTOR LANE (VERDICT r12 item #2, the default): the W children
+    * spawn inside a W-task Spark job (`sc.parallelize(0 until w, w)`),
+    * one child per task — on a cluster the scheduler spreads the tasks
+    * across executors, so the Python stage's parallelism follows the
+    * CLUSTER, not one host's cores, while the child contract, the
+    * secondary-dep size cap, and the per-worker schema validation are
+    * byte-identical to the driver lane (same manifests, same runner).
+    * Requirements for a real cluster: the scratch dir and the
+    * interpreter (plus any requirements venv) must be reachable on the
+    * executor hosts at the same paths (shared scratch / uniform
+    * images — the standard Spark Python posture); a failed child fails
+    * its task, and a task RETRY re-runs the child idempotently (the
+    * worker's output parquet is overwritten). `graft.py.lane=driver`
+    * restores the driver-host thread pool for setups without shared
+    * scratch.
     */
   def runModelPartitioned(a: FalApi, name: String, deps: Seq[String],
       pyFile: String, requirements: Seq[String] = Nil): DataFrame = {
@@ -477,25 +509,47 @@ object PyBridge {
         outPaths(i).toString,
         (primary -> splits(i).toString) +: sideInputs, sources)
     }
-    // bounded child pool; failures collect and the node FAILs after
-    // every worker has exited (no orphaned interpreters)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(w)
-    val futures = (0 until w).map { i =>
-      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
-        def call(): Option[Throwable] =
-          try {
-            runLogged(
-              new ProcessBuilder(python, runner.toString,
-                tmp.resolve(s"manifest_$i.json").toString),
-              tmp.resolve(s"model_$i.log"),
-              s"python model $name [worker $i/$w]")
-            None
-          } catch { case t: Throwable => Some(t) }
-      })
+    if (lane(a) == "executor") {
+      // one Spark task per worker child — executors host the Python
+      // stage (closure captures STRINGS only; Path is not serializable)
+      val jobs = (0 until w).map { i =>
+        (i, tmp.resolve(s"manifest_$i.json").toString,
+          tmp.resolve(s"model_$i.log").toString)
+      }
+      val (py, run, nm) = (python, runner.toString, name)
+      try {
+        lastExecutorReport = a.spark.sparkContext
+          .parallelize(jobs, w)
+          .map { case (i, manifest, log) =>
+            runLogged(new ProcessBuilder(py, run, manifest),
+              java.nio.file.Paths.get(log),
+              s"python model $nm [executor worker $i/$w]")
+            (i, Option(org.apache.spark.TaskContext.get())
+              .map(_.partitionId()).getOrElse(-1))
+          }.collect().toSeq
+      } catch { case t: Throwable => deleteRec(tmp); throw t }
+    } else {
+      // driver lane: bounded child pool on this host; failures collect
+      // and the node FAILs after every worker has exited (no orphaned
+      // interpreters)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(w)
+      val futures = (0 until w).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] =
+            try {
+              runLogged(
+                new ProcessBuilder(python, runner.toString,
+                  tmp.resolve(s"manifest_$i.json").toString),
+                tmp.resolve(s"model_$i.log"),
+                s"python model $name [worker $i/$w]")
+              None
+            } catch { case t: Throwable => Some(t) }
+        })
+      }
+      pool.shutdown()
+      val failures = futures.flatMap(_.get())
+      if (failures.nonEmpty) { deleteRec(tmp); throw failures.head }
     }
-    pool.shutdown()
-    val failures = futures.flatMap(_.get())
-    if (failures.nonEmpty) { deleteRec(tmp); throw failures.head }
     // reclaim the split + side-input copies; the out_*.parquet files
     // must outlive this call (lazy read until writeToModel)
     splits.foreach(deleteRec)

@@ -241,6 +241,29 @@ class PyBridgeSpec extends AnyFunSuite {
     assert(pidsGlobal == 1)
     assert(pidsPart > 1,
       "partition mode ran in a single worker despite 6 input part files")
+    // EXECUTOR lane is the default (VERDICT r12 #2): every worker
+    // child ran inside its own Spark task — the report is recorded
+    // FROM TaskContext on the task side, so partition ids 0..w-1 prove
+    // the Python stage's parallelism follows the cluster scheduler,
+    // not a driver-host thread pool
+    val report = PyBridge.lastExecutorReport
+    assert(report.map(_._1).sorted == Seq(0, 1, 2),
+      s"expected 3 executor-lane workers, got $report")
+    assert(report.map(_._2).sorted == Seq(0, 1, 2),
+      s"each worker must run in its own Spark task: $report")
+
+    // lane parity: the driver thread-pool lane produces identical rows
+    // through the identical child contract
+    sys.props("graft.py.lane") = "driver"
+    val d =
+      try PyBridge.runModel(api, "feat_part_driver",
+        Seq("wide_base", "side_dim"),
+        proj.resolve("featurize.py").toString, mode = "partition")
+      finally sys.props.remove("graft.py.lane")
+    assert(d.select(cols.map(col): _*).exceptAll(
+      p.select(cols.map(col): _*)).isEmpty)
+    assert(p.select(cols.map(col): _*).exceptAll(
+      d.select(cols.map(col): _*)).isEmpty)
   }
 
   test("partition mode rejects an over-cap secondary dep with an " +
