@@ -41,6 +41,20 @@ def order_cols(sql: str):
     return cols, (int(m.group(3)) if m.group(3) else None)
 
 
+# Permanently adjudicated queries (VERDICT r12 item #7) — each entry is
+# a PROOF of tie-safety that the mechanical column check cannot express,
+# reviewed and recorded here so the audit is zero-residue:
+ADJUDICATED = {
+    "c12_window_frames":
+        "sorts on (l_suppkey, l_shipdate, l_orderkey, l_linenumber, "
+        "l_quantity); the payload columns are ROWS-frame aggregates "
+        "that read ONLY l_quantity, which is itself part of the tie "
+        "key — permuting rows inside any tie group leaves every "
+        "frame's quantity multiset (hence every emitted value, hence "
+        "the positional compare) unchanged",
+}
+
+
 def main():
     sfdir, oracle_path = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -48,12 +62,28 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
-    flagged, manual, ok = [], [], 0
+    flagged, manual, adjudicated, ok = [], [], [], 0
+
+    def single_row(sql):
+        """A <=1-row result is order-free regardless of its ORDER BY
+        (or lack of one) — the mechanical closure for scalar-aggregate
+        oracles (q_chisq, tx_zipf_slope)."""
+        try:
+            return len(con.execute(sql).fetchdf()) <= 1
+        except Exception:
+            return False
+
     for name in sorted(oracle):
         sql = oracle[name]
+        if name in ADJUDICATED:
+            adjudicated.append(name)
+            continue
         parsed = order_cols(sql)
         if parsed is None:
-            manual.append(name)
+            if single_row(sql):
+                ok += 1
+            else:
+                manual.append(name)
             continue
         cols, limit = parsed
         try:
@@ -72,7 +102,10 @@ def main():
         # positional ORDER BY (e.g. ORDER BY 1, 2) → resolve to names
         cols = [df.columns[int(c) - 1] if c.isdigit() else c for c in cols]
         if not set(cols) <= set(df.columns):
-            manual.append(name)  # sorts on a non-emitted column
+            if len(df) <= 1:
+                ok += 1  # single-row: order-free
+            else:
+                manual.append(name)  # sorts on a non-emitted column
             continue
         payload = [c for c in df.columns if c not in cols]
         if not payload:
@@ -93,12 +126,16 @@ def main():
             ok += 1
     for name, why in flagged:
         print(f"FLAG {name}: {why}")
+    for name in adjudicated:
+        print(f"ADJUDICATED {name}: {ADJUDICATED[name]}")
     if manual:
         print(f"manual review (expression/non-output ORDER BY): "
               f"{', '.join(manual)}")
     print(f"\n{ok} total-order ok, {len(flagged)} flagged, "
+          f"{len(adjudicated)} adjudicated, "
           f"{len(manual)} manual of {len(oracle)}")
-    sys.exit(1 if flagged else 0)
+    # manual rows are residue: the audit is only clean at zero
+    sys.exit(1 if (flagged or manual) else 0)
 
 
 if __name__ == "__main__":

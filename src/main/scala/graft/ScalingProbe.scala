@@ -400,6 +400,13 @@ object ScalingProbe {
   `standing_models` / `standing_resolved` blocks in bench_detail.json
   record both sides).
 """)
+    // sf10 last-decade fragment (graft.Sf10Probe, its own config —
+    // embedded verbatim when present so the whole-file regeneration
+    // here cannot drop it)
+    val sf10Frag = java.nio.file.Paths.get("SCALING_SF10.md")
+    if (java.nio.file.Files.exists(sf10Frag))
+      sb.append(java.nio.file.Files.readString(sf10Frag))
+
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)
     println("WROTE=SCALING.md")

@@ -469,8 +469,15 @@ final class FalApi(
     // just appended landed in a version dir that is no longer live —
     // surface that as a conflict (caller re-runs against the new
     // current, e.g. via Registry.retrySwap) instead of silently
-    // re-pointing readers at the superseded dir
-    registry.swapPointer(name, cur, pointerMeta,
+    // re-pointing readers at the superseded dir. `append_seq` makes
+    // EVERY append visible in the pointer CONTENT (ADVICE r12): an
+    // in-place append keeps the version name, so a concurrent
+    // compaction's content-pinned swap can only detect it through a
+    // meta change — which a meta-less append would otherwise not make.
+    val seq = registry.pointerMeta(name)
+      .get("append_seq").map(_.toLong).getOrElse(0L) + 1L
+    registry.swapPointer(name, cur,
+      pointerMeta + ("append_seq" -> seq.toString),
       expectedVersion = baseVersion)
     ledger.record(name, Status.Success,
       s"append_bucketed appendedRows=$rows${fileSkew(cur)}")
@@ -611,14 +618,18 @@ final class FalApi(
     require(allowWrites, "compact_model is not allowed in hooks")
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
-    // version-checked commit (ADVICE r12): an appendToBucketedModel
+    // content-pinned commit (ADVICE r12): an appendToBucketedModel
     // landing between this read and the swap would be SILENTLY DROPPED
     // by an unconditional swap (the compacted snapshot predates the
-    // increment, yet the pointer would repoint readers at it) — so the
-    // swap aborts with SwapConflictException instead, and the caller
-    // re-compacts from the advanced state (compactStanding skips to
-    // the next sweep). The orphaned compacted dir is vacuumed later.
-    val baseVersion = registry.currentVersion(name)
+    // increment, yet the pointer would repoint readers at it). A
+    // VERSION check cannot see that race — an in-place append keeps
+    // the version name — so the swap pins the full pointer CONTENT
+    // (version + meta; every append changes it via the fingerprint
+    // advance or `append_seq`) and aborts with SwapConflictException
+    // on any change; the caller re-compacts from the advanced state
+    // (compactStanding skips to the next sweep). The orphaned
+    // compacted dir is vacuumed later.
+    val baseContent = registry.pointerContent(name)
     // readVersion: the rewrite must not re-infer partition-column types
     // (string '01' would come back — and be rewritten — as int 1)
     val df = readVersion(cur)
@@ -644,7 +655,7 @@ final class FalApi(
         materialize(df.coalesce(nFiles), name, target)
         s"files<=$nFiles"
     }
-    registry.swapPointer(name, target, expectedVersion = baseVersion)
+    registry.swapPointer(name, target, expectedContent = baseContent)
     val rows = spark.read.parquet(target).count()
     ledger.record(name, Status.Success,
       s"compact rows=$rows $detail${fileSkew(target)}")

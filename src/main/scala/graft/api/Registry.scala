@@ -172,6 +172,21 @@ final class Registry(val root: String) {
 
   def relationExists(name: String): Boolean = currentPath(name).isDefined
 
+  /** The live pointer file's RAW content (version line + meta lines),
+    * or None — the token for [[swapPointer]]'s `expectedContent`
+    * check. Strictly stronger than [[currentVersion]]: an in-place
+    * append ([[graft.api.FalApi.appendToBucketedModel]]) keeps the
+    * version NAME but changes the meta (fingerprint advance /
+    * `append_seq`), so only a content comparison can detect one
+    * landing inside another writer's read-to-commit window (ADVICE
+    * r12: a compaction racing an append must abort, not silently
+    * repoint readers at a snapshot missing the increment).
+    */
+  def pointerContent(name: String): Option[String] = {
+    val p = pointerFile(name)
+    if (fs.exists(p)) Some(readFile(p)) else None
+  }
+
   /** The live pointer's version NAME ("v3"), or None — the token a
     * caller passes back to [[swapPointer]] as `expectedVersion` for
     * optimistic cross-driver conflict detection.
@@ -267,7 +282,8 @@ final class Registry(val root: String) {
     */
   def swapPointer(name: String, versionDir: String,
       meta: Map[String, String] = Map.empty,
-      expectedVersion: Option[String] = None): Unit = {
+      expectedVersion: Option[String] = None,
+      expectedContent: Option[String] = None): Unit = {
     // the pointer file is line-oriented `k=v`: a newline in either
     // side or '=' in a key would silently truncate or shift the
     // parse, so reject malformed meta at the write
@@ -286,6 +302,17 @@ final class Registry(val root: String) {
             s"swap conflict on '$name': expected live version $exp " +
               s"but found ${live.getOrElse("(no pointer)")} — " +
               "another writer swapped since this driver's read")
+      }
+      // content check (ADVICE r12): strictly stronger than the version
+      // check — catches meta-only commits (in-place appends) that keep
+      // the version name but advance fingerprints/append_seq
+      expectedContent.foreach { exp =>
+        val live = pointerContent(name)
+        if (!live.contains(exp))
+          throw new SwapConflictException(
+            s"swap conflict on '$name': the live pointer's content " +
+              "changed since this driver's read (an append or another " +
+              "writer committed in between) — re-read and re-decide")
       }
       val version = new Path(versionDir).getName
       val merged = pointerMeta(name) ++ meta
@@ -314,7 +341,8 @@ final class Registry(val root: String) {
       // unconditional as a PUT, so the cross-JVM race (two drivers
       // passing the pre-check before either commits) needs the same
       // post-commit re-read on the rename path too
-      verifyCommit(name, content, expectedVersion)
+      verifyCommit(name, content,
+        checked = expectedVersion.isDefined || expectedContent.isDefined)
     }
   }
 
@@ -336,8 +364,8 @@ final class Registry(val root: String) {
     * commit. The exception message carries that instruction.
     */
   private def verifyCommit(name: String, written: String,
-      expectedVersion: Option[String]): Unit =
-    expectedVersion.foreach { _ =>
+      checked: Boolean): Unit =
+    if (checked) {
       val live = readFile(pointerFile(name))
       if (live != written)
         throw new SwapConflictException(

@@ -170,6 +170,14 @@ object Similarity extends QueryPack {
   private val ivfParamsCache =
     scala.collection.concurrent.TrieMap.empty[String, IvfParams]
 
+  // a corpus rewrite/append that goes through Shared.invalidate must
+  // also drop the cached geometry: a fresh resolve then re-derives K
+  // from the GROWN count, and a crossed K boundary surfaces as a new
+  // model name → rebuild (the StandingIngest contract). In-process
+  // streaming appends deliberately do NOT invalidate — the cached K is
+  // the retained-centroid policy.
+  Shared.onInvalidate(dir => { ivfParamsCache.remove(dir); () })
+
   /** One count() per (process, sf dir) at index-build/probe entry —
     * driver-side scalar index sizing, the same coordination any vector
     * index build does; parquet count is a metadata-cheap job. Cached

@@ -91,6 +91,44 @@ class BucketedWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a compaction racing an in-place append aborts instead of " +
+      "dropping the increment (ADVICE r12 content-pinned swap)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_race").toString
+    val reg = new Registry(root)
+    val api = new FalApi(spark, reg, new RunLedger)
+    reg.register(ModelDef("race_m", ModelKind.Sql("unused"),
+      meta = Map("bucket_by" -> "key", "buckets" -> "4")))
+    api.writeToModel((1L to 100L).map(i => (i, s"v$i")).toDF("key", "v"),
+      "race_m")
+
+    // the compaction side reads its base (what compactModel pins) ...
+    val base = reg.pointerContent("race_m").get
+    val target = reg.nextVersionDir("race_m")
+    // ... then an append lands inside its read-to-commit window. The
+    // version NAME does not change (in-place append), so only the
+    // pointer CONTENT can witness it — append_seq guarantees even a
+    // meta-less append changes the content
+    val seq0 = reg.pointerMeta("race_m").get("append_seq")
+    api.appendToBucketedModel(
+      (101L to 120L).map(i => (i, s"v$i")).toDF("key", "v"), "race_m")
+    assert(reg.currentVersion("race_m").map(_.trim) ==
+      Some(base.linesIterator.next().trim),
+      "fixture must exercise the version-name-preserving append")
+    assert(reg.pointerMeta("race_m").get("append_seq") != seq0)
+
+    // the compaction's content-pinned swap must now abort ...
+    intercept[SwapConflictException] {
+      reg.swapPointer("race_m", target, expectedContent = Some(base))
+    }
+    // ... leaving the appended rows live (nothing dropped)
+    assert(api.ref("race_m").count() == 120)
+    // and a REAL compaction from the post-append state succeeds,
+    // content preserved
+    assert(api.compactModel("race_m").rowsAffected == 120)
+    assert(api.ref("race_m").count() == 120)
+  }
+
   test("partition_by meta gives pruned scans through ref") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_pw").toString
