@@ -277,8 +277,15 @@ object ScalingProbe {
         val odd = all.filter(col("doc_id") % 2 === 1)
         val checkpoints = scala.collection.mutable
           .LinkedHashMap[String, Seq[Double]]()
+        var landed = 0L
         (0 until 32).foreach { i =>
-          val batch = odd.filter((col("doc_id") / 2) % 32 === i)
+          // integer division (`div`), NOT `/`: Spark's `/` on longs is
+          // DOUBLE division, whose fractional results never equal an
+          // integer batch index — every batch would be silently empty
+          val batch = odd
+            .filter(org.apache.spark.sql.functions
+              .expr("(doc_id div 2) % 32") === i)
+          landed += batch.count()
           val pre = graft.operators.StandingIngest.capturePre(spark, tmp)
           batch.write.mode("append").parquet(s"$tmp/documents.parquet")
           Tables.invalidate(tmp, "documents")
@@ -288,8 +295,12 @@ object ScalingProbe {
           if (i == 7) checkpoints.put("8 batches", readTimes())
           if (i == 31) checkpoints.put("32 batches", readTimes())
         }
+        require(landed > 0, "append probe landed zero rows — the batch " +
+          "split filter is broken, the block would measure nothing")
         val swept = graft.operators.StandingIngest
           .compactStanding(spark, tmp, maxFilesPerBucket = 1)
+        require(swept.nonEmpty, "32 appended batches must leave at " +
+          "least one model over the 1-file-per-bucket threshold")
         checkpoints.put(s"after compactStanding (${swept.size} models)",
           readTimes())
         val out = new StringBuilder
