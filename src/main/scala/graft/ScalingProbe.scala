@@ -176,8 +176,13 @@ object ScalingProbe {
       ("StreamDrift", "drift monitor vs standing reference counts",
         docsAll, graft.streaming.StreamDrift.driftBatch))
     val streamRows = streamProbes.map { case (nm, what, src, fn) =>
-      val times = batchSizes.map { n =>
+      val sized = batchSizes.map { n =>
         val batch = src.limit(n).localCheckpoint()
+        // the ACTUAL batch size: limit() caps at the source's row
+        // count (the sf0.1 embeddings table is smaller than the large
+        // requested batch), and the slope denominator and the printed
+        // label must both use the real sizes or the row lies
+        val actual = batch.count()
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, streamDir, batch)
@@ -185,11 +190,11 @@ object ScalingProbe {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm: codegen + standing-model resolution
-        math.min(once(), once())
+        (actual, math.min(once(), once()))
       }
-      val slope = math.log(times(1) / times(0)) /
-        math.log(batchSizes(1).toDouble / batchSizes(0))
-      (nm, what, times, slope)
+      val slope = math.log(sized(1)._2 / sized(0)._2) /
+        math.log(sized(1)._1.toDouble / sized(0)._1)
+      (nm, what, sized, slope)
     }
     sb.append("\n## Streaming micro-batch throughput ")
     sb.append("(sf0.1 standing models)\n\n")
@@ -199,14 +204,13 @@ object ScalingProbe {
     sb.append("the standing-model probe cost a continual-ingest ")
     sb.append("pipeline pays per micro-batch. `slope` = d ln(t)/d ")
     sb.append("ln(batch rows): ~0 latency-bound, ~1 batch-work-bound.\n\n")
-    sb.append(batchSizes.map(n => s"$n rows")
-      .mkString("| kernel | shape | ", " | ", " | slope |\n"))
-    sb.append(batchSizes.map(_ => "---")
-      .mkString("|---|---|", "|", "|---|\n"))
-    streamRows.foreach { case (nm, what, ts, slope) =>
+    sb.append("| kernel | shape | small batch | large batch | slope |\n")
+    sb.append("|---|---|---|---|---|\n")
+    streamRows.foreach { case (nm, what, sized, slope) =>
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
         Double.box(v))
-      sb.append(ts.map(f).mkString(
+      val cells = sized.map { case (n, t) => s"${f(t)} s @ $n rows" }
+      sb.append(cells.mkString(
         s"| $nm | $what | ", " | ", s" | ${f(slope)} |\n"))
     }
 
@@ -216,8 +220,13 @@ object ScalingProbe {
     // adaptive schedule working as designed.
     sb.append("\n## Deep BPE training throughput (tx_bpe_deep trainer, ")
     sb.append("memo/catalog bypassed)\n\n")
+    // phase boundaries derived from the schedule length so a
+    // BpeDeepIters change cannot silently mislabel the columns
+    val di = graft.operators.Curation2.BpeDeepIters
+    val cuts = Seq(0, di / 3, 2 * di / 3, di)
     sb.append("| sf | iterations | merges | seconds | merges/s | ")
-    sb.append("yield it 1-28 | it 29-56 | it 57-84 |\n")
+    sb.append(s"yield it 1-${cuts(1)} | it ${cuts(1) + 1}-${cuts(2)} | ")
+    sb.append(s"it ${cuts(2) + 1}-$di |\n")
     sb.append("|---|---|---|---|---|---|---|---|\n")
     Seq("0.01" -> "/root/testdata/sf0.01",
         "0.1" -> "/root/testdata/sf0.1").foreach { case (sf, dir) =>
@@ -228,8 +237,9 @@ object ScalingProbe {
       def f(v: Double) = String.format(
         java.util.Locale.ROOT, "%.1f", Double.box(v))
       sb.append(s"| $sf | ${perIter.size} | $n | ${f(secs)} | ")
-      sb.append(s"${f(n / secs)} | ${f(phase(0, 28))} | ")
-      sb.append(s"${f(phase(28, 56))} | ${f(phase(56, 84))} |\n")
+      sb.append(s"${f(n / secs)} | ${f(phase(cuts(0), cuts(1)))} | ")
+      sb.append(s"${f(phase(cuts(1), cuts(2)))} | ")
+      sb.append(s"${f(phase(cuts(2), cuts(3)))} |\n")
     }
 
     // Sustained-append read cost (VERDICT r12 item #4): a private

@@ -625,10 +625,15 @@ final class FalApi(
     // VERSION check cannot see that race — an in-place append keeps
     // the version name — so the swap pins the full pointer CONTENT
     // (version + meta; every append changes it via the fingerprint
-    // advance or `append_seq`) and aborts with SwapConflictException
-    // on any change; the caller re-compacts from the advanced state
-    // (compactStanding skips to the next sweep). The orphaned
-    // compacted dir is vacuumed later.
+    // advance or `append_seq`) and raises SwapConflictException when
+    // the content moved; the caller re-compacts from the advanced
+    // state (compactStanding skips to the next sweep) and the
+    // orphaned compacted dir is vacuumed later. Same coverage caveat
+    // as every optimistic swap here (see Registry.verifyCommit): the
+    // in-JVM lock fully serializes same-process writers, while
+    // cross-JVM the unconditional store leaves the documented
+    // narrowest-honest-window between check and commit — single
+    // maintenance process per root remains the deployment contract.
     val baseContent = registry.pointerContent(name)
     // readVersion: the rewrite must not re-infer partition-column types
     // (string '01' would come back — and be rewritten — as int 1)

@@ -511,23 +511,41 @@ object PyBridge {
     }
     if (lane(a) == "executor") {
       // one Spark task per worker child — executors host the Python
-      // stage (closure captures STRINGS only; Path is not serializable)
+      // stage (closure captures STRINGS only; Path is not serializable).
+      // A failing CHILD returns its error instead of failing the task:
+      // the job always drains every worker (the driver lane's
+      // fail-only-after-every-worker-exits invariant — a thrown task
+      // would abort the job and delete the shared scratch under
+      // still-running sibling interpreters), and a deterministic model
+      // bug runs ONCE instead of spark.task.maxFailures timeout-kill
+      // cycles. Speculative execution would race duplicate children on
+      // one output path — the stage assumes spark.speculation=false
+      // (the default), as any external-side-effect task does.
       val jobs = (0 until w).map { i =>
         (i, tmp.resolve(s"manifest_$i.json").toString,
           tmp.resolve(s"model_$i.log").toString)
       }
       val (py, run, nm) = (python, runner.toString, name)
-      try {
-        lastExecutorReport = a.spark.sparkContext
-          .parallelize(jobs, w)
+      val report =
+        try a.spark.sparkContext.parallelize(jobs, w)
           .map { case (i, manifest, log) =>
-            runLogged(new ProcessBuilder(py, run, manifest),
-              java.nio.file.Paths.get(log),
-              s"python model $nm [executor worker $i/$w]")
+            val err =
+              try {
+                runLogged(new ProcessBuilder(py, run, manifest),
+                  java.nio.file.Paths.get(log),
+                  s"python model $nm [executor worker $i/$w]")
+                None
+              } catch { case t: Throwable => Some(t.getMessage) }
             (i, Option(org.apache.spark.TaskContext.get())
-              .map(_.partitionId()).getOrElse(-1))
+              .map(_.partitionId()).getOrElse(-1), err)
           }.collect().toSeq
-      } catch { case t: Throwable => deleteRec(tmp); throw t }
+        catch { case t: Throwable => deleteRec(tmp); throw t }
+      val failures = report.flatMap(_._3)
+      if (failures.nonEmpty) {
+        deleteRec(tmp)
+        throw new RuntimeException(failures.head)
+      }
+      lastExecutorReport = report.map(r => (r._1, r._2))
     } else {
       // driver lane: bounded child pool on this host; failures collect
       // and the node FAILs after every worker has exited (no orphaned

@@ -68,6 +68,18 @@ object StandingIngest {
     * committed. */
   val BatchMetaKey = "stream_batch"
 
+  /** Pointer-meta key recording the LAYOUT-FREE corpus-listing hash
+    * the append was committed against — identical across every model
+    * of one batch (unlike [[Shared.FingerprintKey]], whose value bakes
+    * in the model's own name/bucket layout). This is what lets a crash
+    * REPLAY's contiguity path stay honest: a missed model re-appends
+    * only when some SIBLING that did commit this batch id recorded the
+    * same corpus state the replay sees now — an out-of-band landing
+    * in between changes the listing, fails the comparison, and the
+    * missed model rebuilds instead of being stamped current while
+    * silently incomplete. */
+  val CorpusStateKey = "corpus_state"
+
   private def api(spark: SparkSession, dir: String) =
     new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
       new graft.api.RunLedger)
@@ -124,22 +136,57 @@ object StandingIngest {
     else Map.empty
   }
 
-  /** The pre-state guard (ADVICE r12): proceed only when the model's
-    * stored state verifiably includes everything but this batch —
-    * stored fingerprint == captured pre-batch fingerprint, OR committed
-    * batch id == this id - 1 (contiguous stream chain; also the crash-
-    * replay path, where the re-delivered batch's files already sit in
-    * the corpus so the captured "pre" fingerprint legitimately cannot
-    * match the missed models). */
+  /** The layout-free listing hash of `dir`'s input tables — the value
+    * committed under [[CorpusStateKey]] and compared by the replay
+    * contiguity arm. */
+  private def corpusStateOf(spark: SparkSession, dir: String,
+      inputs: Seq[String]): String =
+    Shared.fingerprint(spark, dir, inputs, Seq("corpus_state"))
+
+  /** The pre-state guard (ADVICE r12, tightened after review): proceed
+    * only when the model's stored state verifiably includes everything
+    * but this batch —
+    *   - stored fingerprint == the captured PRE-batch fingerprint
+    *     (the normal delivery path: the capture was taken before the
+    *     batch's files landed), or
+    *   - committed batch id == this id - 1 AND a sibling model that
+    *     DID commit this batch id recorded the same corpus-listing
+    *     state the replay sees now (the crash-replay path: the
+    *     re-delivered batch's files already sit in the corpus, so the
+    *     captured "pre" legitimately cannot match the missed models —
+    *     but the sibling's [[CorpusStateKey]] proves nothing ELSE
+    *     landed in between; bare contiguity would let an out-of-band
+    *     backfill between two streamed batches get fingerprint-stamped
+    *     as absorbed without its rows ever appending).
+    * A model failing both arms skips; its stale fingerprint forces a
+    * full rebuild on next resolve. (A crash before ANY model committed
+    * the batch leaves no sibling witness — the replay then rebuilds
+    * instead of re-appending: conservative, never wrong.) */
   private def preStateOk(meta: Map[String, String],
-      batchId: Option[Long], expectedFp: Option[String]): Boolean = {
+      batchId: Option[Long], expectedFp: Option[String],
+      corpusState: String, siblingState: Option[String]): Boolean = {
     val committed = meta.get(BatchMetaKey).map(_.toLong)
     val contiguous = batchId.zip(committed)
-      .exists { case (id, c) => c == id - 1 }
+      .exists { case (id, c) => c == id - 1 } &&
+      siblingState.contains(corpusState)
     val fpCurrent = expectedFp
       .exists(meta.get(Shared.FingerprintKey).contains)
     contiguous || fpCurrent
   }
+
+  /** The corpus state recorded by any model that already committed
+    * `batchId` — the replay contiguity arm's witness. None on first
+    * delivery (nothing has committed the id yet) or when ids are
+    * absent. */
+  private def siblingStateFor(spark: SparkSession, dir: String,
+      names: Seq[String], batchId: Option[Long]): Option[String] =
+    batchId.flatMap { id =>
+      val reg = Shared.registryOf(spark, dir)
+      names.iterator.map(reg.pointerMeta).collectFirst {
+        case m if m.get(BatchMetaKey).map(_.toLong).contains(id) &&
+            m.contains(CorpusStateKey) => m(CorpusStateKey)
+      }
+    }
 
   /** Append one model's increment + fingerprint advance; None when the
     * model was never materialized for this corpus (first touch will
@@ -150,17 +197,22 @@ object StandingIngest {
   private def appendOne(spark: SparkSession, dir: String, name: String,
       bucketBy: String, inputs: Seq[String], increment: => DataFrame,
       batchId: Option[Long] = None,
-      expectedFp: Option[String] = None): Option[(String, WriteResult)] =
+      expectedFp: Option[String] = None,
+      corpusState: String,
+      siblingState: Option[String] = None)
+      : Option[(String, WriteResult)] =
     Shared.resolveExisting(spark, dir, name).flatMap { _ =>
       val meta = Shared.registryOf(spark, dir).pointerMeta(name)
       val committed = meta.get(BatchMetaKey).map(_.toLong)
       if (batchId.exists(id => committed.exists(_ >= id))) None
-      else if (!preStateOk(meta, batchId, expectedFp)) None
+      else if (!preStateOk(meta, batchId, expectedFp, corpusState,
+          siblingState)) None
       else {
         val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
           inputs, preferMarkerBuckets = true)
         val res = api(spark, dir).appendToBucketedModel(increment, name,
-          Map(Shared.FingerprintKey -> fp) ++
+          Map(Shared.FingerprintKey -> fp,
+            CorpusStateKey -> corpusState) ++
             batchId.map(id => BatchMetaKey -> id.toString))
         Shared.markResolved(spark, dir, name)
         Some(name -> res)
@@ -187,8 +239,24 @@ object StandingIngest {
         "batchId, or capturePre(spark, dir) BEFORE landing the batch")
     def preFp(name: String): Option[String] = pre.flatMap(_.get(name))
     val docTab = Seq("documents")
+    // the shared per-batch guard inputs: the layout-free listing hash
+    // committed with every model, and the sibling witness a crash
+    // replay's contiguity arm compares against (see preStateOk)
+    val corpusState = corpusStateOf(spark, dir, docTab)
+    val sibling = siblingStateFor(spark, dir, DocModels.map(_._1), batchId)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, WriteResult]
+    // every append below routes through ONE helper keyed by DocModels,
+    // and the coverage require at the end keeps the capturePre list
+    // and the appends from silently diverging
+    val appended = scala.collection.mutable.LinkedHashSet.empty[String]
+    val bucketOf = DocModels.toMap
+    def appendDoc(name: String, increment: => DataFrame): Unit = {
+      appended += name
+      appendOne(spark, dir, name, bucketOf(name), docTab, increment,
+        batchId, preFp(name), corpusState, sibling)
+        .foreach { case (k, v) => results.put(k, v) }
+    }
 
     // ORDER MATTERS for the gram pair: the newly-shared increment's
     // plan reads the PRE-append gram_starts state (a batch gram hash
@@ -200,9 +268,7 @@ object StandingIngest {
     val batchW = batch
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val batchGrams = Curation2.gramHashes(batchW)
-    appendOne(spark, dir, "gram_shared_10", "gh", docTab,
-        batchId = batchId, expectedFp = preFp("gram_shared_10"),
-        increment = {
+    appendDoc("gram_shared_10", {
       val oldStarts = Shared.resolveExisting(spark, dir, "gram_starts_10")
         .getOrElse(throw new IllegalStateException(
           "gram_shared_10 exists without gram_starts_10"))
@@ -219,38 +285,26 @@ object StandingIngest {
           .join(oldStarts.select("gh"), Seq("gh"), "left_semi"))
         .distinct()
         .join(oldShared, Seq("gh"), "left_anti")
-    }).foreach { case (k, v) => results.put(k, v) }
+    })
 
-    appendOne(spark, dir, "gram_starts_10", "gh", docTab, batchGrams,
-        batchId, preFp("gram_starts_10"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("gram_starts_10", batchGrams)
 
     // the bucketed corpus copy itself absorbs the batch rows directly
-    appendOne(spark, dir, "documents_by_doc", "doc_id", docTab, batch,
-        batchId, preFp("documents_by_doc"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("documents_by_doc", batch)
 
-    appendOne(spark, dir, "doc_terms", "term", docTab,
-      TextAnalysis.docTermsOf(batch), batchId, preFp("doc_terms"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("doc_terms", TextAnalysis.docTermsOf(batch))
 
     // additive aggregates: the batch's PARTIAL counts append and the
     // accessors roll partials up on read (aggregate-on-read)
-    appendOne(spark, dir, "bigram_counts", "w1", docTab,
-      TextAnalysis.bigramCountsOf(batch), batchId, preFp("bigram_counts"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("bigram_counts", TextAnalysis.bigramCountsOf(batch))
 
-    appendOne(spark, dir, "drift_ref_256", "b", docTab,
-      Curation2.driftRefCountsOf(batch), batchId, preFp("drift_ref_256"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("drift_ref_256", Curation2.driftRefCountsOf(batch))
 
-    appendOne(spark, dir, "doc_shingles", "shingle", docTab,
+    appendDoc("doc_shingles",
       Dedup.shingleSet(batch.select(col("doc_id"), col("source"),
           col("text")))
         .select(col("doc_id"), col("source"),
-          xxhash64(col("shingle")).as("shingle")), batchId,
-      preFp("doc_shingles"))
-      .foreach { case (k, v) => results.put(k, v) }
+          xxhash64(col("shingle")).as("shingle")))
 
     // the dedup corpus derivation (originals ∪ truncations ∪ clones)
     // applies per doc, so the batch's derived rows are exactly the
@@ -262,20 +316,19 @@ object StandingIngest {
     // consumer reads blocks instead of re-running shingle+minhash)
     lazy val batchSigs = Dedup
       .sigsOf(batchCorpus.select("doc_id", "text")).localCheckpoint()
-    appendOne(spark, dir, "graft_lsh_sigs", "doc_id", docTab,
-      batchSigs, batchId, preFp("graft_lsh_sigs"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("graft_lsh_sigs", batchSigs)
 
-    appendOne(spark, dir, "graft_lsh_band_index", "bb", docTab,
+    appendDoc("graft_lsh_band_index",
       Dedup.withBb(Dedup.bandedOf(
-        batchSigs.filter(col("doc_id") % 10 =!= 9))), batchId,
-      preFp("graft_lsh_band_index"))
-      .foreach { case (k, v) => results.put(k, v) }
+        batchSigs.filter(col("doc_id") % 10 =!= 9))))
 
-    appendOne(spark, dir, "graft_simhash_sigs", "simhash", docTab,
-      Dedup.simhashOf(batchCorpus), batchId,
-      preFp("graft_simhash_sigs"))
-      .foreach { case (k, v) => results.put(k, v) }
+    appendDoc("graft_simhash_sigs", Dedup.simhashOf(batchCorpus))
+
+    require(appended == DocModels.map(_._1).to(
+        scala.collection.mutable.LinkedHashSet),
+      s"appendDocBatch drifted from DocModels: appended $appended " +
+        s"vs declared ${DocModels.map(_._1)} — keep the two in lockstep " +
+        "or capturePre stops covering what the appends maintain")
 
     results.toMap
   }
@@ -430,8 +483,13 @@ object StandingIngest {
           return Map.empty
         // pre-state guard (ADVICE r12): a stale index (a missed prior
         // batch) skips and rebuilds on next resolve rather than being
-        // stamped current while incomplete
-        if (!preStateOk(meta, batchId, pre.flatMap(_.get(idxName))))
+        // stamped current while incomplete. No sibling model exists on
+        // the embeddings side, so the crash-replay contiguity arm has
+        // no witness and stays off — a replay after a crash-before-
+        // commit rebuilds (conservative, never wrong).
+        val embState = corpusStateOf(spark, dir, Seq("embeddings"))
+        if (!preStateOk(meta, batchId, pre.flatMap(_.get(idxName)),
+            embState, siblingState = None))
           return Map.empty
         // ORDER: advance the RETAINED centroids' fingerprint FIRST.
         // Both crash windows then self-heal: a crash before the index
@@ -447,7 +505,8 @@ object StandingIngest {
         val fp = Shared.modelFingerprint(spark, dir, idxName, "cell",
           Seq("embeddings"), preferMarkerBuckets = true)
         val res = api(spark, dir).appendToBucketedModel(inc, idxName,
-          Map(Shared.FingerprintKey -> fp) ++
+          Map(Shared.FingerprintKey -> fp,
+            CorpusStateKey -> embState) ++
             batchId.map(id => BatchMetaKey -> id.toString))
         Shared.markResolved(spark, dir, idxName)
         Map(idxName -> res)

@@ -366,6 +366,58 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contiguity arm needs a sibling witness: an out-of-band backfill " +
+      "between streamed batches forces a rebuild, never a fingerprint-" +
+      "current append over missing rows") {
+    val dir5 = Files.createTempDirectory("graft_ingest_backfill").toString
+    try {
+      allDocs.filter(col("doc_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$dir5/documents.parquet")
+      Tables.invalidate(dir5, "documents")
+      assert(Curation2.gramStarts(spark, dir5).count() > 0)
+
+      // batch 0 follows the full streaming discipline
+      val b0 = allDocs.filter(col("doc_id") % 4 === 1)
+      val pre0 = StandingIngest.capturePre(spark, dir5)
+      b0.write.mode("append").parquet(s"$dir5/documents.parquet")
+      Tables.invalidate(dir5, "documents")
+      val r0 = StandingIngest.appendDocBatch(spark, dir5, b0,
+        batchId = Some(0L), pre = Some(pre0))
+      assert(r0.contains("gram_starts_10"))
+
+      // an out-of-band BACKFILL lands with no append call ...
+      allDocs.filter(col("doc_id") % 4 === 2)
+        .write.mode("append").parquet(s"$dir5/documents.parquet")
+      Tables.invalidate(dir5, "documents")
+
+      // ... then batch 1 is delivered WITHOUT a pre-capture (the
+      // crash-replay shape that used to ride bare contiguity:
+      // committed == 0 == id - 1). No sibling committed batch 1
+      // against the current listing, so the guard must SKIP — bare
+      // contiguity would have stamped a post-backfill fingerprint
+      // over models missing the backfill's rows forever.
+      val b1 = allDocs.filter(col("doc_id") % 4 === 3)
+      b1.write.mode("append").parquet(s"$dir5/documents.parquet")
+      Tables.invalidate(dir5, "documents")
+      val r1 = StandingIngest.appendDocBatch(spark, dir5, b1,
+        batchId = Some(1L))
+      assert(!r1.contains("gram_starts_10"),
+        s"backfill-spanning contiguity must not append: ${r1.keySet}")
+
+      // the stale fingerprint rebuilds over the FULL corpus (batch 0 +
+      // backfill + batch 1) on next resolve — nothing lost
+      Shared.invalidate(dir5)
+      assertSameRows(Curation2.gramStarts(spark, dir5),
+        Curation2.gramHashes(graft.operators.t(spark, dir5, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))),
+        "gram_starts_10 after backfill-forced rebuild")
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir5))
+      graft.api.FsIO.deleteTree(dir5)
+      Shared.invalidate(dir5)
+    }
+  }
+
   test("attach compactEvery cadence: the sweep fires after every k-th " +
       "micro-batch (VERDICT r12 item #4 default cadence hook)") {
     import spark.implicits._
