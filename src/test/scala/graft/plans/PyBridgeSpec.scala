@@ -266,6 +266,37 @@ class PyBridgeSpec extends AnyFunSuite {
       d.select(cols.map(col): _*)).isEmpty)
   }
 
+  test("executor-lane partition mode: a crashing worker drains the " +
+      "fleet and fails with the child's error, session unharmed") {
+    assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
+    sys.props("graft.py.workers") = "3"
+    try {
+      val api = freshApi()
+      api.registry.register(ModelDef("el_base",
+        ModelKind.Scala((s, _) => {
+          import s.implicits._
+          (1L to 30L).map(i => (i, i * 3)).toDF("id", "v").repartition(3)
+        })))
+      val proj = Files.createTempDirectory("graft-pyexecboom")
+      val pyFile = proj.resolve("boom_part.py")
+      Files.writeString(pyFile,
+        """def model(dbt, fal):
+          |    raise RuntimeError("synthetic partition-worker crash")
+          |""".stripMargin)
+      assert(Runner.run(api, Runner.RunConfig()) == 0)
+      val e = intercept[RuntimeException] {
+        PyBridge.runModel(api, "el_boom", Seq("el_base"),
+          pyFile.toString, mode = "partition")
+      }
+      // the failure carries the child's log tail, not a Spark task
+      // stack — the child error returned through the drained report
+      assert(e.getMessage.contains("synthetic partition-worker crash"),
+        s"expected the child's error, got: ${e.getMessage}")
+      // the crash stayed in child processes — the session still works
+      assert(spark.range(7).count() == 7)
+    } finally sys.props.remove("graft.py.workers")
+  }
+
   test("partition mode rejects an over-cap secondary dep with an " +
       "actionable error (VERDICT r11 #6)") {
     assume(PyBridge.available, "python3 with pandas+pyarrow not on PATH")
