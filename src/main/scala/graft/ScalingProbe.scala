@@ -168,6 +168,9 @@ object ScalingProbe {
       ("StreamBpeDeep",
         "deep tokenize: dictionary hit, replay only on novel vocab",
         docsAll, graft.streaming.StreamBpeDeep.tokenizeBatch),
+      ("StreamBpePhrase",
+        "production-depth phrase tokenize: broadcast merges, local fold",
+        docsAll, graft.streaming.StreamBpePhrase.tokenizeBatch),
       ("StreamDedup", "LSH near-dup probe vs the standing band index",
         docsAll, graft.streaming.StreamDedup.probeBatch),
       ("StreamAnn.dupBatch",
