@@ -16,7 +16,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(Relational, Relational2, Relational3,
     Relational4, Relational5, Relational6, Joins2, Analytics,
     EventWindows, EventWindows2, EventWindows3, TextAnalysis,
-    TextAnalysis2, TextAnalysis3, Curation, Curation2, Dedup,
+    TextAnalysis2, TextAnalysis3, Curation, Curation2, Dedup, Dedup2,
     Similarity, Similarity2, Multimodal, Sketches, Graph)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)

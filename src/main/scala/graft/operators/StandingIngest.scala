@@ -120,20 +120,22 @@ object StandingIngest {
     }.toMap
   }
 
-  /** [[capturePre]] twin for the embeddings-derived standing IVF index
-    * (and its retained centroids) — call before landing an embedding
-    * batch. The index name carries the corpus-derived K, so the capture
-    * runs `ivfParams` against the PRE-batch corpus, exactly the state
-    * [[appendEmbeddingBatch]]'s guard must verify against. */
+  /** [[capturePre]] twin for the embeddings-derived standing models —
+    * the IVF index (plus its retained centroids) and the banded-LSH
+    * near-dup table — call before landing an embedding batch. Both
+    * model names carry corpus-derived geometry (K, band width b), so
+    * the capture derives them against the PRE-batch corpus, exactly
+    * the state [[appendEmbeddingBatch]]'s guard must verify against. */
   def capturePreEmbeddings(spark: SparkSession,
       dir: String): Map[String, String] = {
     val p = Similarity.ivfParams(spark, dir)
     val idxName = s"graft_ivf_index_k${p.k}_r${Similarity.LloydRounds}"
     val reg = Shared.registryOf(spark, dir)
-    if (reg.relationExists(idxName))
-      Map(idxName -> Shared.modelFingerprint(spark, dir, idxName, "cell",
-        Seq("embeddings"), preferMarkerBuckets = true))
-    else Map.empty
+    Seq(idxName -> "cell", Dedup2.lshModelName(p.nc) -> "bk").collect {
+      case (name, bucketBy) if reg.relationExists(name) =>
+        name -> Shared.modelFingerprint(spark, dir, name, bucketBy,
+          Seq("embeddings"), preferMarkerBuckets = true)
+    }.toMap
   }
 
   /** The layout-free listing hash of `dir`'s input tables — the value
@@ -382,9 +384,10 @@ object StandingIngest {
   /** Embedding-stream twin of [[attach]]: per micro-batch of (vec_id,
     * embedding) rows, `land` persists the batch into the embeddings
     * store (id-guarded, same discipline as the document attach), then
-    * the standing IVF index absorbs the batch's assignment rows with
-    * the batch id committed ([[BatchMetaKey]]) — replay-safe under the
-    * fixed-centroid policy.
+    * every embeddings-derived standing model (the IVF index under the
+    * fixed-centroid policy, the banded-LSH near-dup table) absorbs the
+    * batch's rows with the batch id committed ([[BatchMetaKey]]) —
+    * replay-safe.
     */
   def attachEmbeddings(spark: SparkSession, dir: String,
       vecs: DataFrame)(
@@ -448,16 +451,30 @@ object StandingIngest {
     }.toMap
   }
 
-  /** Absorb a batch of new embeddings (vec_id, embedding) into the
-    * standing IVF index: assign each batch vector to its max-cosine
-    * RETAINED centroid (the standard IVF ingest policy — centroids
-    * retrain on geometry changes, which surface as a K change in the
-    * model name and rebuild automatically) and append the assignment
-    * rows cell-bucketed. Empty map when the index does not exist,
-    * the grown corpus crossed a K boundary (next touch rebuilds), or
-    * the pre-state guard skipped a stale index. Replay protection is
+  /** Absorb a batch of new embeddings (vec_id, embedding) into every
+    * appendable embeddings-derived standing model:
+    *
+    *   - the IVF index — assign each batch vector to its max-cosine
+    *     RETAINED centroid (the standard IVF ingest policy — centroids
+    *     retrain on geometry changes, which surface as a K change in
+    *     the model name and rebuild automatically) and append the
+    *     assignment rows cell-bucketed;
+    *   - the banded-LSH near-dup table ([[Dedup2.lshBandModel]]) — the
+    *     batch's L band rows, bucket-aligned on the composite band
+    *     key. The plane matrix is static (no trained state), so this
+    *     append has no retained-model ordering concern; a corpus
+    *     growing across a band-width boundary surfaces as a different
+    *     model name and rebuilds on next touch, exactly like the K
+    *     boundary.
+    *
+    * A model is absent from the result map when it does not exist,
+    * its geometry boundary was crossed, or the pre-state guard skipped
+    * a stale copy (rebuild on next resolve). Replay protection is
     * required — pass the streaming `batchId` or a
     * [[capturePreEmbeddings]] snapshot taken before the batch landed.
+    * With a `batchId`, a model that committed the id first serves as
+    * the crash-replay sibling witness for the other (same
+    * [[CorpusStateKey]] discipline as the documents side).
     */
   def appendEmbeddingBatch(spark: SparkSession, dir: String,
       batch: DataFrame, batchId: Option[Long] = None,
@@ -471,46 +488,61 @@ object StandingIngest {
     val r = Similarity.LloydRounds
     val idxName = s"graft_ivf_index_k${p.k}_r$r"
     val centsName = s"graft_ivf_cents_k${p.k}_r$r"
-    (Shared.resolveExisting(spark, dir, idxName),
-        Shared.resolveExisting(spark, dir, centsName)) match {
-      case (Some(_), Some(cents)) =>
-        // replay guard (same convention as appendOne): an already-
-        // committed batch id no-ops instead of double-appending
-        // assignment rows
-        val meta = Shared.registryOf(spark, dir).pointerMeta(idxName)
-        val committed = meta.get(BatchMetaKey).map(_.toLong)
-        if (batchId.exists(id => committed.exists(_ >= id)))
-          return Map.empty
-        // pre-state guard (ADVICE r12): a stale index (a missed prior
-        // batch) skips and rebuilds on next resolve rather than being
-        // stamped current while incomplete. No sibling model exists on
-        // the embeddings side, so the crash-replay contiguity arm has
-        // no witness and stays off — a replay after a crash-before-
-        // commit rebuilds (conservative, never wrong).
-        val embState = corpusStateOf(spark, dir, Seq("embeddings"))
-        if (!preStateOk(meta, batchId, pre.flatMap(_.get(idxName)),
-            embState, siblingState = None))
-          return Map.empty
-        // ORDER: advance the RETAINED centroids' fingerprint FIRST.
-        // Both crash windows then self-heal: a crash before the index
-        // append leaves a stale index fingerprint, and the rebuild
-        // re-assigns against the fingerprint-current retained
-        // centroids. The reverse order left a committed index whose
-        // rows were assigned against centroids a later resolve would
-        // RETRAIN — fingerprint-current but silently inconsistent.
-        Shared.advanceFingerprint(spark, dir, centsName,
-          Seq("embeddings"), "cell")
-        val inc = Similarity.ivfAssign(
-          Similarity.embNormOf(batch).filter(col("vec_id") >= 10), cents)
-        val fp = Shared.modelFingerprint(spark, dir, idxName, "cell",
-          Seq("embeddings"), preferMarkerBuckets = true)
-        val res = api(spark, dir).appendToBucketedModel(inc, idxName,
-          Map(Shared.FingerprintKey -> fp,
-            CorpusStateKey -> embState) ++
-            batchId.map(id => BatchMetaKey -> id.toString))
-        Shared.markResolved(spark, dir, idxName)
-        Map(idxName -> res)
-      case _ => Map.empty
-    }
+    val lshName = Dedup2.lshModelName(p.nc)
+    val embState = corpusStateOf(spark, dir, Seq("embeddings"))
+    val sibling =
+      siblingStateFor(spark, dir, Seq(idxName, lshName), batchId)
+
+    val ivf: Option[(String, WriteResult)] =
+      (Shared.resolveExisting(spark, dir, idxName),
+          Shared.resolveExisting(spark, dir, centsName)) match {
+        case (Some(_), Some(cents)) =>
+          // replay guard (same convention as appendOne): an already-
+          // committed batch id no-ops instead of double-appending
+          // assignment rows
+          val meta = Shared.registryOf(spark, dir).pointerMeta(idxName)
+          val committed = meta.get(BatchMetaKey).map(_.toLong)
+          if (batchId.exists(id => committed.exists(_ >= id))) None
+          // pre-state guard (ADVICE r12): a stale index (a missed
+          // prior batch) skips and rebuilds on next resolve rather
+          // than being stamped current while incomplete
+          else if (!preStateOk(meta, batchId, pre.flatMap(_.get(idxName)),
+              embState, siblingState = sibling)) None
+          else {
+            // ORDER: advance the RETAINED centroids' fingerprint
+            // FIRST. Both crash windows then self-heal: a crash before
+            // the index append leaves a stale index fingerprint, and
+            // the rebuild re-assigns against the fingerprint-current
+            // retained centroids. The reverse order left a committed
+            // index whose rows were assigned against centroids a later
+            // resolve would RETRAIN — fingerprint-current but silently
+            // inconsistent.
+            Shared.advanceFingerprint(spark, dir, centsName,
+              Seq("embeddings"), "cell")
+            val inc = Similarity.ivfAssign(
+              Similarity.embNormOf(batch).filter(col("vec_id") >= 10),
+              cents)
+            val fp = Shared.modelFingerprint(spark, dir, idxName, "cell",
+              Seq("embeddings"), preferMarkerBuckets = true)
+            val res = api(spark, dir).appendToBucketedModel(inc, idxName,
+              Map(Shared.FingerprintKey -> fp,
+                CorpusStateKey -> embState) ++
+                batchId.map(id => BatchMetaKey -> id.toString))
+            Shared.markResolved(spark, dir, idxName)
+            Some(idxName -> res)
+          }
+        case _ => None
+      }
+
+    // LSH commits after the IVF index, so on a mid-call crash the
+    // committed model is the sibling witness the replay needs.
+    val lsh = appendOne(spark, dir, lshName, "bk", Seq("embeddings"),
+      Dedup2.bandRowsOf(batch, Dedup2.neardupBits(p.nc)),
+      batchId = batchId, expectedFp = pre.flatMap(_.get(lshName)),
+      corpusState = embState,
+      siblingState = siblingStateFor(spark, dir,
+        Seq(idxName, lshName), batchId))
+
+    (ivf.toSeq ++ lsh.toSeq).toMap
   }
 }

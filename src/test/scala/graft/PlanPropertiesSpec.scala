@@ -49,9 +49,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected partial aggregation:\n${p.take(1500)}")
   }
 
+  test("the banded-LSH pair join never shuffles the corpus (bucketed " +
+      "self-join; the only shuffle exchanges sit above the bounded " +
+      "pair stream)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = SparkEntry.queries("dd_embedding_neardup_lsh")(spark, dir)
+      .queryExecution.executedPlan
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(all)
+    val joins = all(root).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no pair join found:\n${root.toString.take(1500)}")
+    for (j <- joins)
+      assert(!all(j).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "shuffle exchange under the banded pair join — the bucketed " +
+          s"standing table must feed it in place:\n${j.toString.take(1500)}")
+  }
+
   test("pair stages never degrade to a cartesian product") {
     for (name <- Seq("dd_embedding_neardup", "dd_ngram_jaccard",
-        "dd_minhash_lsh", "dd_simhash", "sim_lsh_topk")) {
+        "dd_minhash_lsh", "dd_simhash", "sim_lsh_topk",
+        "dd_embedding_neardup_lsh", "dd_embedding_neardup_resolve")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n${p.take(1500)}")

@@ -498,4 +498,46 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.select("neighbor_id", "cell")
         .exceptAll(appended.select("neighbor_id", "cell")).count() == 0)
   }
+
+  test("appendEmbeddingBatch maintains the banded-LSH near-dup table " +
+      "(append ≡ full rebuild; static planes, no retained state)") {
+    val dirL = Files.createTempDirectory("graft_ingest_lsh").toString
+    try {
+      baseVecs.write.mode("overwrite").parquet(s"$dirL/embeddings.parquet")
+      Tables.invalidate(dirL, "embeddings")
+      // the fixture must stay inside one band-width geometry, or the
+      // append correctly skips and this test would assert nothing
+      val bBase = Dedup2.neardupBits(
+        Similarity.ivfParams(spark, dirL).nc)
+      val model0 = Dedup2.lshBandModel(spark, dirL)
+      val base = model0.count()
+      assert(base > 0)
+      val batch = batchVecs.cache()
+      val bn = batch.count()
+      val pre = StandingIngest.capturePreEmbeddings(spark, dirL)
+      assert(pre.keySet == Set(Dedup2.lshModelName(
+          Similarity.ivfParams(spark, dirL).nc)),
+        s"capture must see exactly the built LSH model: $pre")
+      batch.write.mode("append").parquet(s"$dirL/embeddings.parquet")
+      Tables.invalidate(dirL, "embeddings")
+      val bAll = Dedup2.neardupBits(Similarity.ivfParams(spark, dirL).nc)
+      assert(bAll == bBase, "fixture crossed a band-width boundary")
+      val results = StandingIngest.appendEmbeddingBatch(spark, dirL,
+        batch, pre = Some(pre))
+      assert(results.keySet == Set(Dedup2.lshModelName(
+          Similarity.ivfParams(spark, dirL).nc)),
+        s"LSH append expected (no IVF model exists here): $results")
+      val model = Shared.resolveExisting(spark, dirL,
+        results.keySet.head).get
+      assert(model.count() == base + bn * Dedup2.NeardupBands)
+      assertSameRows(model,
+        Dedup2.bandRowsOf(
+          spark.read.parquet(s"$dirL/embeddings.parquet"), bAll),
+        "LSH band table after append")
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dirL))
+      graft.api.FsIO.deleteTree(dirL)
+      Shared.invalidate(dirL)
+    }
+  }
 }
