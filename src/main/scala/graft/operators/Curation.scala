@@ -193,7 +193,47 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the EXPORT step a
+    * training run performs on the curated corpus. A 100 TB corpus
+    * cannot be Fisher–Yates shuffled, so production loaders order by a
+    * seeded keyed hash and split that order into S shards, each written
+    * hash-sorted: streaming the shards back is a reproducible
+    * pseudo-random permutation of the corpus, and a new epoch seed
+    * re-permutes everything with zero state. `shard = h % S` balances
+    * shards to ±O(√(N/S)) with no coordination; `pos` is the written
+    * offset within the shard.
+    *
+    * Scale: one codegen'd hash pass (native [[graft.functions.Md5Prefix]]
+    * straight off the digest bytes), ONE shuffle keyed on shard, and an
+    * in-partition sort per shard — S is chosen so a shard fits an
+    * executor (at 100 TB, S ≈ corpus/256 MB), which is exactly the sort
+    * the export writer performs anyway. No global sort, no driver
+    * state. Fully oracle-checked: the hash is the repo's portable
+    * md5-prefix BIGINT family.
+    */
+  def cuShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShard(t(spark, dir, "documents").select(col("doc_id")),
+      "ep1", 8)
+
+  /** The epoch-shuffle kernel over any keyed frame — seed and shard
+    * count parameterized so ShuffleShardSpec can pin the permutation /
+    * balance / re-seed properties the SQL oracle cannot express. */
+  private[graft] def shuffleShard(docs: DataFrame, seed: String,
+      shards: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val byShard = Window.partitionBy("shard").orderBy("k", "doc_id")
+    docs
+      .withColumn("k", expr(
+        s"graft_md5_prefix(concat('$seed:', CAST(doc_id AS STRING)), 15)"))
+      .withColumn("shard", pmod(col("k"), lit(shards)).cast("long"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_shuffle_shard" -> cuShuffleShard _,
     "tx_token_budget" -> txTokenBudget _,
     "tx_mixture" -> txMixture _,
     "tx_sample_stratified" -> txSampleStratified _,
@@ -202,6 +242,19 @@ object Curation extends QueryPack {
     "tx_length_percentiles" -> txLengthPercentiles _)
 
   val oracles: Map[String, String] = Map(
+    "cu_shuffle_shard" -> """
+      WITH hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x',
+                 substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS k
+        FROM documents
+      )
+      SELECT doc_id, k % 8 AS shard,
+             row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+               AS pos
+      FROM hashed
+      ORDER BY shard, pos""",
     "tx_sample_weighted" -> """
       SELECT doc_id, source, n_chars, priority FROM (
         SELECT doc_id, source, n_chars,

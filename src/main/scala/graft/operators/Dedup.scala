@@ -942,6 +942,69 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** E5g2 — FUZZY benchmark decontamination: flag training documents
+    * whose MinHash-estimated Jaccard against any held-out evaluation
+    * doc (source `src3`) reaches 0.5 — the near-duplicate variant of
+    * [[ddContamination]]'s exact-shingle check (paraphrased or lightly
+    * edited benchmark leaks share few exact 5-grams but still collide
+    * in LSH bands). Reports, per contaminated training doc, how many
+    * eval docs it matches and the strongest estimate.
+    *
+    * Scale shape (the property that matters at 100 TB): the eval suite
+    * is tiny, so its banded keys AND its signatures broadcast; the
+    * candidate set is the eval NEIGHBORHOOD (train docs sharing ≥1
+    * band with some eval doc — rare by assumption, or the corpus has
+    * bigger problems), so it also broadcasts, and the corpus-sized
+    * train side is probed twice map-only: banded rows against the
+    * broadcast eval bands, then signature rows against the broadcast
+    * candidate list. No corpus-side shuffle anywhere; the signatures
+    * come from the standing [[sigModel]] (raw docs enter the dedup
+    * corpus verbatim, so their signatures are the rows whose doc_id
+    * joins back to the documents table — no re-shingling).
+    */
+  /** Source-tagged slice of the standing signature model: the join
+    * back to documents both tags sources and drops the corpus's
+    * derived ids (+1M truncations, +2M copies); the standing
+    * doc_id-bucketed corpus copy shares the signature model's bucket
+    * layout, so the corpus-sized tag join plans with zero exchange.
+    */
+  private def taggedSigs(spark: SparkSession, dir: String): DataFrame =
+    sigModel(spark, dir).join(
+      Curation2.docsById(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id")
+
+  /** The held-out eval suite's signatures (tiny — broadcasts), shared
+    * by the batch probe and [[graft.streaming.StreamDecontam]]. */
+  private[graft] def evalSuiteSigs(spark: SparkSession,
+      dir: String): DataFrame =
+    taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
+
+  def ddFuzzyDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val evalSigs = evalSuiteSigs(spark, dir)
+    val trainSigs = taggedSigs(spark, dir)
+      .filter(col("source") =!= "src3").drop("source")
+    val evalBands = withBb(bandedOf(evalSigs))
+      .select(col("bb"), col("doc_id").as("eval_id"))
+    val cands = withBb(bandedOf(trainSigs))
+      .select(col("doc_id").as("train_id"), col("bb"))
+      .join(broadcast(evalBands), "bb")
+      .select("train_id", "eval_id").distinct()
+    val trainWide = trainSigs.toDF("train_id" +: (1 to 16).map(i => s"a$i"): _*)
+    val evalWide = evalSigs.toDF("eval_id" +: (1 to 16).map(i => s"b$i"): _*)
+    val nMatch = (1 to 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    trainWide
+      .join(broadcast(cands), "train_id")
+      .join(broadcast(evalWide), "eval_id")
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") >= 8) // est jaccard ≥ 0.5
+      .groupBy("train_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        max(col("n_match").cast("double") / 16.0).as("max_est_jaccard"))
+      .orderBy("train_id")
+  }
+
   /** E5f — duplicate-cluster resolution: turn near-dup PAIRS into a
     * keep/drop decision. Connected components over the Jaccard≥0.5 pair
     * graph by hierarchical contraction: each level runs a local
@@ -1064,6 +1127,7 @@ object Dedup extends QueryPack {
     "dd_cluster" -> ddCluster _,
     "dd_resolve" -> ddResolve _,
     "dd_contamination" -> ddContamination _,
+    "dd_fuzzy_decontamination" -> ddFuzzyDecontamination _,
     "dd_exact" -> ddExact _,
     "dd_exact_keep" -> ddExactKeep _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
@@ -1274,6 +1338,32 @@ object Dedup extends QueryPack {
       FROM shs t JOIN shs e ON t.s = e.s
       WHERE t.source != 'src3' AND e.source = 'src3'
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "dd_fuzzy_decontamination" -> s"""
+      WITH $sqlLshCtes,
+      srcd AS (SELECT doc_id, source FROM documents),
+      eb AS (
+        SELECT banded.band, banded.bk, banded.doc_id AS eval_id
+        FROM banded JOIN srcd USING (doc_id) WHERE source = 'src3'
+      ),
+      tb AS (
+        SELECT banded.band, banded.bk, banded.doc_id AS train_id
+        FROM banded JOIN srcd USING (doc_id) WHERE source != 'src3'
+      ),
+      cand AS (
+        SELECT DISTINCT train_id, eval_id
+        FROM tb JOIN eb ON tb.band = eb.band AND tb.bk = eb.bk
+      ),
+      scored AS (
+        SELECT train_id, eval_id,
+               CAST($sqlMatch16 AS BIGINT) AS n_match
+        FROM cand JOIN sig sa ON sa.doc_id = cand.train_id
+                  JOIN sig sb ON sb.doc_id = cand.eval_id
+      )
+      SELECT train_id,
+             CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+             max(CAST(n_match AS DOUBLE) / 16.0) AS max_est_jaccard
+      FROM scored WHERE n_match >= 8
+      GROUP BY train_id ORDER BY train_id""",
     "dd_minhash_lsh" -> {
       val sigList = (1 to 16).map(i => s"s$i").mkString(", ")
       val repBands = (0 until 4).map { bnd =>
