@@ -84,6 +84,10 @@ object ScalingProbe {
       "tx_bpe_deep_apply" ->
         "per-doc deep segmentation rollup off the standing phrase model",
       "cu_drift" -> "corpus drift profile (256-bucket aggregate)",
+      "dd_fuzzy_decontamination" ->
+        "MinHash eval probe (broadcast eval bands, map-only corpus side)",
+      "cu_shuffle_shard" ->
+        "epoch shuffle/shard export (1 hash pass + 1 shard exchange)",
       "mm_frame_dedup" ->
         "frame-level cross-video dedup (metadata explode + O(1)-state hash agg)",
       "sim_rand_projection" -> "JL random projection (one map pass)",
@@ -177,7 +181,10 @@ object ScalingProbe {
         "IVF near-dup probe vs the standing cell-bucketed index",
         vecsAll, graft.streaming.StreamAnn.dupBatch),
       ("StreamDrift", "drift monitor vs standing reference counts",
-        docsAll, graft.streaming.StreamDrift.driftBatch))
+        docsAll, graft.streaming.StreamDrift.driftBatch),
+      ("StreamDecontam",
+        "ingest-gate eval-suite probe vs broadcast eval bands",
+        docsAll, graft.streaming.StreamDecontam.probeBatch))
     val streamRows = streamProbes.map { case (nm, what, src, fn) =>
       val sized = batchSizes.map { n =>
         val batch = src.limit(n).localCheckpoint()

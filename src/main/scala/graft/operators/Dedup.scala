@@ -942,6 +942,23 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Source-tagged slice of the standing signature model: the join
+    * back to documents both tags sources and drops the corpus's
+    * derived ids (+1M truncations, +2M copies); the standing
+    * doc_id-bucketed corpus copy shares the signature model's bucket
+    * layout, so the corpus-sized tag join plans with zero exchange.
+    */
+  private def taggedSigs(spark: SparkSession, dir: String): DataFrame =
+    sigModel(spark, dir).join(
+      Curation2.docsById(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id")
+
+  /** The held-out eval suite's signatures (tiny — broadcasts), shared
+    * by the batch probe and [[graft.streaming.StreamDecontam]]. */
+  private[graft] def evalSuiteSigs(spark: SparkSession,
+      dir: String): DataFrame =
+    taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
+
   /** E5g2 — FUZZY benchmark decontamination: flag training documents
     * whose MinHash-estimated Jaccard against any held-out evaluation
     * doc (source `src3`) reaches 0.5 — the near-duplicate variant of
@@ -962,23 +979,6 @@ object Dedup extends QueryPack {
     * corpus verbatim, so their signatures are the rows whose doc_id
     * joins back to the documents table — no re-shingling).
     */
-  /** Source-tagged slice of the standing signature model: the join
-    * back to documents both tags sources and drops the corpus's
-    * derived ids (+1M truncations, +2M copies); the standing
-    * doc_id-bucketed corpus copy shares the signature model's bucket
-    * layout, so the corpus-sized tag join plans with zero exchange.
-    */
-  private def taggedSigs(spark: SparkSession, dir: String): DataFrame =
-    sigModel(spark, dir).join(
-      Curation2.docsById(spark, dir).select(col("doc_id"), col("source")),
-      "doc_id")
-
-  /** The held-out eval suite's signatures (tiny — broadcasts), shared
-    * by the batch probe and [[graft.streaming.StreamDecontam]]. */
-  private[graft] def evalSuiteSigs(spark: SparkSession,
-      dir: String): DataFrame =
-    taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
-
   def ddFuzzyDecontamination(spark: SparkSession, dir: String): DataFrame = {
     val evalSigs = evalSuiteSigs(spark, dir)
     val trainSigs = taggedSigs(spark, dir)
