@@ -88,6 +88,8 @@ object ScalingProbe {
         "MinHash eval probe (broadcast eval bands, map-only corpus side)",
       "cu_shuffle_shard" ->
         "epoch shuffle/shard export (1 hash pass + 1 shard exchange)",
+      "tx_classifier_train" ->
+        "classifier training moments (one-pass Gram/X'y + driver solve)",
       "mm_frame_dedup" ->
         "frame-level cross-video dedup (metadata explode + O(1)-state hash agg)",
       "sim_rand_projection" -> "JL random projection (one map pass)",

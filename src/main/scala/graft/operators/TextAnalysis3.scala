@@ -233,7 +233,110 @@ object TextAnalysis3 extends QueryPack {
         col(s"n_$n") } :+ md5(col("redacted")).as("clean_hash"): _*)
       .orderBy("doc_id")
 
+  /** Trainer geometry: 32 hashed unigram buckets + a bias feature at
+    * index 32 — few enough that the Gram matrix is a driver scalar,
+    * real enough that the hashed-BOW mechanics match a fastText-style
+    * quality classifier. */
+  private[operators] val trainBuckets = 32
+
+  /** Planted integer annotation teacher — the fixture's stand-in for
+    * human/LLM quality labels (production labels arrive as data; a
+    * planted teacher gives labels with a KNOWN generating hyperplane so
+    * ClassifierTrainSpec can verify the trainer LEARNS, not merely that
+    * it is deterministic). Same xorshift64 stream discipline as the
+    * MinHash params and the LSH planes; weights in [-8, 8). */
+  private[operators] val trainTeacher: IndexedSeq[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    (0 until trainBuckets).map(_ => ((next() >>> 40) % 16L) - 8L)
+  }
+
+  /** Sparse integer bag-of-words over the hashed vocabulary:
+    * (doc_id, b, cnt) rows for b < 32, plus one bias row (b=32, cnt=1)
+    * per tokenized doc. Shared by the query and the spec's evaluator. */
+  /** Token features only (no bias row) — margins fold over these. */
+  private def trainFeats0(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        expr(s"graft_md5_prefix(t, 4) % $trainBuckets").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  private[graft] def trainFeats(spark: SparkSession,
+      dir: String): DataFrame = {
+    val f0 = trainFeats0(spark, dir)
+    f0.unionByName(f0.select("doc_id").distinct()
+      .select(col("doc_id"), lit(trainBuckets.toLong).as("b"),
+        lit(1L).as("cnt")))
+  }
+
+  /** The planted labels: +1 iff the doc's integer teacher margin
+    * exceeds the corpus's exact lower-median margin (rank
+    * (n+1) div 2 via the distributed [[withRankBy]] — no
+    * single-partition window), -1 otherwise. Balanced ~50/50 by
+    * construction. */
+  private[graft] def trainLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tArr = array(trainTeacher.map(lit): _*)
+    val margins = trainFeats0(spark, dir)
+      .withColumn("tw", element_at(tArr, (col("b") + 1).cast("int")))
+      .groupBy("doc_id").agg(sum(col("tw") * col("cnt")).as("margin"))
+    val theta = withRankBy(margins.withColumn("__k", lit(1)),
+        "__k", "margin", "__rn", "__n")
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("margin").as("theta"))
+    margins.crossJoin(broadcast(theta))
+      .select(col("doc_id"),
+        when(col("margin") > col("theta"), 1L).otherwise(-1L).as("y"))
+  }
+
+  /** Quality-classifier TRAINING twin of [[txClassifier]] — the
+    * distributed half of fitting a linear text classifier at corpus
+    * scale: ONE pass aggregates the exact integer sufficient
+    * statistics (upper-triangle Gram matrix X'X over the hashed
+    * bag-of-words features + bias, and the label moment X'y), and the
+    * (B+1)x(B+1) ridge solve is a driver-side scalar — the same
+    * heavy-distributed/tiny-driver split as the Lloyd centroid steps.
+    * This is how linear probes and fastText-style quality gates are
+    * actually trained over 100 TB: the cluster never iterates, it
+    * computes moments.
+    *
+    * Output: (i, j, v) rows — v = Σ x_i·x_j for j ≥ i (Gram upper
+    * triangle, bias included at index 32) and v = Σ x_i·y for j = -1.
+    * All values are exact BIGINT sums of integer token counts, so the
+    * DuckDB oracle replays them bitwise; the float solve lives in
+    * ClassifierTrainSpec, which fits ridge(λ=10) on these moments and
+    * pins ~95% train accuracy against the planted teacher's labels
+    * (majority baseline 50%).
+    *
+    * Scale: the token explode + hash is one codegen'd pass; the Gram
+    * self-join runs on the already-aggregated sparse rows (≤ 33 nnz
+    * per doc → ≤ 561 pairs per doc) — at test SF AQE broadcasts one
+    * side, at scale the two sides are the SAME subplan so the doc_id
+    * exchange is planned once and reused (the standard self-join
+    * shape) — with map-side partial aggregation into ≤ 594 cells; the
+    * label threshold uses the distributed exact-rank median (range
+    * shuffle + broadcast offsets, the q_median idiom). No driver-side
+    * loops, no iteration — one round trip.
+    */
+  def txClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    val fa = trainFeats(spark, dir).toDF("doc_id", "bi", "ci")
+    val fb = trainFeats(spark, dir).toDF("doc_id", "bj", "cj")
+    val gram = fa.join(fb, "doc_id")
+      .filter(col("bi") <= col("bj"))
+      .groupBy(col("bi").as("i"), col("bj").as("j"))
+      .agg(sum(col("ci") * col("cj")).as("v"))
+    val xty = trainFeats(spark, dir).join(trainLabels(spark, dir), "doc_id")
+      .groupBy(col("b").as("i"))
+      .agg(sum(col("cnt") * col("y")).as("v"))
+      .select(col("i"), lit(-1L).as("j"), col("v"))
+    gram.unionByName(xty).orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_classifier_train" -> txClassifierTrain _,
     "tx_fertility" -> txFertility _,
     "tx_gopher_rules" -> txGopherRules _,
     "tx_classifier" -> txClassifier _,
@@ -250,6 +353,54 @@ object TextAnalysis3 extends QueryPack {
       out: String): String = sqlMedianByCtes(p, src, "lang", v, out)
 
   val oracles: Map[String, String] = Map(
+    "tx_classifier_train" -> {
+      val tvals = trainTeacher.zipWithIndex
+        .map { case (w, b) => s"($b, $w)" }.mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($sqlToks) AS t FROM documents
+      ),
+      f0 AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)
+                 % $trainBuckets AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+      ),
+      f AS (
+        SELECT doc_id, b, cnt FROM f0
+        UNION ALL
+        SELECT DISTINCT doc_id, CAST($trainBuckets AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM f0
+      ),
+      tw AS (SELECT * FROM (VALUES $tvals) t(b, w)),
+      m AS (
+        SELECT f0.doc_id, sum(tw.w * f0.cnt) AS margin
+        FROM f0 JOIN tw ON f0.b = tw.b GROUP BY 1
+      ),
+      th AS (
+        SELECT margin AS theta FROM (
+          SELECT margin, row_number() OVER (ORDER BY margin) AS rn,
+                 count(*) OVER () AS n FROM m)
+        WHERE rn = (n + 1) // 2
+      ),
+      y AS (
+        SELECT m.doc_id,
+               CASE WHEN m.margin > th.theta THEN 1 ELSE -1 END AS y
+        FROM m CROSS JOIN th
+      )
+      SELECT i, j, v FROM (
+        SELECT a.b AS i, bb.b AS j,
+               CAST(sum(a.cnt * bb.cnt) AS BIGINT) AS v
+        FROM f a JOIN f bb ON a.doc_id = bb.doc_id AND a.b <= bb.b
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT f.b AS i, CAST(-1 AS BIGINT) AS j,
+               CAST(sum(f.cnt * y.y) AS BIGINT) AS v
+        FROM f JOIN y ON f.doc_id = y.doc_id GROUP BY 1
+      ) ORDER BY i, j"""
+    },
     "tx_mad_outliers" -> s"""
       WITH d AS (SELECT lang, n_chars FROM documents),
       ${sqlMedianCtes("a", "d", "n_chars", "median_chars")},

@@ -149,6 +149,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
     "cu_drift", // drift: 1-row totals broadcast into the 256-bucket table
     "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
+    // classifier trainer: 1-row median-threshold θ broadcast into the
+    // per-doc margin table (the q_chisq scalar-join shape)
+    "tx_classifier_train",
     // withGlobalNtile: P×P triangular pass over the P-row (P = shuffle
     // partitions) per-partition count table — a broadcast no-op
     "tx_ccnet_buckets", "q_rfm",
