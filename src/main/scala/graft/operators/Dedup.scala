@@ -317,12 +317,10 @@ object Dedup extends QueryPack {
       aCol: String, bCol: String): DataFrame =
     scoreAgainst(cands, sigs, sigs, aCol, bCol)
 
-  /** Two-sided variant: the a-side and b-side signatures come from
-    * different tables (streaming probe batch vs standing index). */
-  private[graft] def scoreAgainst(cands: DataFrame, sigsA: DataFrame,
-      sigsB: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val sigA = sigsA.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
-    val sigB = sigsB.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
+  /** The 16-way signature match over an (a1..a16, b1..b16) join —
+    * the ONE scoring kernel every MinHash variant shares. */
+  private def scored16(joined: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
     val nMatch = (1 to 16)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -330,11 +328,33 @@ object Dedup extends QueryPack {
     // contract themselves, while ddMinhashResolve pipes this straight
     // into the order-insensitive union-find — a sort the optimizer
     // could not drop ahead of a typed mapPartitions
-    cands.join(broadcast(sigA), aCol).join(broadcast(sigB), bCol)
+    joined
       .withColumn("n_match", nMatch)
       .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
       .filter(col("est_jaccard") >= 0.5)
       .select(aCol, bCol, "n_match", "est_jaccard")
+  }
+
+  /** Two-sided variant: the a-side and b-side signatures come from
+    * different tables (streaming probe batch vs standing index). */
+  private[graft] def scoreAgainst(cands: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sigA = sigsA.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigsB.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
+    scored16(cands.join(broadcast(sigA), aCol)
+      .join(broadcast(sigB), bCol), aCol, bCol)
+  }
+
+  /** One-sided variant for eval probes where the A side is the CORPUS:
+    * the candidate list and the (tiny) B-side signatures broadcast,
+    * and the corpus-sized A side is probed map-only — broadcasting it,
+    * as [[scoreAgainst]] would, cannot work at 100 TB. */
+  private[graft] def scoreMapOnly(sigsA: DataFrame, cands: DataFrame,
+      sigsB: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sigA = sigsA.toDF(aCol +: (1 to 16).map(i => s"a$i"): _*)
+    val sigB = sigsB.toDF(bCol +: (1 to 16).map(i => s"b$i"): _*)
+    scored16(sigA.join(broadcast(cands), aCol)
+      .join(broadcast(sigB), bCol), aCol, bCol)
   }
 
   /** E5b — MinHash-LSH near-dup evidence, COLLAPSED onto distinct
@@ -953,11 +973,34 @@ object Dedup extends QueryPack {
       Curation2.docsById(spark, dir).select(col("doc_id"), col("source")),
       "doc_id")
 
+  /** Memo for [[evalSuiteSigs]] — deriving the slice scans the
+    * corpus-sized standing signature model, and the streaming
+    * ingest-gate probe must not re-pay that scan per micro-batch.
+    * Keyed on dir with the [[Curation2]] memo discipline (session `eq`
+    * + isStopped, skipped under schemaOnly, dropped on invalidate). */
+  private val evalSigsMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, DataFrame)]
+
+  Shared.onInvalidate(dir => { evalSigsMemo.remove(dir); () })
+
   /** The held-out eval suite's signatures (tiny — broadcasts), shared
-    * by the batch probe and [[graft.streaming.StreamDecontam]]. */
+    * by the batch probe and [[graft.streaming.StreamDecontam]]; cached
+    * once per (session, corpus) so per-micro-batch gate work is
+    * O(batch) for real, not O(corpus) per trigger. */
   private[graft] def evalSuiteSigs(spark: SparkSession,
-      dir: String): DataFrame =
-    taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
+      dir: String): DataFrame = {
+    def derive() =
+      taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
+    if (Shared.schemaOnly(spark)) derive()
+    else evalSigsMemo.get(dir) match {
+      case Some((owner, df))
+          if (owner eq spark) && !owner.sparkContext.isStopped => df
+      case _ =>
+        val df = derive().cache()
+        evalSigsMemo.put(dir, (spark, df))
+        df
+    }
+  }
 
   /** E5g2 — FUZZY benchmark decontamination: flag training documents
     * whose MinHash-estimated Jaccard against any held-out evaluation
@@ -989,19 +1032,10 @@ object Dedup extends QueryPack {
       .select(col("doc_id").as("train_id"), col("bb"))
       .join(broadcast(evalBands), "bb")
       .select("train_id", "eval_id").distinct()
-    val trainWide = trainSigs.toDF("train_id" +: (1 to 16).map(i => s"a$i"): _*)
-    val evalWide = evalSigs.toDF("eval_id" +: (1 to 16).map(i => s"b$i"): _*)
-    val nMatch = (1 to 16)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    trainWide
-      .join(broadcast(cands), "train_id")
-      .join(broadcast(evalWide), "eval_id")
-      .withColumn("n_match", nMatch)
-      .filter(col("n_match") >= 8) // est jaccard ≥ 0.5
+    scoreMapOnly(trainSigs, cands, evalSigs, "train_id", "eval_id")
       .groupBy("train_id")
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
-        max(col("n_match").cast("double") / 16.0).as("max_est_jaccard"))
+        max(col("est_jaccard")).as("max_est_jaccard"))
       .orderBy("train_id")
   }
 

@@ -42,7 +42,8 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(joined.nonEmpty)
     joined.foreach { r =>
       assert(r.getString(r.fieldIndex("source")) != "src3",
-        s"eval doc ${r.getLong(0)} leaked into the train-side report")
+        s"doc ${r.getLong(0)} with source src3 leaked into the " +
+          "train-side report")
       assert(r.getDouble(r.fieldIndex("max_est_jaccard")) >= 0.5)
     }
   }

@@ -39,7 +39,8 @@ class ShuffleShardSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(sizes.length === 8)
     val mean = sizes.sum.toDouble / sizes.length
-    // md5 % 8 on 50 ids: binomial spread, ±4σ ≈ ±10 around 6.25
+    // md5 % 8 on the 500-doc fixture: binomial spread, ±4σ ≈ ±32
+    // around the 62.5 mean
     assert(sizes.forall(s => math.abs(s - mean) <= 4 * math.sqrt(mean)),
       s"shard sizes too skewed: ${sizes.mkString(",")}")
   }
