@@ -232,6 +232,34 @@ object Curation extends QueryPack {
       .orderBy("shard", "pos")
   }
 
+  /** The export WRITER form of [[cuShuffleShard]] — materialize an
+    * epoch's shuffle through the A-layer as a `partition_by = shard`
+    * model: one directory per shard on disk, one task (hence one
+    * pos-ordered file) per shard, written under a versioned dir and
+    * published by the registry's atomic pointer swap. This is the
+    * artifact a training loader actually streams: read the shard
+    * directories in order and the corpus arrives as a reproducible
+    * pseudo-random permutation; re-running with the next epoch's seed
+    * re-exports under a new version without disturbing readers of the
+    * current one. Readers filtering on `shard` get directory pruning
+    * (PartitionFilters), so a loader resuming mid-epoch opens only the
+    * shards it still needs.
+    */
+  def shardToModel(api: graft.api.FalApi, dir: String,
+      seed: String = "ep1", shards: Int = 8,
+      name: String = "documents_shards"): graft.api.WriteResult = {
+    import graft.api.{ModelDef, ModelKind}
+    if (api.registry.modelOpt(name).isEmpty)
+      api.registry.register(ModelDef(name, ModelKind.Sql("shard export"),
+        meta = Map("partition_by" -> "shard")))
+    api.writeToModel(
+      shuffleShard(t(api.spark, dir, "documents").select(col("doc_id")),
+          seed, shards)
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions("shard", "pos"),
+      name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cu_shuffle_shard" -> cuShuffleShard _,
     "tx_token_budget" -> txTokenBudget _,

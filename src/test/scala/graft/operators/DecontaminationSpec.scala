@@ -48,6 +48,14 @@ class DecontaminationSpec extends AnyFunSuite {
     }
   }
 
+  test("the eval-suite signature slice derives once per (session, corpus)") {
+    // the streaming ingest gate calls this per micro-batch; without the
+    // memo each trigger would rescan the corpus-sized signature model
+    val a = Dedup.evalSuiteSigs(spark, dir)
+    assert(a eq Dedup.evalSuiteSigs(spark, dir),
+      "memo must hand back the same cached frame")
+  }
+
   test("corpus-sized sides never shuffle: eval bands/sigs and candidates broadcast") {
     val plan = fuzzy.queryExecution.executedPlan.toString
     // the only SortMergeJoin-eligible join is the doc_id tag join, and

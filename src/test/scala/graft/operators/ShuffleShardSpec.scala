@@ -61,4 +61,28 @@ class ShuffleShardSpec extends AnyFunSuite {
     val replay = Curation.shuffleShard(docs, "ep2", 8)
     assert(replay.exceptAll(ep2).count() === 0L)
   }
+
+  test("shardToModel materializes a pruned, pos-ordered shard export") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shard").toString
+    val api = new graft.api.FalApi(spark,
+      new graft.api.Registry(root), new graft.api.RunLedger)
+    val res = Curation.shardToModel(api, dir, "ep1", 8)
+    assert(res.rowsAffected === docs.count())
+    val back = api.ref("documents_shards")
+    assert(back.count() === docs.count())
+    // shard filters prune at the directory level — a loader resuming
+    // mid-epoch opens only the shards it still needs
+    val one = back.filter(col("shard") === 3L)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard#"),
+      s"expected shard directory pruning:\n$scan")
+    // the written shard IS the query's shard, in pos order per file
+    val q3 = Curation.shuffleShard(docs, "ep1", 8)
+      .filter(col("shard") === 3L).select("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b3 = one.select("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b3 === q3)
+  }
 }
