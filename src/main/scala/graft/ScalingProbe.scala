@@ -94,7 +94,9 @@ object ScalingProbe {
         "frame-level cross-video dedup (metadata explode + O(1)-state hash agg)",
       "sim_rand_projection" -> "JL random projection (one map pass)",
       "sim_hard_negatives" ->
-        "banded hard-negative mining on the standing IVF index")
+        "banded hard-negative mining on the standing IVF index",
+      "sim_knn_graph" ->
+        "corpus k-NN graph (bucket-local cell self-join + top-3 limit)")
 
     // Full-plan execution: a noop-sink write runs every operator
     // including the final sort/project that `.count()` would let

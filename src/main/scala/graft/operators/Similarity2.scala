@@ -208,13 +208,75 @@ object Similarity2 extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** E6 (completion) — the corpus-wide k-NN GRAPH over the standing
+    * IVF index: for every index member, its 3 nearest within-cell
+    * neighbors by cosine. This is the graph artifact semantic curation
+    * consumes — SemDeDup prunes it (Abbas et al. 2023 compute pairwise
+    * similarity within k-means clusters, exactly this blocking),
+    * graph-based quality propagation walks it, and cluster-balanced
+    * sampling reads its degree structure. The cell quantizer plays the
+    * k-means role, so "within cell" is the public method's
+    * within-cluster contract, not an approximation shortcut.
+    *
+    * Fully oracle-checked: DuckDB replays the index build
+    * ([[Similarity.sqlIvfCtes]]), the cell-blocked pair join, and the
+    * per-vector ranking (cosine desc, neighbor_id tiebreak — the
+    * clampCos/list_cosine_similarity bitwise pairing every sim_*
+    * oracle rides).
+    *
+    * Scale: the self-join runs on the cell-BUCKETED standing index
+    * (bucket-local, no exchange on either side); pair work is the
+    * documented ~N^1.5 of the K=√N geometry (the SCALING.md sf10
+    * adjudication for pair workloads — a pair-linear variant would
+    * block on the fixed-population LSH band table instead, as
+    * dd_embedding_neardup_lsh does); the rank-≤3 filter compiles to
+    * WindowGroupLimit, so each task keeps a 3-row heap per vector and
+    * only N×3 candidate rows reach the vec_id exchange.
+    */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = Similarity.ivfIndexModel(spark, dir)
+    val a = idx.select(col("cell"), col("neighbor_id").as("vec_id"),
+      col("c_emb").as("ea"), col("c_norm").as("na"))
+    val b = idx.select(col("cell"), col("neighbor_id"),
+      col("c_emb").as("eb"), col("c_norm").as("nb"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        clampCos(expr("graft_dot_product(ea, eb)") /
+          (col("na") * col("nb"))))
+      .withColumn("rank", row_number().over(byVec).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "neighbor_id", "rank", "cosine")
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> simKnnGraph _,
     "sim_kmeans_step" -> simKmeansStep _,
     "sim_int8_quantize" -> simInt8Quantize _,
     "sim_hard_negatives" -> simHardNegatives _,
     "sim_rand_projection" -> simRandProjection _)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> s"""
+      ${Similarity.sqlIvfCtes}
+      pairs AS (
+        SELECT a.neighbor_id AS vec_id, b.neighbor_id AS neighbor_id,
+               list_cosine_similarity(a.c_emb, b.c_emb) AS cosine
+        FROM corpus a JOIN corpus b
+          ON a.cell = b.cell AND a.neighbor_id != b.neighbor_id
+      ),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
+          AS BIGINT) AS rank
+        FROM pairs
+      )
+      SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
     "sim_rand_projection" -> {
       val ys = (0 until 8).map { p =>
         val arr = jlRows(p).map(c => s"$c.0").mkString(", ")

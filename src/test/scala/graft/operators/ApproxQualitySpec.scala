@@ -108,6 +108,43 @@ class ApproxQualitySpec extends AnyFunSuite {
         "no longer sublinear")
   }
 
+  test("kNN-graph rank-1 neighbor agrees with the brute-force nearest above floor") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("norm", sqrt(expr("graft_dot_product(emb, emb)")))
+    val a = e.toDF("vec_id", "ea", "na")
+    val b = e.toDF("neighbor_id", "eb", "nb")
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val brute1 = a.crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        expr("graft_dot_product(ea, eb)") / (col("na") * col("nb")))
+      .withColumn("r", row_number().over(byVec)).filter(col("r") === 1)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val g1 = Similarity2.simKnnGraph(spark, dir)
+      .filter(col("rank") === 1L).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agree = g1.count { case (v, n) => brute1.get(v).contains(n) }
+    val frac = agree.toDouble / brute1.size
+    info(f"rank-1 within-cell agreement = $frac%.3f " +
+      f"(graph covers ${g1.size}/${brute1.size} members)")
+    // near-iid fixture: a ~25% scan budget bounds agreement near its
+    // fraction times the cell's signal gain (same context note as the
+    // recall pins above). Measured 0.284 — random would be 1/489; the
+    // floor sits under the measured value so a blocking/scoring
+    // regression fails loudly
+    assert(frac >= 0.22, f"rank-1 agreement degraded to $frac%.3f")
+    assert(g1.size >= (brute1.size * 9) / 10,
+      "kNN graph lost coverage: most members should have a neighbor")
+  }
+
   test("IVF recall holds at the next scale step (sf0.1 geometry)") {
     // the K=√N geometry trades fixture-scale recall for a scan
     // fraction that SHRINKS with the corpus; the sf0.001 pin above is
