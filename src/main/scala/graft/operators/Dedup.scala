@@ -504,7 +504,12 @@ object Dedup extends QueryPack {
       .select(col("a.doc_id").as("new_doc"),
         col("b.doc_id").as("index_doc"))
       .distinct()
-    scoreCandidates(cands, sigs, "new_doc", "index_doc")
+    // one-sided scoring: the corpus-sized index lookup is map-only
+    // (candidates broadcast into it); only the batch-sized probe slice
+    // broadcasts — the shape the streaming twin shares
+    scoreMapOnly(sigs, cands,
+        sigs.filter(col("doc_id") % 10 === 9), "index_doc", "new_doc")
+      .select("new_doc", "index_doc", "n_match", "est_jaccard")
       .orderBy("new_doc", "index_doc")
   }
 
@@ -977,28 +982,47 @@ object Dedup extends QueryPack {
     * corpus-sized standing signature model, and the streaming
     * ingest-gate probe must not re-pay that scan per micro-batch.
     * Keyed on dir with the [[Curation2]] memo discipline (session `eq`
-    * + isStopped, skipped under schemaOnly, dropped on invalidate). */
+    * + isStopped, skipped under schemaOnly, dropped on invalidate),
+    * PLUS the derived plan's semantic hash: StandingIngest appends
+    * publish new standing-model versions without firing invalidate
+    * hooks, and the hash of the freshly-resolved plan moves with the
+    * version dirs — a memo pinned to the pre-append eval suite misses
+    * instead of serving a stale slice (review r13). */
   private val evalSigsMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (SparkSession, DataFrame)]
+    .empty[String, (SparkSession, Int, DataFrame)]
 
-  Shared.onInvalidate(dir => { evalSigsMemo.remove(dir); () })
+  private def dropEvalMemo(dir: String): Unit =
+    evalSigsMemo.remove(dir).foreach { case (owner, _, df) =>
+      // release the cached blocks with the entry — repeated in-process
+      // fixture rewrites must not accumulate orphaned InMemoryRelations
+      if (!owner.sparkContext.isStopped) df.unpersist()
+    }
+
+  Shared.onInvalidate(dropEvalMemo)
 
   /** The held-out eval suite's signatures (tiny — broadcasts), shared
     * by the batch probe and [[graft.streaming.StreamDecontam]]; cached
-    * once per (session, corpus) so per-micro-batch gate work is
-    * O(batch) for real, not O(corpus) per trigger. */
+    * once per (session, corpus, standing-model version) so
+    * per-micro-batch gate work is O(batch) for real, not O(corpus)
+    * per trigger. */
   private[graft] def evalSuiteSigs(spark: SparkSession,
       dir: String): DataFrame = {
     def derive() =
       taggedSigs(spark, dir).filter(col("source") === "src3").drop("source")
     if (Shared.schemaOnly(spark)) derive()
-    else evalSigsMemo.get(dir) match {
-      case Some((owner, df))
-          if (owner eq spark) && !owner.sparkContext.isStopped => df
-      case _ =>
-        val df = derive().cache()
-        evalSigsMemo.put(dir, (spark, df))
-        df
+    else {
+      val fresh = derive()
+      val key = fresh.queryExecution.analyzed.semanticHash()
+      evalSigsMemo.get(dir) match {
+        case Some((owner, k, df))
+            if (owner eq spark) && k == key &&
+              !owner.sparkContext.isStopped => df
+        case _ =>
+          dropEvalMemo(dir)
+          val df = fresh.cache()
+          evalSigsMemo.put(dir, (spark, key, df))
+          df
+      }
     }
   }
 

@@ -251,9 +251,6 @@ object TextAnalysis3 extends QueryPack {
     (0 until trainBuckets).map(_ => ((next() >>> 40) % 16L) - 8L)
   }
 
-  /** Sparse integer bag-of-words over the hashed vocabulary:
-    * (doc_id, b, cnt) rows for b < 32, plus one bias row (b=32, cnt=1)
-    * per tokenized doc. Shared by the query and the spec's evaluator. */
   /** Token features only (no bias row) — margins fold over these. */
   private def trainFeats0(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -264,6 +261,9 @@ object TextAnalysis3 extends QueryPack {
       .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sparse integer bag-of-words over the hashed vocabulary:
+    * (doc_id, b, cnt) rows for b < 32, plus one bias row (b=32, cnt=1)
+    * per tokenized doc. Shared by the query and the spec's evaluator. */
   private[graft] def trainFeats(spark: SparkSession,
       dir: String): DataFrame = {
     val f0 = trainFeats0(spark, dir)
@@ -322,13 +322,16 @@ object TextAnalysis3 extends QueryPack {
     * loops, no iteration — one round trip.
     */
   def txClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
-    val fa = trainFeats(spark, dir).toDF("doc_id", "bi", "ci")
-    val fb = trainFeats(spark, dir).toDF("doc_id", "bj", "cj")
+    // one derivation, renamed per side — the shared subplan is
+    // guaranteed, not rediscovered by ReuseExchange (review r13)
+    val f = trainFeats(spark, dir)
+    val fa = f.toDF("doc_id", "bi", "ci")
+    val fb = f.toDF("doc_id", "bj", "cj")
     val gram = fa.join(fb, "doc_id")
       .filter(col("bi") <= col("bj"))
       .groupBy(col("bi").as("i"), col("bj").as("j"))
       .agg(sum(col("ci") * col("cj")).as("v"))
-    val xty = trainFeats(spark, dir).join(trainLabels(spark, dir), "doc_id")
+    val xty = f.join(trainLabels(spark, dir), "doc_id")
       .groupBy(col("b").as("i"))
       .agg(sum(col("cnt") * col("y")).as("v"))
       .select(col("i"), lit(-1L).as("j"), col("v"))

@@ -41,8 +41,13 @@ object StreamDedup {
       .select(col("a.doc_id").as("new_doc"),
         col("b.doc_id").as("index_doc"))
       .distinct()
-    Dedup.scoreAgainst(cands, probeSigs, Dedup.sigModel(spark, dir),
-      "new_doc", "index_doc")
+    // one-sided scoring (review r13): the corpus-sized standing
+    // signature model is probed map-only (candidates broadcast into
+    // it); only the micro-batch's own signatures broadcast — the old
+    // scoreAgainst shape broadcast the whole index table per trigger
+    Dedup.scoreMapOnly(Dedup.sigModel(spark, dir), cands, probeSigs,
+        "index_doc", "new_doc")
+      .select("new_doc", "index_doc", "n_match", "est_jaccard")
   }
 
   /** Attach the probe to a (doc_id, text) document stream via
