@@ -313,8 +313,8 @@ object Dedup extends QueryPack {
     * inline — the 4×-wider shuffle rows and wide distinct cost ~30%
     * more than the two narrow broadcast joins they replace.)
     */
-  private def scoreCandidates(cands: DataFrame, sigs: DataFrame,
-      aCol: String, bCol: String): DataFrame =
+  private[operators] def scoreCandidates(cands: DataFrame,
+      sigs: DataFrame, aCol: String, bCol: String): DataFrame =
     scoreAgainst(cands, sigs, sigs, aCol, bCol)
 
   /** The 16-way signature match over an (a1..a16, b1..b16) join —
@@ -1204,7 +1204,7 @@ object Dedup extends QueryPack {
     * signature + banding pipeline of [[minhashSigs]]/[[bandedOf]] — one
     * definition per engine, consumed by both LSH oracles.
     */
-  private lazy val sqlLshCtes: String = {
+  private[operators] lazy val sqlLshCtes: String = {
     val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
       s"min((b * $a + $c) % $M61) AS s${i + 1}"
     }.mkString(",\n               ")
@@ -1266,7 +1266,7 @@ object Dedup extends QueryPack {
       )"""
 
   /** DuckDB twin of [[scoreCandidates]]'s 16-way signature match. */
-  private lazy val sqlMatch16: String = (1 to 16)
+  private[operators] lazy val sqlMatch16: String = (1 to 16)
     .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
     .mkString(" +\n               ")
 

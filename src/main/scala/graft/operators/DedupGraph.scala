@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-STRUCTURE diagnostics over the near-dup evidence graph — the
+  * layer a curation operator reads before trusting a transitive-closure
+  * merge (SURVEY.md §2e E5; reference anchor: fal-ai/dbt-fal's cluster
+  * post-processing hooks, projects/adapter docs on dedup auditing).
+  *
+  * [[Dedup.ddMinhashResolve]] merges everything reachable at
+  * est-jaccard ≥ 0.5 into one cluster. That closure is exactly as
+  * trustworthy as the SHAPE of the evidence: a clique of pairwise
+  * matches is a real clone family, while a long chain (A~B, B~C, C~D …
+  * with no cross edges) is the classic false-merge signature — each hop
+  * is plausible, the closure is garbage. The standard cohesion metrics
+  * are edge density and triangle count, so this pack computes, per
+  * resolved cluster of the signature-collapsed evidence graph:
+  * `n_sigs` (vertices), `n_edges`, `n_triangles`, and `density` =
+  * 2E / (V·(V−1)). density → 1 and triangles ≫ 0 ⇒ clique-like (safe to
+  * collapse); density → 2/V and zero triangles ⇒ pure chain (audit
+  * before merging).
+  *
+  * Triangle counting uses the degree-ordered ORIENTATION kernel — the
+  * scalable formulation: each undirected edge {u,v} becomes one arc
+  * from the endpoint with the smaller (degree, id) to the larger, each
+  * triangle then has exactly ONE wedge apex (its minimum-(deg,id)
+  * vertex) so no dedup pass is needed, and a vertex's out-degree is
+  * bounded by O(√E) regardless of its raw degree — the hub that makes
+  * naive wedge enumeration quadratic contributes almost no wedges
+  * because arcs point INTO it. Wedge volume is Σ outdeg² ≤ E^1.5, the
+  * arboricity bound, vs Σ deg² (unbounded under power laws) for the
+  * unoriented join.
+  *
+  * Scale shape: the graph lives in SIGNATURE space (one vertex per
+  * distinct 16-tuple, [[Dedup.ddMinhashLsh]]'s r9 collapse), so a
+  * 10k-doc boilerplate clone family is ONE vertex here, never a 10k
+  * clique; vertices/edges are corpus-sublinear. The three arc joins
+  * shuffle on arc endpoints (uniform after orientation), cluster labels
+  * come from the same union-find contraction the resolve uses, and the
+  * per-cluster rollup is a hash aggregation on the label.
+  *
+  * Oracle-exact: integer degrees and ids make the orientation
+  * deterministic, counts are integers, and `density` is one double
+  * division of exactly-representable integers — bit-identical in both
+  * engines.
+  */
+object DedupGraph extends QueryPack {
+
+  /** E5g — per-cluster cohesion of the est ≥ 0.5 evidence graph:
+    * `(cluster, n_sigs, n_edges, n_triangles, density)`, one row per
+    * multi-signature cluster, ordered by cluster rep.
+    */
+  def ddClusterDensity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Dedup.sigModel(spark, dir)
+    val sigCols = (1 to 16).map(i => col(s"s$i"))
+    // one representative per distinct signature (the r9 collapse): the
+    // evidence graph's vertex set
+    val rep = sigs.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id") +: sigCols: _*)
+    val banded = Dedup.bandedOf(rep)
+    val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // undirected edge set (doc_a < doc_b), consumed 4× (degree, arcs,
+    // labels, per-cluster edge count): cache the narrow 2-long rows
+    val edges = Dedup.scoreCandidates(cands, rep, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b")).cache()
+    val deg = edges.select(col("doc_a").as("node"))
+      .unionAll(edges.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from lower (deg, id) to higher; carry the head's degree so
+    // the wedge join can order its two legs without a re-join
+    val lower = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    val arcs = edges
+      .join(deg.toDF("node_a", "deg_a"), col("doc_a") === col("node_a"))
+      .join(deg.toDF("node_b", "deg_b"), col("doc_b") === col("node_b"))
+      .select(
+        when(lower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(lower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(lower, col("deg_b")).otherwise(col("deg_a")).as("ddeg"))
+      .cache()
+    // wedges at the min-(deg,id) apex; the closing edge {b, c} is, by
+    // construction, oriented b → c exactly when (deg,id) orders b
+    // before c — so ordering the legs makes the final join a plain
+    // equi-join and counts each triangle once
+    val w1 = arcs.toDF("apex", "b", "bdeg")
+    val w2 = arcs.toDF("apex2", "c", "cdeg")
+    val close = arcs.toDF("b", "c", "cdeg2")
+    val tri = w1.join(w2, col("apex") === col("apex2") &&
+        (col("bdeg") < col("cdeg") ||
+          (col("bdeg") === col("cdeg") && col("b") < col("c"))))
+      .join(close, Seq("b", "c"))
+      .select(col("apex").as("node"))
+    // cluster labels: the SAME union-find contraction the resolve
+    // trusts, over the same edge set — cohesion rows line up with
+    // dd_minhash_resolve's merges by construction
+    val comp = Dedup.connectedComponents(
+        edges.as[(Long, Long)])
+      .select(col("doc_id").as("node"), col("cluster_rep").as("cluster"))
+    val vcount = comp.groupBy("cluster").agg(count(lit(1)).as("n_sigs"))
+    val ecount = edges.join(broadcast(comp),
+        edges("doc_a") === comp("node"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    val tcount = tri.join(broadcast(comp), Seq("node"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_triangles"))
+    vcount.join(ecount, Seq("cluster"))
+      .join(tcount, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_sigs"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((col("n_edges") * 2).cast("double") /
+          (col("n_sigs") * (col("n_sigs") - lit(1L))).cast("double"))
+          .as("density"))
+      .orderBy("cluster")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster_density" -> ddClusterDensity _)
+
+  val oracles: Map[String, String] = Map(
+    "dd_cluster_density" -> {
+      val sigList = (1 to 16).map(i => s"s$i").mkString(", ")
+      val repBands = (0 until 4).map { bnd =>
+        val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT rep, $bnd AS band, concat_ws(',', $cols) AS bk FROM grp"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE ${Dedup.sqlLshCtes},
+      grp AS (
+        SELECT min(doc_id) AS rep, $sigList FROM sig GROUP BY $sigList
+      ),
+      rbanded AS (
+        $repBands
+      ),
+      cand AS (
+        SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+        FROM rbanded a JOIN rbanded b
+          ON a.band = b.band AND a.bk = b.bk AND a.rep < b.rep
+      ),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b, CAST(${Dedup.sqlMatch16} AS BIGINT) AS m
+          FROM cand JOIN grp sa ON doc_a = sa.rep
+                    JOIN grp sb ON doc_b = sb.rep
+        ) WHERE CAST(m AS DOUBLE) / 16.0 >= 0.5
+      ),
+      nodes AS (SELECT doc_a AS node FROM jp
+                UNION SELECT doc_b FROM jp),
+      sed AS (SELECT doc_a AS u, doc_b AS v FROM jp
+              UNION ALL SELECT doc_b, doc_a FROM jp),
+      reach(root, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.root, e.v FROM reach r JOIN sed e ON r.node = e.u
+      ),
+      comp AS (
+        SELECT root AS node, min(node) AS cluster
+        FROM reach GROUP BY root
+      ),
+      degq AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT doc_a AS node FROM jp
+              UNION ALL SELECT doc_b FROM jp)
+        GROUP BY node
+      ),
+      arcs AS (
+        SELECT CASE WHEN (da.deg, doc_a) < (db.deg, doc_b)
+                 THEN doc_a ELSE doc_b END AS src,
+               CASE WHEN (da.deg, doc_a) < (db.deg, doc_b)
+                 THEN doc_b ELSE doc_a END AS dst,
+               CASE WHEN (da.deg, doc_a) < (db.deg, doc_b)
+                 THEN db.deg ELSE da.deg END AS ddeg
+        FROM jp JOIN degq da ON da.node = doc_a
+                JOIN degq db ON db.node = doc_b
+      ),
+      tri AS (
+        SELECT w1.src AS node
+        FROM arcs w1
+        JOIN arcs w2 ON w1.src = w2.src
+          AND ((w1.ddeg, w1.dst) < (w2.ddeg, w2.dst))
+        JOIN arcs e ON e.src = w1.dst AND e.dst = w2.dst
+      ),
+      vcount AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_sigs
+                 FROM comp GROUP BY cluster),
+      ecount AS (SELECT c.cluster, CAST(count(*) AS BIGINT) AS n_edges
+                 FROM jp JOIN comp c ON jp.doc_a = c.node
+                 GROUP BY c.cluster),
+      tcount AS (SELECT c.cluster,
+                        CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM tri JOIN comp c ON tri.node = c.node
+                 GROUP BY c.cluster)
+      SELECT v.cluster, v.n_sigs, e.n_edges,
+             COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+             CAST(2 * e.n_edges AS DOUBLE) /
+               CAST(v.n_sigs * (v.n_sigs - 1) AS DOUBLE) AS density
+      FROM vcount v JOIN ecount e ON v.cluster = e.cluster
+      LEFT JOIN tcount t ON v.cluster = t.cluster
+      ORDER BY v.cluster"""
+    })
+}
