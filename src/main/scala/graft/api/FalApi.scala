@@ -485,6 +485,102 @@ final class FalApi(
     WriteResult(name, rows, "append_bucketed")
   }
 
+  /** Bucket id a file name was written under by Spark's bucketed
+    * write (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3) — the
+    * same `.*_(\d+)(\..*)?` convention BucketingUtils parses. None for
+    * non-bucket files. */
+  private val BucketFilePattern = """.*_(\d+)(?:\..*)?$""".r
+  private def bucketIdOf(fileName: String): Option[Int] =
+    fileName match {
+      case BucketFilePattern(id) => id.toIntOption
+      case _ => None
+    }
+
+  /** O(affected-buckets) physical DELETE from a bucketed model's
+    * current version — the retraction dual of
+    * [[appendToBucketedModel]], for models BUCKETED BY the deletion
+    * key (an opt-out / takedown request names doc ids; the doc-id-
+    * bucketed models hold each doc's rows in exactly one bucket, so
+    * only those buckets rewrite and the rest of the model is never
+    * read or written). Steps: map the keys to bucket ids with the same
+    * Murmur3+pmod the bucketed write used, read ONLY the affected
+    * bucket files, `insertInto` their surviving rows back (bucket-
+    * aligned, like the append path), drop the originals, and commit
+    * the caller's pointer meta (the fingerprint advance) in a
+    * version-checked swap.
+    *
+    * Same in-place trade as the append path: snapshot isolation is
+    * waived for this model, and the WHOLE retraction flow is
+    * single-use-capture crash-safe rather than replayable — a crash
+    * between the insert and the commit leaves duplicated survivor
+    * rows under a STALE fingerprint, so the next resolve rebuilds
+    * (self-healing, never silently wrong); re-running with the same
+    * pre-crash capture would re-insert survivors, which is why
+    * [[graft.operators.StandingRetract]] documents captures as
+    * single-use. The key-list cap keeps the literal `isin` filter and
+    * the driver-held id set honest — a deletion REQUEST is bounded;
+    * corpus-scale deletions are a rebuild, not a retraction.
+    */
+  def deleteFromBucketedModel(keys: Seq[Long], keyCol: String,
+      name: String,
+      pointerMeta: Map[String, String] = Map.empty): WriteResult = {
+    require(allowWrites, "write_to_model is not allowed in hooks")
+    require(keys.nonEmpty, "deleteFromBucketedModel: empty key list")
+    require(keys.size <= 100000,
+      s"deleteFromBucketedModel: ${keys.size} keys exceeds the 100k " +
+        "request bound — a corpus-scale deletion should rebuild the " +
+        "model from the rewritten corpus instead")
+    val cur = registry.currentPath(name).getOrElse(
+      throw new IllegalStateException(s"model not materialized: $name"))
+    val baseVersion = registry.currentVersion(name)
+    val marker = FsIO.child(cur, "_bucketed_table")
+    require(FsIO.exists(marker),
+      s"deleteFromBucketedModel: $name's current version is not " +
+        "bucketed")
+    val resolved = readResolved(name, cur)
+    val tbl = FsIO.readString(marker).trim.split("\n").head.trim
+    val (buckets, bCols) = markerBucketSpec(cur).getOrElse(
+      throw new IllegalStateException(
+        s"$name's _bucketed_table marker lacks a bucket spec"))
+    require(bCols == Seq(keyCol),
+      s"deleteFromBucketedModel: key $keyCol != bucket key " +
+        s"${bCols.mkString(",")} — a scattered key needs the tombstone " +
+        "path, not a bucket-pruned rewrite")
+    // the keys' bucket ids, via the same hash the bucketed write used
+    // (functions.hash IS bucketing's Murmur3, seed 42)
+    import spark.implicits._
+    val ids = keys.toDF(keyCol)
+      .select(pmod(hash(col(keyCol)), lit(buckets)).cast("int"))
+      .as[Int].collect().toSet
+    val affected = FsIO.parquetFiles(cur)
+      .filter(f => bucketIdOf(FsIO.fileName(f)).exists(ids.contains))
+    val kept = if (affected.isEmpty) 0L else {
+      // survivors of the affected buckets, snapshotted
+      // (localCheckpoint) BEFORE any file mutation so the lazy plan
+      // cannot re-read dropped files
+      val survivors = spark.read.schema(resolved.schema)
+        .parquet(affected: _*)
+        .filter(!col(keyCol).isin(keys: _*))
+        .select(resolved.columns.map(col).toIndexedSeq: _*)
+        .localCheckpoint()
+      val n = survivors.count()
+      survivors.write.insertInto(tbl)
+      affected.foreach(FsIO.deleteFile)
+      spark.catalog.refreshTable(tbl)
+      n
+    }
+    val seq = registry.pointerMeta(name)
+      .get("append_seq").map(_.toLong).getOrElse(0L) + 1L
+    registry.swapPointer(name, cur,
+      pointerMeta + ("append_seq" -> seq.toString),
+      expectedVersion = baseVersion)
+    ledger.record(name, Status.Success,
+      s"delete_bucketed keys=${keys.size} bucketsTouched=${ids.size} " +
+        s"survivors=$kept")
+    registry.setStatus(name, Status.Success)
+    WriteResult(name, kept, "delete_bucketed")
+  }
+
   /** C20 — incremental `merge` strategy (ref: strategy list
     * `A/dbt/fal/adapters/python/impl.py:256-291`): upsert by key —
     * existing rows whose key appears in the increment are replaced. One
@@ -614,7 +710,8 @@ final class FalApi(
     * [[writeToModel]].
     */
   def compactModel(name: String,
-      targetBytes: Long = 128L << 20): WriteResult = {
+      targetBytes: Long = 128L << 20,
+      transform: DataFrame => DataFrame = identity): WriteResult = {
     require(allowWrites, "compact_model is not allowed in hooks")
     val cur = registry.currentPath(name).getOrElse(
       throw new IllegalStateException(s"model not materialized: $name"))
@@ -636,8 +733,13 @@ final class FalApi(
     // maintenance process per root remains the deployment contract.
     val baseContent = registry.pointerContent(name)
     // readVersion: the rewrite must not re-infer partition-column types
-    // (string '01' would come back — and be rewritten — as int 1)
-    val df = readVersion(cur)
+    // (string '01' would come back — and be rewritten — as int 1).
+    // `transform` is the tombstone sweep hook: a compaction of a
+    // tombstone-filtered standing model rewrites the LOGICAL content
+    // (retracted rows physically dropped); the tombstone set itself
+    // stays, its anti-join a no-op afterwards, so the carried-forward
+    // fingerprint (which salts in the tombstone state) remains valid.
+    val df = transform(readVersion(cur))
     val target = registry.nextVersionDir(name)
     // bucketed models re-materialize through their declared layout (the
     // bucket count fixes the file count — no byte scan needed); plain

@@ -77,4 +77,30 @@ object FsIO {
     val fs = fsOf(p)
     if (fs.exists(p)) { fs.delete(p, /* recursive = */ true); () }
   }
+
+  /** Full paths of the parquet data files under a version directory
+    * (recursive). Filesystem metadata only — no Spark job.
+    */
+  def parquetFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString
+      }
+      out.result()
+    }
+  }
+
+  /** Delete one data file (no-op when already absent). */
+  def deleteFile(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) { fs.delete(p, /* recursive = */ false); () }
+  }
 }

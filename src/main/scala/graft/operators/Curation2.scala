@@ -422,6 +422,10 @@ object Curation2 extends QueryPack {
         .groupBy("b").agg(sum(col("cnt")).as("ref_cnt"))
     })
       .groupBy("b").agg(sum(col("ref_cnt")).as("ref_cnt"))
+      // retraction appends NEGATIVE partials — a fully-retracted
+      // bucket must read as absent, as a rebuild would have it
+      // (identity outside retraction: append partials are positive)
+      .filter(col("ref_cnt") =!= 0L)
 
   /** An arriving batch's even-doc bucket counts — [[driftRefCounts]]'
     * per-batch increment kernel. */

@@ -79,6 +79,7 @@ private[graft] object Shared {
     */
   def invalidate(dir: String): Unit = {
     built.keys.filter(_._1 == dir).foreach(built.remove)
+    tombstonesChanged(dir)
     invalidateHooks.forEach(f => f(dir))
   }
 
@@ -229,8 +230,12 @@ private[graft] object Shared {
         .flatMap(cur => new FalApi(spark, reg, new RunLedger)
           .markerBucketSpec(cur).map(_._1.toString))
     } else None).getOrElse(bucketsOf(spark))
+    // covered models salt in the tombstone state (Nil pre-retraction):
+    // a retraction advances every covered fingerprint through the salt,
+    // and a lost/foreign tombstone set fails the match → rebuild
     fingerprint(spark, dir, inputs,
-      Seq(name, bucketBy, buckets, logicVersion))
+      Seq(name, bucketBy, buckets, logicVersion) ++
+        (if (TombstoneCovered(name)) tombstoneSalt(spark, dir) else Nil))
   }
 
   /** Trust (dir, name) as resolved in this process (called after an
@@ -239,6 +244,90 @@ private[graft] object Shared {
       name: String): Unit = {
     built.put((dir, name), registryFor(spark, dir)); ()
   }
+
+  // ---- retraction tombstones ([[StandingRetract]]) ----
+
+  /** The shared deletion-tombstone model: one `doc_id` per retracted
+    * document (raw ids plus the derived dedup-corpus ids), doc_id-
+    * bucketed, appended by [[StandingRetract.retractDocBatch]].
+    * REQUEST state, not corpus-derived: it is never rebuilt, and every
+    * covered model's fingerprint salts in its pointer state
+    * ([[tombstoneSalt]]) so a lost or rewritten tombstone set forces
+    * covered models to rebuild instead of serving unfiltered rows.
+    */
+  private[operators] val TombstoneModel = "graft_deleted_docs"
+
+  /** Standing models whose rows carry `doc_id` but whose BUCKET key
+    * scatters one doc's rows across every bucket — physical deletion
+    * would rewrite the whole model, so retraction is a resolution-time
+    * anti-join against [[TombstoneModel]] plus a physical sweep at the
+    * next compaction. doc_id-bucketed models take the O(affected-
+    * buckets) physical path instead
+    * ([[graft.api.FalApi.deleteFromBucketedModel]]), and additive
+    * aggregates absorb negative partials — see [[StandingRetract]] for
+    * the per-shape split.
+    */
+  private[operators] val TombstoneCovered: Set[String] = Set(
+    "gram_starts_10", "doc_terms", "doc_shingles",
+    "graft_lsh_band_index", "graft_simhash_sigs")
+
+  /** dir → whether [[TombstoneModel]] exists — memoized so the common
+    * no-retraction case costs ZERO FS ops per resolution (cleared by
+    * [[invalidate]] / [[tombstonesChanged]]; a retraction by ANOTHER
+    * process is seen on this process's next cold resolve, the same
+    * trust class as the `built` memo). */
+  private val tombstonesPresent = scala.collection.concurrent
+    .TrieMap.empty[String, Boolean]
+
+  /** Drop the per-process tombstone-presence memo for `dir` — called
+    * by [[StandingRetract.retractDocBatch]] after appending ids. */
+  private[operators] def tombstonesChanged(dir: String): Unit = {
+    tombstonesPresent.remove(dir); ()
+  }
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
+    tombstonesPresent.getOrElseUpdate(dir,
+      registryFor(spark, dir).relationExists(TombstoneModel))
+
+  /** The tombstone model's pointer state (version + append_seq) as
+    * fingerprint-salt lines for covered models. EMPTY when no
+    * retraction ever happened, keeping fingerprints bit-identical to
+    * the pre-retraction formula — existing catalogs never rebuild on
+    * upgrade. */
+  private def tombstoneSalt(spark: SparkSession, dir: String)
+      : Seq[String] =
+    if (!hasTombstones(spark, dir)) Nil
+    else {
+      val reg = registryFor(spark, dir)
+      val v = reg.currentVersion(TombstoneModel).getOrElse("")
+      val seq = reg.pointerMeta(TombstoneModel)
+        .getOrElse("append_seq", "0")
+      Seq(s"tombstones:$v:$seq")
+    }
+
+  /** Resolution-time retraction filter: covered models anti-join the
+    * (request-sized, broadcast) tombstone ids; identity when no
+    * retraction happened, so non-retraction deployments plan
+    * bit-identically. The broadcast hash anti-join preserves the
+    * child's bucketed output partitioning, so downstream bucket-local
+    * aggregations/joins stay exchange-free. */
+  /** Compaction's retraction sweep ([[StandingIngest.compactStanding]]):
+    * covered models rewrite through the tombstone filter, physically
+    * dropping retracted rows; identity for everything else. */
+  private[operators] def retractionSweep(spark: SparkSession,
+      dir: String, name: String): DataFrame => DataFrame =
+    df => applyTombstones(spark, dir, name, df)
+
+  private def applyTombstones(spark: SparkSession, dir: String,
+      name: String, df: DataFrame): DataFrame =
+    if (!TombstoneCovered(name) || !hasTombstones(spark, dir)) df
+    else {
+      val ts = new FalApi(spark, registryFor(spark, dir), new RunLedger)
+        .ref(TombstoneModel)
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+      df.join(org.apache.spark.sql.functions.broadcast(ts),
+        Seq("doc_id"), "left_anti")
+    }
 
   /** `ref()` of the standing model `name` over corpus `dir`. Resolution
     * order: process memo → durable catalog (fingerprint match → read,
@@ -255,8 +344,8 @@ private[graft] object Shared {
       logicVersion: String = "1"): DataFrame = {
     val key = (dir, name)
     built.get(key) match {
-      case Some(reg) => return api(spark, reg, name, bucketBy, build,
-        dir, extraMeta).ref(name)
+      case Some(reg) => return applyTombstones(spark, dir, name,
+        api(spark, reg, name, bucketBy, build, dir, extraMeta).ref(name))
       case None =>
     }
     // schema-only walks read an already-resolved model (a lazy parquet
@@ -286,8 +375,9 @@ private[graft] object Shared {
         built.put(key, reg)
       }
     }
-    api(spark, built(key), name, bucketBy, build, dir, extraMeta)
-      .ref(name)
+    applyTombstones(spark, dir, name,
+      api(spark, built(key), name, bucketBy, build, dir, extraMeta)
+        .ref(name))
   }
 
   /** `ref()` the CURRENT catalog state of a standing model WITHOUT the
@@ -300,7 +390,8 @@ private[graft] object Shared {
       dir: String, name: String): Option[DataFrame] = {
     val reg = built.getOrElse((dir, name), registryFor(spark, dir))
     if (reg.relationExists(name))
-      Some(new FalApi(spark, reg, new RunLedger).ref(name))
+      Some(applyTombstones(spark, dir, name,
+        new FalApi(spark, reg, new RunLedger).ref(name)))
     else None
   }
 

@@ -441,7 +441,12 @@ object StandingIngest {
           .get("spark.sql.shuffle.partitions", "32").toInt)
       if (files <= buckets.toLong * maxFilesPerBucket) None
       else try {
-        val res = a.compactModel(name)
+        // retraction sweep: tombstone-covered models rewrite through
+        // the anti-join, physically dropping retracted rows (the
+        // tombstone set stays — its filter is a no-op afterwards and
+        // the carried-forward salted fingerprint remains valid)
+        val res = a.compactModel(name,
+          transform = Shared.retractionSweep(spark, dir, name))
         a.vacuumModel(name, keep = 1)
         Shared.markResolved(spark, dir, name)
         Some(name -> res)

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.WriteResult
+
+/** Incremental RETRACTION of documents from the standing-model layer —
+  * the deletion dual of [[StandingIngest]] (reference anchor: the
+  * incremental-strategy surface in `impl.py` plus the takedown/opt-out
+  * flows every production corpus store runs; SURVEY.md §2a A13's
+  * retention posture). A batch of doc ids (a GDPR/opt-out/takedown
+  * request — bounded, request-sized) is removed from the corpus files
+  * by the caller; this object then brings every standing model to the
+  * post-delete state WITHOUT corpus-sized rebuilds, by ALGEBRAIC SHAPE:
+  *
+  *   - doc_id-BUCKETED models (`documents_by_doc`, `graft_lsh_sigs`):
+  *     O(affected-buckets) physical delete — each doc's rows live in
+  *     exactly one bucket, so only those buckets rewrite
+  *     ([[graft.api.FalApi.deleteFromBucketedModel]]);
+  *   - scattered-key models carrying doc_id (`gram_starts_10`,
+  *     `doc_terms`, `doc_shingles`, `graft_lsh_band_index`,
+  *     `graft_simhash_sigs` — [[Shared.TombstoneCovered]]): a physical
+  *     delete would rewrite every bucket, so the ids append to the
+  *     shared [[Shared.TombstoneModel]] and RESOLUTION anti-joins the
+  *     (request-sized, broadcast) tombstone set — O(batch) now, with
+  *     the physical sweep deferred to the next compaction
+  *     ([[StandingIngest.compactStanding]] applies the filter in the
+  *     rewrite). Each covered model's fingerprint salts in the
+  *     tombstone state, so the advance here is what the next resolve
+  *     recomputes, and a lost tombstone set forces rebuilds rather
+  *     than serving unfiltered rows;
+  *   - ADDITIVE aggregates (`bigram_counts`, `drift_ref_256`): the
+  *     retracted docs' partial counts append NEGATED; the aggregate-
+  *     on-read rollup cancels them and drops exact zeros — identical
+  *     to a rebuild over the rewritten corpus;
+  *   - non-retractable state (`gram_shared_10` — sharedness is a
+  *     non-monotone global property under deletion; BPE/PQ trained
+  *     state; `doc_perplexity`): left UNTOUCHED, their now-stale
+  *     fingerprints forcing a rebuild on next touch — the same honest
+  *     lapse [[StandingIngest]] uses for non-appendable shapes.
+  *
+  * Contract (mirror of the append contract, reversed): capture
+  * [[StandingIngest.capturePre]] BEFORE rewriting the corpus files,
+  * rewrite the corpus (drop the docs' rows), then call with the
+  * REMOVED docs' full rows (text is needed for the negative partials
+  * and the derived dedup-corpus ids). Captures are SINGLE-USE: each
+  * model's guard (stored fingerprint == captured pre-state) proves the
+  * model is current up to exactly this deletion; after any mid-flight
+  * failure take a FRESH capture — the already-advanced models skip,
+  * the interrupted ones fail the fresh guard and rebuild on next
+  * resolve. Never re-run with a pre-crash capture (the in-place
+  * delete and the negative append are not idempotent). Crash ordering:
+  * tombstone ids commit FIRST, so a covered model's salted advance
+  * never references a tombstone state that failed to land.
+  *
+  * Embeddings-side retraction (IVF assignment rows, LSH band rows by
+  * vec_id) is the same split — cell/bk keys scatter, so it is the
+  * tombstone path once probe kernels read through a filtered resolve;
+  * documented follow-up, not yet wired.
+  */
+object StandingRetract {
+
+  private def api(spark: SparkSession, dir: String) =
+    new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
+      new graft.api.RunLedger)
+
+  /** Stored-fingerprint guard, shared by every arm: act only when the
+    * model verifiably includes everything up to (and nothing past)
+    * the captured pre-delete state. */
+  private def guardOk(spark: SparkSession, dir: String, name: String,
+      pre: Map[String, String]): Boolean =
+    pre.get(name).exists(Shared.registryOf(spark, dir)
+      .pointerMeta(name).get(Shared.FingerprintKey).contains)
+
+  /** Retract a batch of documents from every standing model of `dir`.
+    * `deleted` = the removed docs' FULL rows (doc_id, source, lang,
+    * text, n_chars — the content the caller took out of the corpus);
+    * `pre` = [[StandingIngest.capturePre]] taken before the corpus
+    * rewrite. Returns per-model results (absent key = model not
+    * materialized, or its guard skipped it into a rebuild).
+    */
+  def retractDocBatch(spark: SparkSession, dir: String,
+      deleted0: DataFrame, pre: Map[String, String])
+      : Map[String, WriteResult] = {
+    import spark.implicits._
+    // snapshot: the caller has already rewritten the corpus files, so
+    // a lazy frame must not try to re-read them
+    val deleted = deleted0.localCheckpoint()
+    // the corpus CHANGED under this process: drop every in-process
+    // standing-model memo for the dir (the `built` trust assumes
+    // immutability-except-invalidate), so non-advanced models go back
+    // through the fingerprint check — the lapse-into-rebuild path —
+    // instead of being served stale from the memo. Models this call
+    // advances re-enter the memo via markResolved.
+    Shared.invalidate(dir)
+    val rawIds = deleted.select(col("doc_id")).distinct()
+      .as[Long].collect().toSeq.sorted
+    require(rawIds.nonEmpty, "retractDocBatch: empty deletion batch")
+    require(rawIds.size <= 100000,
+      s"retractDocBatch: ${rawIds.size} ids exceeds the 100k request " +
+        "bound — corpus-scale deletions should rewrite and rebuild")
+    // derived dedup-corpus ids (originals ∪ truncations ∪ clones): the
+    // signature/band models index the DERIVED corpus, so retracting a
+    // doc retracts its derivations — deterministic per doc, so the
+    // derived ids are computable from the deleted rows alone
+    val derivedIds = Dedup.corpusOf(deleted).select(col("doc_id"))
+      .distinct().as[Long].collect().toSeq.sorted
+    val tombIds = (rawIds ++ derivedIds).distinct.sorted
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, WriteResult]
+    val reg = Shared.registryOf(spark, dir)
+    val a = api(spark, dir)
+
+    // 1. tombstone ids commit FIRST (see crash ordering above). The
+    // tombstone model is REQUEST state: registered with a build that
+    // refuses to run — it can never be "rebuilt from the corpus".
+    val tombDf = tombIds.toDF("doc_id")
+    val tombApi = Shared.api(spark, reg, Shared.TombstoneModel,
+      "doc_id", (_, _) => throw new IllegalStateException(
+        s"${Shared.TombstoneModel} is request state, never rebuilt"),
+      dir)
+    val tombRes =
+      if (reg.relationExists(Shared.TombstoneModel))
+        tombApi.appendToBucketedModel(tombDf, Shared.TombstoneModel)
+      else tombApi.writeToModel(tombDf, Shared.TombstoneModel)
+    results.put(Shared.TombstoneModel, tombRes)
+    Shared.tombstonesChanged(dir)
+
+    // 2. covered models: resolution now filters them; advance each
+    // guard-passing model's fingerprint (salted with the NEW tombstone
+    // state) in a version-checked meta-only swap — O(1) per model
+    val bucketOf = Map(
+      "gram_starts_10" -> "gh", "doc_terms" -> "term",
+      "doc_shingles" -> "shingle", "graft_lsh_band_index" -> "bb",
+      "graft_simhash_sigs" -> "simhash")
+    Shared.TombstoneCovered.toSeq.sorted.foreach { name =>
+      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+        val cur = reg.currentPath(name).get
+        val fp = Shared.modelFingerprint(spark, dir, name,
+          bucketOf(name), Seq("documents"), preferMarkerBuckets = true)
+        reg.swapPointer(name, cur,
+          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp),
+          expectedVersion = reg.currentVersion(name))
+        Shared.markResolved(spark, dir, name)
+        results.put(name, WriteResult(name, tombIds.size.toLong,
+          "retract_filter"))
+      }
+    }
+
+    // 3. doc_id-bucketed models: O(affected-buckets) physical delete
+    def physical(name: String, keys: Seq[Long]): Unit =
+      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+        val fp = Shared.modelFingerprint(spark, dir, name, "doc_id",
+          Seq("documents"), preferMarkerBuckets = true)
+        val res = a.deleteFromBucketedModel(keys, "doc_id", name,
+          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp))
+        Shared.markResolved(spark, dir, name)
+        results.put(name, res)
+      }
+    physical("documents_by_doc", rawIds)
+    physical("graft_lsh_sigs", derivedIds)
+
+    // 4. additive aggregates: negative partials, cancelled (and
+    // zero-dropped) by the aggregate-on-read rollup
+    def negative(name: String, bucketBy: String,
+        inc: => DataFrame): Unit =
+      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+        val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
+          Seq("documents"), preferMarkerBuckets = true)
+        val res = a.appendToBucketedModel(inc, name,
+          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp))
+        Shared.markResolved(spark, dir, name)
+        results.put(name, res)
+      }
+    negative("bigram_counts", "w1",
+      TextAnalysis.bigramCountsOf(deleted)
+        .withColumn("cnt", -col("cnt")))
+    negative("drift_ref_256", "b",
+      Curation2.driftRefCountsOf(deleted)
+        .withColumn("ref_cnt", -col("ref_cnt")))
+
+    // 5. gram_shared_10 (and any other non-retractable shape) is
+    // deliberately untouched: its stale fingerprint rebuilds it on
+    // next touch from the rewritten corpus, through the (tombstone-
+    // filtered) gram_starts_10 resolve — correct by construction.
+
+    results.toMap
+  }
+}

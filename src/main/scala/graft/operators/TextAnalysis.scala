@@ -65,6 +65,12 @@ object TextAnalysis extends QueryPack {
     graft.operators.Shared.model(spark, dir, "bigram_counts", "w1",
       (s, d) => bigramCountsOf(t(s, d, "documents")))
       .groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+      // retraction appends NEGATIVE partials (StandingRetract): a
+      // bigram whose occurrences were all retracted sums to zero and
+      // must read as ABSENT, exactly as a rebuild over the rewritten
+      // corpus would have it; append-only partials are all positive,
+      // so this is the identity outside retraction deployments
+      .filter(col("cnt") =!= 0L)
 
   /** Adjacent-bigram counts of any (…, text) frame — the build kernel
     * of [[bigramCounts]] and StandingIngest's per-batch increment
