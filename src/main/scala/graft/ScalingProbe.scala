@@ -46,6 +46,8 @@ object ScalingProbe {
       "dd_minhash_resolve" ->
         "bounded MinHash dedup (distinct-sig collapse + union-find; 1 row/doc)",
       "dd_cluster" -> "union-find contraction over the standing overlap model",
+      "dd_cluster_density" ->
+        "per-cluster cohesion (degree-ordered triangles over the collapsed evidence graph)",
       "q_recursive_bfs" -> "iterative frontier BFS",
       "sim_brute_topk" -> "brute-force ANN (fixed query set)",
       "sim_ivf_topk" -> "standing Lloyd-refined IVF index probe",
