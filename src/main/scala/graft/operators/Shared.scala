@@ -235,7 +235,7 @@ private[graft] object Shared {
     // and a lost/foreign tombstone set fails the match → rebuild
     fingerprint(spark, dir, inputs,
       Seq(name, bucketBy, buckets, logicVersion) ++
-        (if (TombstoneCovered(name)) tombstoneSalt(spark, dir) else Nil))
+        tombstoneSalt(spark, dir, name))
   }
 
   /** Trust (dir, name) as resolved in this process (called after an
@@ -271,38 +271,60 @@ private[graft] object Shared {
     "gram_starts_10", "doc_terms", "doc_shingles",
     "graft_lsh_band_index", "graft_simhash_sigs")
 
-  /** dir → whether [[TombstoneModel]] exists — memoized so the common
-    * no-retraction case costs ZERO FS ops per resolution (cleared by
-    * [[invalidate]] / [[tombstonesChanged]]; a retraction by ANOTHER
-    * process is seen on this process's next cold resolve, the same
-    * trust class as the `built` memo). */
-  private val tombstonesPresent = scala.collection.concurrent
-    .TrieMap.empty[String, Boolean]
+  /** The embeddings-side twin of [[TombstoneModel]]: one `vec_id` per
+    * retracted embedding — a separate model because doc and vec id
+    * spaces overlap. */
+  private[operators] val VecTombstoneModel = "graft_deleted_vecs"
 
-  /** Drop the per-process tombstone-presence memo for `dir` — called
-    * by [[StandingRetract.retractDocBatch]] after appending ids. */
+  /** Tombstone coverage: model name → (tombstone model, the covered
+    * model's id column — `neighbor_id` on the IVF index, `vec_id`/
+    * `doc_id` elsewhere). Docs-side coverage is the fixed
+    * [[TombstoneCovered]] set; the embeddings-side standing models
+    * carry corpus-derived geometry in their NAMES (K, band width), so
+    * coverage matches by prefix. */
+  private[operators] def tombSpecFor(name: String)
+      : Option[(String, String)] =
+    if (TombstoneCovered(name)) Some((TombstoneModel, "doc_id"))
+    else if (name.startsWith("graft_ivf_index_"))
+      Some((VecTombstoneModel, "neighbor_id"))
+    else if (name.startsWith("graft_lsh_bands_b"))
+      Some((VecTombstoneModel, "vec_id"))
+    else None
+
+  /** (dir, tombstone model) → whether it exists — memoized so the
+    * common no-retraction case costs ZERO FS ops per resolution
+    * (cleared by [[invalidate]] / [[tombstonesChanged]]; a retraction
+    * by ANOTHER process is seen on this process's next cold resolve,
+    * the same trust class as the `built` memo). */
+  private val tombstonesPresent = scala.collection.concurrent
+    .TrieMap.empty[(String, String), Boolean]
+
+  /** Drop the per-process tombstone-presence memos for `dir` — called
+    * by [[StandingRetract]] after appending ids. */
   private[operators] def tombstonesChanged(dir: String): Unit = {
-    tombstonesPresent.remove(dir); ()
+    tombstonesPresent.keys.filter(_._1 == dir)
+      .foreach(tombstonesPresent.remove)
   }
 
-  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
-    tombstonesPresent.getOrElseUpdate(dir,
-      registryFor(spark, dir).relationExists(TombstoneModel))
+  private def hasTombstones(spark: SparkSession, dir: String,
+      tomb: String): Boolean =
+    tombstonesPresent.getOrElseUpdate((dir, tomb),
+      registryFor(spark, dir).relationExists(tomb))
 
-  /** The tombstone model's pointer state (version + append_seq) as
-    * fingerprint-salt lines for covered models. EMPTY when no
-    * retraction ever happened, keeping fingerprints bit-identical to
-    * the pre-retraction formula — existing catalogs never rebuild on
-    * upgrade. */
-  private def tombstoneSalt(spark: SparkSession, dir: String)
-      : Seq[String] =
-    if (!hasTombstones(spark, dir)) Nil
-    else {
-      val reg = registryFor(spark, dir)
-      val v = reg.currentVersion(TombstoneModel).getOrElse("")
-      val seq = reg.pointerMeta(TombstoneModel)
-        .getOrElse("append_seq", "0")
-      Seq(s"tombstones:$v:$seq")
+  /** The covering tombstone model's pointer state (version +
+    * append_seq) as fingerprint-salt lines for covered models. EMPTY
+    * when no retraction ever happened, keeping fingerprints
+    * bit-identical to the pre-retraction formula — existing catalogs
+    * never rebuild on upgrade. */
+  private def tombstoneSalt(spark: SparkSession, dir: String,
+      name: String): Seq[String] =
+    tombSpecFor(name) match {
+      case Some((tomb, _)) if hasTombstones(spark, dir, tomb) =>
+        val reg = registryFor(spark, dir)
+        val v = reg.currentVersion(tomb).getOrElse("")
+        val seq = reg.pointerMeta(tomb).getOrElse("append_seq", "0")
+        Seq(s"tombstones:$tomb:$v:$seq")
+      case _ => Nil
     }
 
   /** Resolution-time retraction filter: covered models anti-join the
@@ -320,13 +342,17 @@ private[graft] object Shared {
 
   private def applyTombstones(spark: SparkSession, dir: String,
       name: String, df: DataFrame): DataFrame =
-    if (!TombstoneCovered(name) || !hasTombstones(spark, dir)) df
-    else {
-      val ts = new FalApi(spark, registryFor(spark, dir), new RunLedger)
-        .ref(TombstoneModel)
-        .select(org.apache.spark.sql.functions.col("doc_id"))
-      df.join(org.apache.spark.sql.functions.broadcast(ts),
-        Seq("doc_id"), "left_anti")
+    tombSpecFor(name) match {
+      case Some((tomb, dfCol)) if hasTombstones(spark, dir, tomb) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val tombCol = if (tomb == TombstoneModel) "doc_id" else "vec_id"
+        val ts = new FalApi(spark, registryFor(spark, dir),
+            new RunLedger)
+          .ref(tomb)
+          .select(col(tombCol).as("graft_tomb_id"))
+        df.join(broadcast(ts),
+          df(dfCol) === col("graft_tomb_id"), "left_anti")
+      case _ => df
     }
 
   /** `ref()` of the standing model `name` over corpus `dir`. Resolution

@@ -54,10 +54,17 @@ import graft.api.WriteResult
   * tombstone ids commit FIRST, so a covered model's salted advance
   * never references a tombstone state that failed to land.
   *
-  * Embeddings-side retraction (IVF assignment rows, LSH band rows by
-  * vec_id) is the same split — cell/bk keys scatter, so it is the
-  * tombstone path once probe kernels read through a filtered resolve;
-  * documented follow-up, not yet wired.
+  * [[retractEmbeddingBatch]] is the embeddings-side twin: the IVF
+  * assignment rows and the banded-LSH rows scatter across cell/band
+  * buckets, so both take the tombstone path (a separate
+  * [[Shared.VecTombstoneModel]] — vec and doc id spaces overlap), the
+  * retained centroids advance first (the fixed-centroid policy — the
+  * same crash ordering as the append path), and trained state
+  * (PQ codebook/codes) lapses into a rebuild on next touch. A
+  * retraction that moves the corpus count across a K or band-width
+  * geometry boundary changes the model NAMES, so the pre-capture
+  * misses and everything rebuilds — automatic, same as the append
+  * path's boundary handling.
   */
 object StandingRetract {
 
@@ -185,6 +192,83 @@ object StandingRetract {
     // deliberately untouched: its stale fingerprint rebuilds it on
     // next touch from the rewritten corpus, through the (tombstone-
     // filtered) gram_starts_10 resolve — correct by construction.
+
+    results.toMap
+  }
+
+  /** Retract a batch of embeddings from the standing ANN models of
+    * `dir`. `deleted` = the removed (vec_id, …) rows; `pre` =
+    * [[StandingIngest.capturePreEmbeddings]] taken before the corpus
+    * rewrite. The IVF index and the banded-LSH table are covered by
+    * the vec tombstone filter (meta-only salted advance here); the
+    * retained centroids' fingerprint advances FIRST so a mid-call
+    * crash can never leave a fingerprint-current index over centroids
+    * a later resolve would retrain.
+    */
+  def retractEmbeddingBatch(spark: SparkSession, dir: String,
+      deleted0: DataFrame, pre: Map[String, String])
+      : Map[String, WriteResult] = {
+    import spark.implicits._
+    val deleted = deleted0.localCheckpoint()
+    // corpus changed: clear the per-process memos (incl. the ivfParams
+    // count cache, so geometry re-derives from the rewritten corpus)
+    Shared.invalidate(dir)
+    val ids = deleted.select(col("vec_id")).distinct()
+      .as[Long].collect().toSeq.sorted
+    require(ids.nonEmpty, "retractEmbeddingBatch: empty deletion batch")
+    require(ids.size <= 100000,
+      s"retractEmbeddingBatch: ${ids.size} ids exceeds the 100k " +
+        "request bound — corpus-scale deletions should rewrite and " +
+        "rebuild")
+    val reg = Shared.registryOf(spark, dir)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, WriteResult]
+
+    // 1. tombstone ids commit first (crash ordering — see class doc)
+    val tombDf = ids.toDF("vec_id")
+    val tombApi = Shared.api(spark, reg, Shared.VecTombstoneModel,
+      "vec_id", (_, _) => throw new IllegalStateException(
+        s"${Shared.VecTombstoneModel} is request state, never rebuilt"),
+      dir)
+    val tombRes =
+      if (reg.relationExists(Shared.VecTombstoneModel))
+        tombApi.appendToBucketedModel(tombDf, Shared.VecTombstoneModel)
+      else tombApi.writeToModel(tombDf, Shared.VecTombstoneModel)
+    results.put(Shared.VecTombstoneModel, tombRes)
+    Shared.tombstonesChanged(dir)
+
+    // 2. geometry from the REWRITTEN corpus: names match the capture
+    // exactly when the deletion did not cross a K / band-width
+    // boundary; on a crossing the guard misses and everything rebuilds
+    val p = Similarity.ivfParams(spark, dir)
+    val r = Similarity.LloydRounds
+    val idxName = s"graft_ivf_index_k${p.k}_r$r"
+    val centsName = s"graft_ivf_cents_k${p.k}_r$r"
+    val lshName = Dedup2.lshModelName(p.nc)
+
+    def advance(name: String, bucketBy: String): Unit =
+      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+        val cur = reg.currentPath(name).get
+        val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
+          Seq("embeddings"), preferMarkerBuckets = true)
+        reg.swapPointer(name, cur,
+          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp),
+          expectedVersion = reg.currentVersion(name))
+        Shared.markResolved(spark, dir, name)
+        results.put(name, WriteResult(name, ids.size.toLong,
+          "retract_filter"))
+      }
+
+    // 3. retained centroids advance FIRST (their content does not
+    // depend on the retracted rows under the fixed-centroid policy),
+    // then the index, then the LSH table — the append path's ordering
+    if (reg.relationExists(idxName) &&
+        guardOk(spark, dir, idxName, pre) &&
+        reg.relationExists(centsName))
+      Shared.advanceFingerprint(spark, dir, centsName,
+        Seq("embeddings"), "cell")
+    advance(idxName, "cell")
+    advance(lshName, "bk")
 
     results.toMap
   }

@@ -235,4 +235,63 @@ class StandingRetractSpec extends AnyFunSuite with BeforeAndAfterAll {
       logical, "doc_terms post-sweep")
     assert(sweptPhys.count() == nLogical)
   }
+
+  test("retractEmbeddingBatch: tombstone-filtered IVF index and LSH " +
+      "table read as the post-delete state over retained centroids, " +
+      "zero rebuilds, restart-stable") {
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.invalidate(dir, "embeddings")
+    Shared.invalidate(dir)
+    Similarity.ivfIndexModel(spark, dir).count()
+    Dedup2.lshBandModel(spark, dir).count()
+    val p = Similarity.ivfParams(spark, dir)
+    val r = Similarity.LloydRounds
+    val idxName = s"graft_ivf_index_k${p.k}_r$r"
+    val centsName = s"graft_ivf_cents_k${p.k}_r$r"
+    val lshName = Dedup2.lshModelName(p.nc)
+    val snapshot = Seq(idxName, centsName, lshName)
+      .map(m => m -> builds(m)).toMap
+
+    // deletion sized to stay INSIDE the K / band-width geometry (10 of
+    // 490 index vecs; a boundary crossing is the rebuild path, tested
+    // by its name-mismatch construction, not here)
+    val emb = graft.operators.t(spark, dir, "embeddings")
+    val del = emb.filter(col("vec_id") >= 10 &&
+      col("vec_id") % 47 === 0).localCheckpoint()
+    val keep = emb.filter(!(col("vec_id") >= 10 &&
+      col("vec_id") % 47 === 0)).localCheckpoint()
+    assert(del.count() > 0)
+    val pre = StandingIngest.capturePreEmbeddings(spark, dir)
+    keep.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.invalidate(dir, "embeddings")
+    val res = StandingRetract.retractEmbeddingBatch(spark, dir, del, pre)
+    assert(res.keySet ==
+      Set(Shared.VecTombstoneModel, idxName, lshName),
+      s"retraction must advance the index and LSH table: ${res.keySet}")
+
+    // post-delete geometry unchanged (the fixture guarantees it)
+    assert(Similarity.ivfParams(spark, dir).k == p.k)
+    // index ≡ assignment of the remaining corpus against the RETAINED
+    // centroids (the fixed-centroid policy — NOT a Lloyd retrain)
+    val keepNow = graft.operators.t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentsModel(spark, dir)
+    assertSameRows(Similarity.ivfIndexModel(spark, dir),
+      Similarity.ivfAssign(Similarity.embNormOf(keepNow)
+        .filter(col("vec_id") >= 10), cents),
+      "ivf index post-retract")
+    assertSameRows(Dedup2.lshBandModel(spark, dir),
+      Dedup2.bandRowsOf(keepNow, Dedup2.neardupBits(p.nc)),
+      "lsh band table post-retract")
+    // nothing rebuilt: centroids retained, index/LSH filtered
+    Seq(idxName, centsName, lshName).foreach(m =>
+      assert(builds(m) == snapshot(m), s"$m rebuilt during retraction"))
+
+    // restart-stable: cold resolve, zero rebuild
+    Shared.invalidate(dir)
+    Similarity.ivfIndexModel(spark, dir).count()
+    Dedup2.lshBandModel(spark, dir).count()
+    Seq(idxName, centsName, lshName).foreach(m =>
+      assert(builds(m) == snapshot(m), s"$m rebuilt on restart"))
+  }
 }
