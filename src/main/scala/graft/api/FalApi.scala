@@ -558,9 +558,12 @@ final class FalApi(
       // survivors of the affected buckets, snapshotted
       // (localCheckpoint) BEFORE any file mutation so the lazy plan
       // cannot re-read dropped files
+      // null-safe: `!isin` alone is NULL (dropped) for null keys —
+      // a null-keyed row was never requested for deletion and must
+      // survive the rewrite
       val survivors = spark.read.schema(resolved.schema)
         .parquet(affected: _*)
-        .filter(!col(keyCol).isin(keys: _*))
+        .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         .select(resolved.columns.map(col).toIndexedSeq: _*)
         .localCheckpoint()
       val n = survivors.count()

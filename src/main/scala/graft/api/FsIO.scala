@@ -54,23 +54,29 @@ object FsIO {
   def fileName(path: String): String = new Path(path).getName
   def parent(path: String): String = new Path(path).getParent.toString
 
-  /** Sizes of the parquet data files under a version directory
-    * (recursive). Filesystem metadata only — no Spark job.
-    */
-  def parquetSizes(dir: String): Seq[Long] = {
+  /** The ONE recursive parquet-data-file walk the append/compaction/
+    * delete paths share — a single definition of "what counts as a
+    * data file". Filesystem metadata only, no Spark job. */
+  private def parquetStatuses(dir: String)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
     val p = new Path(dir)
     val fs = fsOf(p)
     if (!fs.exists(p)) Seq.empty
     else {
       val it = fs.listFiles(p, /* recursive = */ true)
-      val out = Seq.newBuilder[Long]
+      val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) out += st.getLen
+        if (st.getPath.getName.endsWith(".parquet")) out += st
       }
       out.result()
     }
   }
+
+  /** Sizes of the parquet data files under a version directory
+    * (recursive). */
+  def parquetSizes(dir: String): Seq[Long] =
+    parquetStatuses(dir).map(_.getLen)
 
   def deleteTree(path: String): Unit = {
     val p = new Path(path)
@@ -79,23 +85,9 @@ object FsIO {
   }
 
   /** Full paths of the parquet data files under a version directory
-    * (recursive). Filesystem metadata only — no Spark job.
-    */
-  def parquetFiles(dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = fsOf(p)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val it = fs.listFiles(p, /* recursive = */ true)
-      val out = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          out += st.getPath.toString
-      }
-      out.result()
-    }
-  }
+    * (recursive). */
+  def parquetFiles(dir: String): Seq[String] =
+    parquetStatuses(dir).map(_.getPath.toString)
 
   /** Delete one data file (no-op when already absent). */
   def deleteFile(path: String): Unit = {

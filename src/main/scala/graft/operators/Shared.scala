@@ -327,12 +327,6 @@ private[graft] object Shared {
       case _ => Nil
     }
 
-  /** Resolution-time retraction filter: covered models anti-join the
-    * (request-sized, broadcast) tombstone ids; identity when no
-    * retraction happened, so non-retraction deployments plan
-    * bit-identically. The broadcast hash anti-join preserves the
-    * child's bucketed output partitioning, so downstream bucket-local
-    * aggregations/joins stay exchange-free. */
   /** Compaction's retraction sweep ([[StandingIngest.compactStanding]]):
     * covered models rewrite through the tombstone filter, physically
     * dropping retracted rows; identity for everything else. */
@@ -340,16 +334,35 @@ private[graft] object Shared {
       dir: String, name: String): DataFrame => DataFrame =
     df => applyTombstones(spark, dir, name, df)
 
+  /** Whether `name` indexes the DERIVED dedup corpus
+    * ([[Dedup.corpusOf]] ids — originals plus offset truncation/clone
+    * ids) rather than raw document ids. The two id spaces can collide
+    * on a large corpus (the offsets are fixed), so each covered model
+    * is filtered by exactly ITS space's tombstone rows. */
+  private def derivedSpace(name: String): Boolean =
+    name == "graft_lsh_band_index" || name == "graft_simhash_sigs"
+
+  /** Resolution-time retraction filter: covered models anti-join the
+    * (request-sized, broadcast) tombstone ids of their own id space;
+    * identity when no retraction happened, so non-retraction
+    * deployments plan bit-identically. The broadcast hash anti-join
+    * preserves the child's bucketed output partitioning, so downstream
+    * bucket-local aggregations/joins stay exchange-free. */
   private def applyTombstones(spark: SparkSession, dir: String,
       name: String, df: DataFrame): DataFrame =
     tombSpecFor(name) match {
       case Some((tomb, dfCol)) if hasTombstones(spark, dir, tomb) =>
         import org.apache.spark.sql.functions.{broadcast, col}
+        val all = new FalApi(spark, registryFor(spark, dir),
+          new RunLedger).ref(tomb)
+        // the doc tombstone model carries raw AND derived ids in one
+        // table, flagged by `derived` — see [[derivedSpace]]
+        val spaced =
+          if (tomb == TombstoneModel)
+            all.filter(col("derived") === derivedSpace(name))
+          else all
         val tombCol = if (tomb == TombstoneModel) "doc_id" else "vec_id"
-        val ts = new FalApi(spark, registryFor(spark, dir),
-            new RunLedger)
-          .ref(tomb)
-          .select(col(tombCol).as("graft_tomb_id"))
+        val ts = spaced.select(col(tombCol).as("graft_tomb_id"))
         df.join(broadcast(ts),
           df(dfCol) === col("graft_tomb_id"), "left_anti")
       case _ => df

@@ -88,7 +88,7 @@ object StandingIngest {
     * key, fingerprint input tables) — the one list [[capturePre]] and
     * [[appendDocBatch]] share, so a captured pre-state always covers
     * exactly the models the append maintains. */
-  private val DocModels: Seq[(String, String)] = Seq(
+  private[operators] val DocModels: Seq[(String, String)] = Seq(
     "gram_shared_10" -> "gh",
     "gram_starts_10" -> "gh",
     "documents_by_doc" -> "doc_id",
@@ -130,8 +130,13 @@ object StandingIngest {
       dir: String): Map[String, String] = {
     val p = Similarity.ivfParams(spark, dir)
     val idxName = s"graft_ivf_index_k${p.k}_r${Similarity.LloydRounds}"
+    val centsName = s"graft_ivf_cents_k${p.k}_r${Similarity.LloydRounds}"
     val reg = Shared.registryOf(spark, dir)
-    Seq(idxName -> "cell", Dedup2.lshModelName(p.nc) -> "bk").collect {
+    // the retained centroids are captured too: a fingerprint advance
+    // on them must be guarded by THEIR verified pre-state, not only
+    // the index's (StandingRetract.retractEmbeddingBatch)
+    Seq(idxName -> "cell", centsName -> "cell",
+        Dedup2.lshModelName(p.nc) -> "bk").collect {
       case (name, bucketBy) if reg.relationExists(name) =>
         name -> Shared.modelFingerprint(spark, dir, name, bucketBy,
           Seq("embeddings"), preferMarkerBuckets = true)
@@ -431,7 +436,14 @@ object StandingIngest {
       maxFilesPerBucket: Int = 4): Map[String, WriteResult] = {
     val reg = Shared.registryOf(spark, dir)
     val a = api(spark, dir)
-    reg.listRelations.flatMap { name =>
+    // tombstone models are EXCLUDED: every covered model's fingerprint
+    // salts in the tombstone pointer state, so compacting one (new
+    // version dir → new salt) would invalidate every covered
+    // fingerprint and force a mass rebuild. Their file count is
+    // bounded by retraction-request cadence, not ingest cadence.
+    reg.listRelations.filterNot(n =>
+      n == Shared.TombstoneModel || n == Shared.VecTombstoneModel)
+      .flatMap { name =>
       val cur = reg.currentPath(name).get
       val files = graft.api.FsIO.parquetSizes(cur).size
       // bucket count the FILES were written with, from the marker

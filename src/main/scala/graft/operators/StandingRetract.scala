@@ -72,13 +72,32 @@ object StandingRetract {
     new graft.api.FalApi(spark, Shared.registryOf(spark, dir),
       new graft.api.RunLedger)
 
+  /** Pointer-meta key recording the last applied retraction batch id
+    * PER MODEL — the exactly-once convention of
+    * [[StandingIngest.BatchMetaKey]] applied to the deletion stream:
+    * committed in the same swap as each model's retraction step, so a
+    * replayed micro-batch skips exactly the models that already
+    * committed it (critical for the NON-idempotent arms: a replayed
+    * negative append would double-decrement). */
+  val RetractMetaKey = "retract_batch"
+
   /** Stored-fingerprint guard, shared by every arm: act only when the
     * model verifiably includes everything up to (and nothing past)
-    * the captured pre-delete state. */
+    * the captured pre-delete state, and (when streaming) this batch id
+    * was not already committed to it. */
   private def guardOk(spark: SparkSession, dir: String, name: String,
-      pre: Map[String, String]): Boolean =
-    pre.get(name).exists(Shared.registryOf(spark, dir)
-      .pointerMeta(name).get(Shared.FingerprintKey).contains)
+      pre: Map[String, String],
+      batchId: Option[Long] = None): Boolean = {
+    val meta = Shared.registryOf(spark, dir).pointerMeta(name)
+    val replayed = batchId.exists(id =>
+      meta.get(RetractMetaKey).map(_.toLong).exists(_ >= id))
+    !replayed &&
+      pre.get(name).exists(meta.get(Shared.FingerprintKey).contains)
+  }
+
+  private def withBatch(meta: Map[String, String],
+      batchId: Option[Long]): Map[String, String] =
+    meta ++ batchId.map(id => RetractMetaKey -> id.toString)
 
   /** Retract a batch of documents from every standing model of `dir`.
     * `deleted` = the removed docs' FULL rows (doc_id, source, lang,
@@ -88,7 +107,8 @@ object StandingRetract {
     * materialized, or its guard skipped it into a rebuild).
     */
   def retractDocBatch(spark: SparkSession, dir: String,
-      deleted0: DataFrame, pre: Map[String, String])
+      deleted0: DataFrame, pre: Map[String, String],
+      batchId: Option[Long] = None)
       : Map[String, WriteResult] = {
     import spark.implicits._
     // snapshot: the caller has already rewritten the corpus files, so
@@ -104,16 +124,18 @@ object StandingRetract {
     val rawIds = deleted.select(col("doc_id")).distinct()
       .as[Long].collect().toSeq.sorted
     require(rawIds.nonEmpty, "retractDocBatch: empty deletion batch")
-    require(rawIds.size <= 100000,
-      s"retractDocBatch: ${rawIds.size} ids exceeds the 100k request " +
-        "bound — corpus-scale deletions should rewrite and rebuild")
     // derived dedup-corpus ids (originals ∪ truncations ∪ clones): the
     // signature/band models index the DERIVED corpus, so retracting a
     // doc retracts its derivations — deterministic per doc, so the
     // derived ids are computable from the deleted rows alone
     val derivedIds = Dedup.corpusOf(deleted).select(col("doc_id"))
       .distinct().as[Long].collect().toSeq.sorted
-    val tombIds = (rawIds ++ derivedIds).distinct.sorted
+    // BOTH bounds checked BEFORE any mutation: a mid-flight size
+    // failure would leave the retraction half-applied
+    require(math.max(rawIds.size, derivedIds.size) <= 100000,
+      s"retractDocBatch: ${rawIds.size} raw / ${derivedIds.size} " +
+        "derived ids exceed the 100k request bound — corpus-scale " +
+        "deletions should rewrite and rebuild")
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, WriteResult]
@@ -122,47 +144,71 @@ object StandingRetract {
 
     // 1. tombstone ids commit FIRST (see crash ordering above). The
     // tombstone model is REQUEST state: registered with a build that
-    // refuses to run — it can never be "rebuilt from the corpus".
-    val tombDf = tombIds.toDF("doc_id")
+    // refuses to run — it can never be "rebuilt from the corpus". Raw
+    // and derived ids ride one table FLAGGED by id space: the offset
+    // derived ids can collide with live raw ids on a large corpus, so
+    // resolution filters each covered model by exactly its space
+    // (Shared.applyTombstones).
+    val tombDf = rawIds.toDF("doc_id")
+      .withColumn("derived", lit(false))
+      .unionByName(derivedIds.toDF("doc_id")
+        .withColumn("derived", lit(true)))
     val tombApi = Shared.api(spark, reg, Shared.TombstoneModel,
       "doc_id", (_, _) => throw new IllegalStateException(
         s"${Shared.TombstoneModel} is request state, never rebuilt"),
       dir)
-    val tombRes =
-      if (reg.relationExists(Shared.TombstoneModel))
-        tombApi.appendToBucketedModel(tombDf, Shared.TombstoneModel)
-      else tombApi.writeToModel(tombDf, Shared.TombstoneModel)
-    results.put(Shared.TombstoneModel, tombRes)
-    Shared.tombstonesChanged(dir)
+    // streaming replay guard on the tombstone append itself: a
+    // redelivered micro-batch must not duplicate its id rows
+    val tombReplayed = batchId.exists(id =>
+      reg.relationExists(Shared.TombstoneModel) &&
+        reg.pointerMeta(Shared.TombstoneModel)
+          .get(RetractMetaKey).map(_.toLong).exists(_ >= id))
+    if (!tombReplayed) {
+      val tombRes =
+        if (reg.relationExists(Shared.TombstoneModel))
+          tombApi.appendToBucketedModel(tombDf, Shared.TombstoneModel,
+            withBatch(reg.pointerMeta(Shared.TombstoneModel), batchId))
+        else tombApi.writeToModel(tombDf, Shared.TombstoneModel,
+          pointerMeta = withBatch(Map.empty, batchId))
+      results.put(Shared.TombstoneModel, tombRes)
+      Shared.tombstonesChanged(dir)
+    }
 
     // 2. covered models: resolution now filters them; advance each
     // guard-passing model's fingerprint (salted with the NEW tombstone
-    // state) in a version-checked meta-only swap — O(1) per model
-    val bucketOf = Map(
-      "gram_starts_10" -> "gh", "doc_terms" -> "term",
-      "doc_shingles" -> "shingle", "graft_lsh_band_index" -> "bb",
-      "graft_simhash_sigs" -> "simhash")
+    // state) in a version-checked meta-only swap — O(1) per model.
+    // Bucket keys come from the ONE declaration the append path
+    // maintains (StandingIngest.DocModels), so the two flows cannot
+    // silently diverge on a key change.
+    val bucketOf = StandingIngest.DocModels.toMap
     Shared.TombstoneCovered.toSeq.sorted.foreach { name =>
-      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+      if (reg.relationExists(name) &&
+          guardOk(spark, dir, name, pre, batchId)) {
         val cur = reg.currentPath(name).get
         val fp = Shared.modelFingerprint(spark, dir, name,
           bucketOf(name), Seq("documents"), preferMarkerBuckets = true)
         reg.swapPointer(name, cur,
-          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp),
+          withBatch(reg.pointerMeta(name) +
+            (Shared.FingerprintKey -> fp), batchId),
           expectedVersion = reg.currentVersion(name))
         Shared.markResolved(spark, dir, name)
-        results.put(name, WriteResult(name, tombIds.size.toLong,
-          "retract_filter"))
+        // informational row count: the ids newly filtering this model
+        val n = if (name == "graft_lsh_band_index" ||
+            name == "graft_simhash_sigs") derivedIds.size
+          else rawIds.size
+        results.put(name, WriteResult(name, n.toLong, "retract_filter"))
       }
     }
 
     // 3. doc_id-bucketed models: O(affected-buckets) physical delete
     def physical(name: String, keys: Seq[Long]): Unit =
-      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
-        val fp = Shared.modelFingerprint(spark, dir, name, "doc_id",
-          Seq("documents"), preferMarkerBuckets = true)
+      if (reg.relationExists(name) &&
+          guardOk(spark, dir, name, pre, batchId)) {
+        val fp = Shared.modelFingerprint(spark, dir, name,
+          bucketOf(name), Seq("documents"), preferMarkerBuckets = true)
         val res = a.deleteFromBucketedModel(keys, "doc_id", name,
-          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp))
+          withBatch(reg.pointerMeta(name) +
+            (Shared.FingerprintKey -> fp), batchId))
         Shared.markResolved(spark, dir, name)
         results.put(name, res)
       }
@@ -173,18 +219,20 @@ object StandingRetract {
     // zero-dropped) by the aggregate-on-read rollup
     def negative(name: String, bucketBy: String,
         inc: => DataFrame): Unit =
-      if (reg.relationExists(name) && guardOk(spark, dir, name, pre)) {
+      if (reg.relationExists(name) &&
+          guardOk(spark, dir, name, pre, batchId)) {
         val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
           Seq("documents"), preferMarkerBuckets = true)
         val res = a.appendToBucketedModel(inc, name,
-          reg.pointerMeta(name) + (Shared.FingerprintKey -> fp))
+          withBatch(reg.pointerMeta(name) +
+            (Shared.FingerprintKey -> fp), batchId))
         Shared.markResolved(spark, dir, name)
         results.put(name, res)
       }
-    negative("bigram_counts", "w1",
+    negative("bigram_counts", bucketOf("bigram_counts"),
       TextAnalysis.bigramCountsOf(deleted)
         .withColumn("cnt", -col("cnt")))
-    negative("drift_ref_256", "b",
+    negative("drift_ref_256", bucketOf("drift_ref_256"),
       Curation2.driftRefCountsOf(deleted)
         .withColumn("ref_cnt", -col("ref_cnt")))
 
@@ -261,10 +309,14 @@ object StandingRetract {
 
     // 3. retained centroids advance FIRST (their content does not
     // depend on the retracted rows under the fixed-centroid policy),
-    // then the index, then the LSH table — the append path's ordering
+    // then the index, then the LSH table — the append path's ordering.
+    // The cents advance is guarded by the CENTROIDS' OWN captured
+    // pre-state (capturePreEmbeddings records it): an unverifiable
+    // centroid model must never be stamped current.
     if (reg.relationExists(idxName) &&
         guardOk(spark, dir, idxName, pre) &&
-        reg.relationExists(centsName))
+        reg.relationExists(centsName) &&
+        guardOk(spark, dir, centsName, pre))
       Shared.advanceFingerprint(spark, dir, centsName,
         Seq("embeddings"), "cell")
     advance(idxName, "cell")
@@ -272,4 +324,35 @@ object StandingRetract {
 
     results.toMap
   }
+
+  /** Attach standing-model RETRACTION maintenance to a stream of
+    * deletion requests (full doc rows of the docs to remove) via
+    * foreachBatch — the deletion twin of [[StandingIngest.attach]].
+    * Per micro-batch: the pre-delete fingerprints are captured,
+    * `unland(batch, batchId)` removes the docs' rows from the corpus
+    * store (the caller's rewrite — route it through an id-guarded
+    * store so a replayed batch's rewrite is a no-op), then
+    * [[retractDocBatch]] brings every standing model to the
+    * post-delete state with the batch id committed per model
+    * ([[RetractMetaKey]]) — a replay after a mid-way crash skips
+    * exactly the models that already committed (the non-idempotent
+    * negative appends can never double-decrement) and the models that
+    * missed it fail the fresh-capture guard into a rebuild. Caller
+    * adds checkpointing/trigger options and starts.
+    */
+  def attachRetractions(spark: SparkSession, dir: String,
+      requests: DataFrame)(
+      unland: (DataFrame, Long) => Unit,
+      onBatch: Map[String, WriteResult] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        val pre = StandingIngest.capturePre(spark, dir)
+        unland(b, batchId)
+        onBatch(retractDocBatch(spark, dir, b, pre,
+          batchId = Some(batchId)))
+        ()
+    }
 }

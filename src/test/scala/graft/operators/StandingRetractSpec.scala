@@ -294,4 +294,83 @@ class StandingRetractSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(idxName, centsName, lshName).foreach(m =>
       assert(builds(m) == snapshot(m), s"$m rebuilt on restart"))
   }
+
+  test("attachRetractions: streamed deletion requests maintain the " +
+      "models per micro-batch; a replayed batch id no-ops every arm") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir2 = Files.createTempDirectory("graft_retract_stream").toString
+    try {
+      allDocs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      Tables.invalidate(dir2, "documents")
+      Curation2.gramStarts(spark, dir2).count()
+      Curation2.docsById(spark, dir2).count()
+      TextAnalysis.bigramCounts(spark, dir2).count()
+
+      def delRows(m: Long): Seq[(Long, String, String, String, Long)] =
+        allDocs.filter(col("doc_id") % 5 === m)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .as[(Long, String, String, String, Long)].collect().toSeq
+
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val perBatch = scala.collection.mutable.Buffer[Set[String]]()
+      val q = StandingRetract.attachRetractions(spark, dir2,
+          input.toDF().toDF("doc_id", "text", "lang", "source",
+            "n_chars"))(
+        unland = { (b, _) =>
+          // the fixture's corpus rewrite: drop the batch's rows (a
+          // production store routes this through an id-guarded model)
+          val ids = b.select(col("doc_id")).as[Long].collect().toSet
+          val remaining = spark.read
+            .parquet(s"$dir2/documents.parquet")
+            .filter(!col("doc_id").isin(ids.toSeq: _*))
+            .localCheckpoint()
+          remaining.write.mode("overwrite")
+            .parquet(s"$dir2/documents.parquet")
+          Tables.invalidate(dir2, "documents")
+        },
+        onBatch = r => { perBatch += r.keySet; () }).start()
+      try {
+        input.addData(delRows(0))
+        q.processAllAvailable()
+        input.addData(delRows(1))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(perBatch.size == 2 && perBatch.forall(ks =>
+        ks.contains("gram_starts_10") && ks.contains("bigram_counts") &&
+          ks.contains("documents_by_doc")),
+        s"both micro-batches must retract: $perBatch")
+
+      // stream-maintained standing state ≡ direct recomputation over
+      // the post-delete corpus
+      val keep = graft.operators.t(spark, dir2, "documents")
+      assertSameRows(Curation2.gramStarts(spark, dir2),
+        Curation2.gramHashes(keep.select(col("doc_id"),
+          split(col("text"), " ").as("w"))),
+        "gram_starts_10 (streamed retraction)")
+      assertSameRows(TextAnalysis.bigramCounts(spark, dir2),
+        TextAnalysis.bigramCountsOf(keep),
+        "bigram_counts (streamed retraction)")
+      assertSameRows(Curation2.docsById(spark, dir2)
+          .select(keep.columns.map(col).toIndexedSeq: _*),
+        keep, "documents_by_doc (streamed retraction)")
+
+      // exactly-once: replaying a committed batch id no-ops EVERY arm
+      // even though the fresh capture's fingerprints all match — the
+      // fp guard alone would re-apply the (non-idempotent) negative
+      // partials; the per-model batch id is what blocks it
+      val replay = StandingRetract.retractDocBatch(spark, dir2,
+        allDocs.filter(col("doc_id") % 5 === 1),
+        StandingIngest.capturePre(spark, dir2), batchId = Some(1L))
+      assert(replay.isEmpty, s"replay must no-op, got ${replay.keySet}")
+      assertSameRows(TextAnalysis.bigramCounts(spark, dir2),
+        TextAnalysis.bigramCountsOf(keep),
+        "bigram_counts (after replayed retraction)")
+    } finally {
+      graft.api.FsIO.deleteTree(Shared.namespaceDir(spark, dir2))
+      graft.api.FsIO.deleteTree(dir2)
+      Shared.invalidate(dir2)
+    }
+  }
 }
