@@ -49,6 +49,8 @@ object ScalingProbe {
       "dd_cluster_density" ->
         "per-cluster cohesion (degree-ordered triangles over the collapsed evidence graph)",
       "q_recursive_bfs" -> "iterative frontier BFS",
+      "q_sssp" ->
+        "4-round Bellman-Ford over the weighted src-bucketed edge model",
       "sim_brute_topk" -> "brute-force ANN (fixed query set)",
       "sim_ivf_topk" -> "standing Lloyd-refined IVF index probe",
       "dd_embedding_neardup_ivf" ->
@@ -358,6 +360,115 @@ object ScalingProbe {
       }
     }
     sb.append(appendBlock)
+
+    // Retraction cost (round-13 second session): FIXED-size takedown
+    // requests against corpora spanning 100× — the claim under test is
+    // that StandingRetract.retractDocBatch costs O(request +
+    // affected-buckets), not O(corpus): tombstone append + meta-only
+    // fingerprint advances + bucket-pruned physical deletes +
+    // request-sized negative partials. The standing models are built
+    // at 64 buckets here (production-shaped geometry — the default
+    // local[4] conf's 4 buckets would make ANY request touch every
+    // bucket and the physical deletes degenerate to full-model
+    // rewrites, which is a bucket-count artifact, not the algorithm).
+    // The corpus-file rewrite (the caller's step) and the one-time
+    // standing builds are timed separately so the maintenance cost
+    // stands alone.
+    sb.append("\n## Retraction cost (fixed-size takedown requests, ")
+    sb.append("64-bucket standing models)\n\n")
+    sb.append("| corpus | docs | standing build s (one-time) | ")
+    sb.append("request | raw buckets touched (of 64) | ")
+    sb.append("corpus rewrite s (caller) | retractDocBatch s |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    val retractSfs = Seq("0.01" -> "/root/testdata/sf0.01",
+        "0.1" -> "/root/testdata/sf0.1") ++
+      (if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get("testdata/sf1")))
+        Seq("1" -> "testdata/sf1") else Nil)
+    val defaultShuffle =
+      spark.conf.get("spark.sql.shuffle.partitions")
+    retractSfs.foreach { case (sf, base) =>
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_retract_probe").toString
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "64")
+          val all = spark.read.parquet(s"$base/documents.parquet")
+            .localCheckpoint()
+          val nDocs = all.count()
+          all.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+          Tables.invalidate(tmp, "documents")
+          val tb0 = System.nanoTime()
+          Seq[(org.apache.spark.sql.SparkSession, String) =>
+              org.apache.spark.sql.DataFrame](
+            graft.operators.Curation2.gramStarts _,
+            graft.operators.Curation2.sharedGrams _,
+            graft.operators.Curation2.docsById _,
+            graft.operators.Curation2.driftRefCounts _,
+            graft.operators.TextAnalysis.docTerms _,
+            graft.operators.TextAnalysis.bigramCounts _,
+            graft.operators.Dedup.docShingles _,
+            graft.operators.Dedup.sigModel _,
+            graft.operators.Dedup.bandIndexModel _,
+            graft.operators.Dedup.simhashSigs _)
+            .foreach(m => { m(spark, tmp).count(); () })
+          val buildS = (System.nanoTime() - tb0) / 1e9
+          import spark.implicits._
+          val pool = all.filter(col("doc_id") % 7 === 2)
+            .select(col("doc_id")).as[Long].collect().sorted
+          def f(v: Double) = String.format(
+            java.util.Locale.ROOT, "%.2f", Double.box(v))
+          var offset = 0
+          var corpus = all
+          Seq(8, 32).foreach { reqSize =>
+            val ids = pool.slice(offset, offset + reqSize).toSeq
+            offset += reqSize
+            val del = corpus.filter(col("doc_id").isin(ids: _*))
+              .localCheckpoint()
+            val buckets = del
+              .select(pmod(hash(col("doc_id")), lit(64)))
+              .distinct().count()
+            val pre = graft.operators.StandingIngest
+              .capturePre(spark, tmp)
+            val tr0 = System.nanoTime()
+            val remaining = corpus
+              .filter(!col("doc_id").isin(ids: _*)).localCheckpoint()
+            remaining.write.mode("overwrite")
+              .parquet(s"$tmp/documents.parquet")
+            Tables.invalidate(tmp, "documents")
+            val rewriteS = (System.nanoTime() - tr0) / 1e9
+            corpus = remaining
+            val td0 = System.nanoTime()
+            val res = graft.operators.StandingRetract
+              .retractDocBatch(spark, tmp, del, pre)
+            val retractS = (System.nanoTime() - td0) / 1e9
+            require(res.size >= 10, s"retraction probe at sf$sf " +
+              s"req=$reqSize advanced only ${res.keySet} — the block " +
+              "would measure a partial retraction")
+            sb.append(s"| sf$sf | $nDocs | ${f(buildS)} | $reqSize | ")
+            sb.append(s"$buckets | ${f(rewriteS)} | ${f(retractS)} |\n")
+          }
+        } finally {
+          spark.conf
+            .set("spark.sql.shuffle.partitions", defaultShuffle)
+          graft.api.FsIO.deleteTree(
+            graft.operators.Shared.namespaceDir(spark, tmp))
+          graft.api.FsIO.deleteTree(tmp)
+          graft.operators.Shared.invalidate(tmp)
+        }
+    }
+    sb.append("\nretractDocBatch = tombstone append (request-sized ")
+    sb.append("rows) + 5 meta-only salted fingerprint advances + 2 ")
+    sb.append("bucket-pruned physical deletes + 2 negative partial ")
+    sb.append("appends. The retract column tracks REQUEST size and ")
+    sb.append("buckets touched, not corpus size — the physical deletes ")
+    sb.append("read only the bucket files holding the ids (an 8-doc ")
+    sb.append("request reads ≤8/64 of each doc_id-bucketed model; at ")
+    sb.append("production bucket counts the fraction shrinks further), ")
+    sb.append("while the corpus rewrite scales with the corpus and ")
+    sb.append("belongs to the store, not the index maintenance. The ")
+    sb.append("second request per corpus exercises the tombstone ")
+    sb.append("APPEND arm on the already-retracted catalog.\n")
 
     // standing adjudications: design verdicts the table alone doesn't
     // carry, regenerated with every probe run so they cannot silently

@@ -92,7 +92,7 @@ object Dedup extends QueryPack {
     * aggregations and shingle-keyed joins downstream run in place
     * with no exchange.
     */
-  private[operators] def docShingles(spark: SparkSession,
+  private[graft] def docShingles(spark: SparkSession,
       dir: String): DataFrame =
     Shared.model(spark, dir, "doc_shingles", "shingle",
       (s, d) => shingleSet(t(s, d, "documents")

@@ -171,9 +171,48 @@ object Graph extends QueryPack {
       .orderBy("deg")
   }
 
+  /** G4 — hop-bounded weighted single-source shortest paths (4
+    * Bellman-Ford rounds, unrolled in BOTH engines): min-cost route
+    * from the seed suppliers (s_suppkey ≤ 3) where an edge's cost is
+    * the MINIMUM quantity ever shipped for that supplier↔part pair —
+    * the "cheapest provisioning chain" shape of supply-chain
+    * analytics, and the weighted completion of [[Relational6]]'s
+    * unweighted BFS.
+    *
+    * Scale: each round is one shuffle-hash join of the node-sized
+    * distance table against the weighted edge model (src-bucketed
+    * standing state, exchange-free on the edge side — the
+    * [[SharedGraph]] posture with weights) + one min-aggregation on
+    * the destination. Exactness: quantities are integer-valued, so
+    * weights CAST to BIGINT make every path cost an exact integer —
+    * min/plus arithmetic is order-independent, no float parity risk.
+    */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SharedGraph.weightedEdges(spark, dir)
+    val seed = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") <= 3)
+      .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist"))
+    var dist = seed
+    for (_ <- 1 to 4) {
+      val relaxed = edges
+        .join(dist.hint("shuffle_hash"), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+        .unionByName(dist.select(col("node"), col("dist").as("d")))
+        .groupBy("node").agg(min(col("d")).as("dist"))
+      dist = relaxed
+    }
+    dist.select(
+      when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
+        .as("kind"),
+      expr("node div 2").as("key"),
+      col("dist"))
+      .orderBy("kind", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
     "q_pagerank_fast" -> qPagerankFast _,
+    "q_sssp" -> qSssp _,
     "q_degree_dist" -> qDegreeDist _)
 
   private val sqlEdges = """
@@ -255,7 +294,42 @@ object Graph extends QueryPack {
       WITH $sqlEdges,
       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
       SELECT deg, count(*) AS n_nodes FROM deg
-      GROUP BY deg ORDER BY deg""")
+      GROUP BY deg ORDER BY deg""",
+    "q_sssp" -> {
+      def relax(prev: String, out: String) = s"""
+      $out AS (
+        SELECT node, min(d) AS dist FROM (
+          SELECT e.dst AS node, p.dist + e.w AS d
+          FROM wedges e JOIN $prev p ON e.src = p.node
+          UNION ALL
+          SELECT node, dist FROM $prev
+        ) GROUP BY node
+      )"""
+      s"""
+      WITH wli AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      wedges AS (
+        SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst, w
+        FROM wli
+        UNION ALL
+        SELECT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst, w
+        FROM wli
+      ),
+      d0 AS (
+        SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+        FROM supplier WHERE s_suppkey <= 3
+      ),
+      ${relax("d0", "d1")},
+      ${relax("d1", "d2")},
+      ${relax("d2", "d3")},
+      ${relax("d3", "d4")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+               AS kind,
+             node // 2 AS key, dist
+      FROM d4 ORDER BY kind, key"""
+    })
 }
 
 /** The bipartite edge list as a SHARED bucketed materialization: built
@@ -275,4 +349,22 @@ private[operators] object SharedGraph {
   def edges(spark: SparkSession, dir: String): DataFrame =
     Shared.model(spark, dir, "edges_bipartite", "src", Graph.edgesOf,
       inputs = Seq("lineitem"))
+
+  /** The WEIGHTED twin: min-quantity edge costs as exact BIGINTs
+    * (quantities are integer-valued), src-bucketed for the same
+    * exchange-free per-iteration reads [[Graph.qSssp]]'s relaxation
+    * rounds need. */
+  def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    Shared.model(spark, dir, "edges_weighted", "src", { (s, d) =>
+      val wli = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      wli.select(explode(array(
+        struct((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"), col("w")),
+        struct((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_suppkey") * 2).as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
+    }, inputs = Seq("lineitem"))
 }

@@ -54,7 +54,7 @@ object TextAnalysis extends QueryPack {
     * w1-bucketed so context totals (`groupBy(w1)`) aggregate without
     * an exchange.
     */
-  private[operators] def bigramCounts(spark: SparkSession,
+  private[graft] def bigramCounts(spark: SparkSession,
       dir: String): DataFrame =
     // aggregate-on-read (r12): the standing model may hold PARTIAL
     // per-(w1,w2) rows — the original build plus per-ingest-batch
