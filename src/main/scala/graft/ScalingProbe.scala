@@ -374,17 +374,18 @@ object ScalingProbe {
     // The corpus-file rewrite (the caller's step) and the one-time
     // standing builds are timed separately so the maintenance cost
     // stands alone.
+    // the probe's bucket geometry, interpolated everywhere it appears
+    // (conf, bucket-touch modulus, table prose) so it cannot drift
+    val retractBuckets = 64
     sb.append("\n## Retraction cost (fixed-size takedown requests, ")
-    sb.append("64-bucket standing models)\n\n")
+    sb.append(s"$retractBuckets-bucket standing models)\n\n")
     sb.append("| corpus | docs | standing build s (one-time) | ")
-    sb.append("request | raw buckets touched (of 64) | ")
+    sb.append(s"request | raw buckets touched (of $retractBuckets) | ")
     sb.append("corpus rewrite s (caller) | retractDocBatch s |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
-    val retractSfs = Seq("0.01" -> "/root/testdata/sf0.01",
-        "0.1" -> "/root/testdata/sf0.1") ++
-      (if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get("testdata/sf1")))
-        Seq("1" -> "testdata/sf1") else Nil)
+    // the ONE sf-directory list from the main sweep, minus the
+    // sub-second sf0.001 tier (standing builds dominate there)
+    val retractSfs = sfs.filter(_._1 != "0.001")
     val defaultShuffle =
       spark.conf.get("spark.sql.shuffle.partitions")
     retractSfs.foreach { case (sf, base) =>
@@ -392,7 +393,8 @@ object ScalingProbe {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_retract_probe").toString
         try {
-          spark.conf.set("spark.sql.shuffle.partitions", "64")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            retractBuckets.toString)
           val all = spark.read.parquet(s"$base/documents.parquet")
             .localCheckpoint()
           val nDocs = all.count()
@@ -426,7 +428,7 @@ object ScalingProbe {
             val del = corpus.filter(col("doc_id").isin(ids: _*))
               .localCheckpoint()
             val buckets = del
-              .select(pmod(hash(col("doc_id")), lit(64)))
+              .select(pmod(hash(col("doc_id")), lit(retractBuckets)))
               .distinct().count()
             val pre = graft.operators.StandingIngest
               .capturePre(spark, tmp)
@@ -447,7 +449,12 @@ object ScalingProbe {
               "would measure a partial retraction")
             sb.append(s"| sf$sf | $nDocs | ${f(buildS)} | $reqSize | ")
             sb.append(s"$buckets | ${f(rewriteS)} | ${f(retractS)} |\n")
+            // release this request's checkpointed corpus copies so the
+            // next measurement doesn't run under their block pressure
+            del.unpersist()
           }
+          all.unpersist()
+          corpus.unpersist()
         } finally {
           spark.conf
             .set("spark.sql.shuffle.partitions", defaultShuffle)
@@ -463,7 +470,8 @@ object ScalingProbe {
     sb.append("appends. The retract column tracks REQUEST size and ")
     sb.append("buckets touched, not corpus size — the physical deletes ")
     sb.append("read only the bucket files holding the ids (an 8-doc ")
-    sb.append("request reads ≤8/64 of each doc_id-bucketed model; at ")
+    sb.append(s"request reads ≤8/$retractBuckets of each doc_id-")
+    sb.append("bucketed model; at ")
     sb.append("production bucket counts the fraction shrinks further), ")
     sb.append("while the corpus rewrite scales with the corpus and ")
     sb.append("belongs to the store, not the index maintenance. The ")

@@ -308,7 +308,8 @@ object Graph extends QueryPack {
       s"""
       WITH wli AS (
         SELECT l_suppkey, l_partkey,
-               CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS w
         FROM lineitem GROUP BY 1, 2),
       wedges AS (
         SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst, w
@@ -356,9 +357,14 @@ private[operators] object SharedGraph {
     * rounds need. */
   def weightedEdges(spark: SparkSession, dir: String): DataFrame =
     Shared.model(spark, dir, "edges_weighted", "src", { (s, d) =>
+      // floor BEFORE the integer cast: quantities are integer-valued
+      // today, but Spark's double→long cast TRUNCATES while DuckDB's
+      // ROUNDS — floor is exact and identical in both engines, so a
+      // future non-integral quantity can never silently diverge the
+      // two weight derivations
       val wli = t(s, d, "lineitem")
         .groupBy(col("l_suppkey"), col("l_partkey"))
-        .agg(min(col("l_quantity").cast("long")).as("w"))
+        .agg(min(floor(col("l_quantity")).cast("long")).as("w"))
       wli.select(explode(array(
         struct((col("l_suppkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"), col("w")),
@@ -366,5 +372,8 @@ private[operators] object SharedGraph {
           (col("l_suppkey") * 2).as("dst"), col("w")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
           col("e.w").as("w"))
-    }, inputs = Seq("lineitem"))
+      // logicVersion 2: the floor-before-cast weight derivation (the
+      // values are identical on integer-valued quantities, but the
+      // build formula changed — discipline says version it)
+    }, inputs = Seq("lineitem"), logicVersion = "2")
 }
