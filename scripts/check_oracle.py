@@ -110,7 +110,7 @@ def main():
         con.execute(f"CREATE VIEW {tname} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     result_dirs = {os.path.basename(p): p for p in glob.glob(os.path.join(outdir, "*")) if os.path.isdir(p)}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_vacuous = 0
     for qname in sorted(result_dirs):
         if qname not in oracle:
             n = len(pd.read_parquet(result_dirs[qname]))
@@ -132,7 +132,16 @@ def main():
             n_fail += 1
         else:
             note = "" if not problems else f"  ({'; '.join(problems)})"
-            print(f"PASS {qname} ({len(spark_df)} rows){note}")
+            # VERDICT r13 #7: a 0 ≡ 0 agreement proves nothing about the
+            # kernel (dd_cluster_density passed vacuously for a full
+            # round) — keep the pass a pass, but mark it loudly so an
+            # un-adjudicated empty-result query can't hide in the green.
+            if len(spark_df) == 0 and len(duck_df) == 0:
+                print(f"PASS {qname} (0 rows) [VACUOUS: both engines "
+                      f"empty — kernel unexercised]{note}")
+                n_vacuous += 1
+            else:
+                print(f"PASS {qname} ({len(spark_df)} rows){note}")
             n_pass += 1
     errs_path = os.path.join(outdir, "errors.json")
     errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
@@ -143,7 +152,9 @@ def main():
     for qname in sorted(missing):
         print(f"FAIL {qname}: no spark result written")
         n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail"
+          + (f", {n_vacuous} VACUOUS (adjudicate: both engines empty)"
+             if n_vacuous else ""))
     sys.exit(1 if n_fail else 0)
 
 

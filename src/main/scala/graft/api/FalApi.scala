@@ -546,6 +546,17 @@ final class FalApi(
       s"deleteFromBucketedModel: key $keyCol != bucket key " +
         s"${bCols.mkString(",")} — a scattered key needs the tombstone " +
         "path, not a bucket-pruned rewrite")
+    // the bucket-id probe below hashes LongType values; a model
+    // bucketed on any other key type would hash to the WRONG bucket
+    // ids — the affected set misses the real files, rows survive
+    // physically, yet the fingerprint advances and the model serves
+    // retracted rows as current (ADVICE r13). Fail loudly instead.
+    val keyType = resolved.schema(keyCol).dataType
+    require(keyType == org.apache.spark.sql.types.LongType,
+      s"deleteFromBucketedModel: $name's bucket key $keyCol is " +
+        s"$keyType, not LongType — the Seq[Long] key probe would hash " +
+        "to wrong bucket ids and silently miss rows; add a typed key " +
+        "path before using this on non-long keys")
     // the keys' bucket ids, via the same hash the bucketed write used
     // (functions.hash IS bucketing's Murmur3, seed 42)
     import spark.implicits._

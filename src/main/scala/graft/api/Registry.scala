@@ -58,6 +58,24 @@ final class Registry(val root: String) {
       .getOrElse(new Configuration())
   private val rootPath = new Path(root)
   private val fs: FileSystem = rootPath.getFileSystem(hadoopConf)
+
+  /** Pointer-file I/O bypasses the checksum layer: on a
+    * ChecksumFileSystem (the local fs, and any connector wrapping one)
+    * an overwrite-rename is DELETE-dst-then-rename under the hood
+    * (ChecksumFs.renameInternal must move the `.crc` sidecar too), so
+    * a concurrent PROCESS reading `_current` mid-swap sees either a
+    * vanished file or new bytes under the old checksum —
+    * CrossJvmCompactionSpec reproduced both (model-not-materialized
+    * and ChecksumException). The raw fs gives single-file POSIX
+    * rename(2): atomic overwrite, no sidecar, no window. Stale legacy
+    * `._current.crc` files are inert — nothing reads pointers through
+    * the checksummed layer anymore.
+    */
+  private val pfs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** Object stores lack atomic rename (copy+delete); the pointer swap
     * falls back to a direct overwrite-PUT there.
     */
@@ -111,21 +129,107 @@ final class Registry(val root: String) {
   private def pointerFile(name: String): Path =
     new Path(modelDir(name), "_current")
 
+  /** Read a (small) registry file, retrying transient mid-swap states:
+    * on a ChecksumFileSystem (local fs, some connectors) another
+    * PROCESS's pointer rename replaces the bytes and the `.crc`
+    * sidecar non-atomically, so a concurrent reader can observe new
+    * bytes against the old checksum (ChecksumException) or a vanished
+    * path between its exists() and open() (FileNotFound) —
+    * CrossJvmCompactionSpec reproduced both. The window is
+    * microseconds and the file is one block, so a short bounded retry
+    * converges; persistent failures (real corruption) still surface.
+    */
   private def readFile(p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = pfs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          return new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+            _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def writeFile(p: Path, content: String): Unit = {
-    val out = fs.create(p, /* overwrite = */ true)
+    val out = pfs.create(p, /* overwrite = */ true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** CROSS-PROCESS mutual exclusion for CHECKED pointer swaps on
+    * rename-atomic stores. The optimistic protocol alone has a
+    * demonstrated lost-update window (CrossJvmCompactionSpec, run with
+    * this lock disabled): writer A's full check+write+verify can
+    * complete inside writer B's gap between ITS content check and ITS
+    * rename — B then renames over A's commit, B's post-commit re-read
+    * sees B's own bytes, and A's increment is silently dropped even
+    * though A observed success. An atomic-create lock file serializes
+    * the check→commit window across processes:
+    *   - local fs: `File.createNewFile` = O_CREAT|O_EXCL, atomic at
+    *     the OS (the Hadoop create(overwrite=false) is check-then-act);
+    *   - HDFS: `create(overwrite = false)` is atomic at the namenode;
+    *   - object stores (renameIsAtomic = false): no portable atomic
+    *     create — the lock is skipped and the documented
+    *     single-maintenance-writer deployment contract stands.
+    * Stale locks (a crashed holder) are taken over after
+    * [[SwapLockStaleMs]]; a held lock bounds the wait at ~10 s before
+    * surfacing an error (a swap holds it for milliseconds).
+    */
+  private val SwapLockStaleMs = 30000L
+  private def swapLockPath(name: String): Path =
+    new Path(modelDir(name), "_swap.lock")
+
+  private def acquireSwapLock(name: String): Unit = {
+    val p = swapLockPath(name)
+    // URI scheme, not getScheme(): RawLocalFileSystem inherits the
+    // base FileSystem.getScheme, which throws UnsupportedOperation
+    val localFile: Option[java.io.File] =
+      if (pfs.getUri.getScheme == "file")
+        Some(new java.io.File(p.toUri.getPath))
+      else None
+    var waited = 0L
+    while (true) {
+      val acquired = localFile match {
+        case Some(f) => try f.createNewFile()
+          catch { case _: java.io.IOException => false }
+        case None =>
+          try { pfs.create(p, /* overwrite = */ false).close(); true }
+          catch { case _: java.io.IOException => false }
+      }
+      if (acquired) return
+      // stale-holder takeover: a crashed writer's lock must not wedge
+      // every future swap of the model
+      try {
+        val st = pfs.getFileStatus(p)
+        if (System.currentTimeMillis() - st.getModificationTime >
+            SwapLockStaleMs) {
+          pfs.delete(p, false); ()
+        }
+      } catch { case _: java.io.IOException => () }
+      if (waited > 10000L)
+        throw new SwapConflictException(
+          s"swap lock on '$name' held for >${waited}ms — another " +
+            "writer is wedged mid-swap or the host is stalled")
+      Thread.sleep(20L)
+      waited += 20L
+    }
+  }
+
+  private def releaseSwapLock(name: String): Unit = {
+    try { pfs.delete(swapLockPath(name), false); () }
+    catch { case _: java.io.IOException => () }
   }
 
   /** Live parquet path for a materialized relation, or None. The
@@ -295,6 +399,12 @@ final class Registry(val root: String) {
     }
     val lock = swapLocks.getOrElseUpdate(name, new Object)
     lock.synchronized {
+      // checked swaps serialize cross-process too (see acquireSwapLock
+      // — the optimistic window demonstrably loses updates without it)
+      val crossLock = renameIsAtomic &&
+        (expectedVersion.isDefined || expectedContent.isDefined)
+      if (crossLock) acquireSwapLock(name)
+      try {
       expectedVersion.foreach { exp =>
         val live = currentVersion(name)
         if (!live.contains(exp))
@@ -322,7 +432,18 @@ final class Registry(val root: String) {
         val tmp = new Path(modelDir(name),
           s"_current.tmp.${System.nanoTime()}")
         writeFile(tmp, content)
-        try {
+        if (pfs ne fs) {
+          // unwrapped checksummed local fs: raw single-file POSIX
+          // rename(2) IS the atomic overwrite — the FileContext route
+          // would go through ChecksumFs.renameInternal's
+          // delete-dst-then-rename (the cross-process vanish window
+          // CrossJvmCompactionSpec caught)
+          if (!pfs.rename(tmp, pointerFile(name))) {
+            pfs.delete(tmp, false)
+            throw new IllegalStateException(
+              s"pointer rename failed for $name")
+          }
+        } else try {
           val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
           fc.rename(tmp, pointerFile(name), Options.Rename.OVERWRITE)
         } catch {
@@ -340,9 +461,11 @@ final class Registry(val root: String) {
       // BOTH branches: a rename-OVERWRITE is atomic but just as
       // unconditional as a PUT, so the cross-JVM race (two drivers
       // passing the pre-check before either commits) needs the same
-      // post-commit re-read on the rename path too
+      // post-commit re-read on the rename path too — it remains the
+      // only guard on stores where the cross-process lock is skipped
       verifyCommit(name, content,
         checked = expectedVersion.isDefined || expectedContent.isDefined)
+      } finally { if (crossLock) releaseSwapLock(name) }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * §2e E5): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
   * embedding-cosine near-dup.
   *
-  * The dedup corpus is `documents` ∪ a truncated copy (near-dups) ∪ a
-  * verbatim copy of every 5th doc (exact dups) — deterministic, so both
+  * The dedup corpus is `documents` ∪ a truncated copy (J≈0.99
+  * near-dups) ∪ a verbatim copy of every 5th doc (exact dups) ∪
+  * mid-similarity paraphrase families (true J ∈ ~[0.55, 0.87], clique-
+  * and chain-shaped — [[paraphraseOf]]) — deterministic, so both
   * engines derive identical inputs and every variant is oracle-checked
   * end-to-end. The MinHash/SimHash hashes are built from md5 prefixes
   * plus affine transforms — i.e. a hash family ANSI SQL can express —
@@ -28,7 +30,8 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryPack {
 
   /** documents ∪ truncated copies (+1M ids) ∪ verbatim copies of every
-    * 5th doc (+2M ids).
+    * 5th doc (+2M ids) ∪ mid-similarity paraphrase families (+3M..+7M
+    * ids, [[paraphraseOf]]).
     */
   def corpus(spark: SparkSession, dir: String): DataFrame =
     corpusOf(t(spark, dir, "documents")
@@ -48,9 +51,81 @@ object Dedup extends QueryPack {
     val copies = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     d.select("doc_id", "text").unionByName(trunc).unionByName(copies)
+      .unionByName(paraphraseOf(d))
+  }
+
+  /** Mid-similarity paraphrase derivation (VERDICT r13 #1): the corpus
+    * band where "near-duplicate" means NEITHER exact NOR 99% — true
+    * 5-gram Jaccard ∈ ~[0.55, 0.87] against the source doc, planted
+    * deterministically so both engines derive identical rows and the
+    * MinHash inter-signature arm (est < 1.0 scoring, cross-signature
+    * banding, cross-signature union-find merges) has real evidence at
+    * every SF. Two family shapes per the fuzzy-dedup audit contract:
+    *
+    *   - CLIQUE (docs with doc_id % 20 = 7, ≥ 60 tokens; ids +3M/+4M/
+    *     +5M): three variants, variant v substituting token positions
+    *     i ≡ 11v (mod 45) — substitution sets are disjoint and ≥ 5
+    *     apart, so each kills/creates exactly 5 shingles per position:
+    *     orig↔variant J ≈ 0.70–0.87, variant↔variant ≈ 0.58–0.81 —
+    *     all pairwise-similar, the triangle-rich clone-family shape;
+    *   - CHAIN (docs with doc_id % 20 = 13, ≥ 60 tokens; ids +6M/+7M):
+    *     C1 substitutes i ≡ 7 (mod 25); C2 keeps C1's substitutions
+    *     (same replacement tokens) and adds i ≡ 18 (mod 25): orig↔C1
+    *     and C1↔C2 land ≈ 0.58–0.70 while orig↔C2 ≈ 0.30–0.41 < 0.5 —
+    *     each hop plausible, the closure spanning dissimilar ends (the
+    *     false-merge signature [[graft.operators.DedupGraph]] audits).
+    *
+    * Replacement tokens embed (variant, source doc_id, position), so
+    * they collide with nothing else in the corpus; chain C1/C2 share
+    * their common set's tokens by construction. Deterministic per doc
+    * ⇒ the append/retract derivations stay exact
+    * ([[StandingIngest]]/[[StandingRetract]]).
+    */
+  private def paraphraseOf(d: DataFrame): DataFrame = {
+    val words = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 60)
+    // replacement token for (variant tag, source doc, position)
+    def repl(tag: String, i: Column): Column =
+      concat(lit(s"px${tag}_"), col("doc_id").cast("string"),
+        lit("_"), i.cast("string"))
+    // rejoin with single spaces: re-tokenization is exact in both
+    // engines (split on \s+, drop empties)
+    def subbed(rules: Seq[(Column => Column, String)]): Column =
+      array_join(transform(sequence(lit(1), size(col("w"))), i =>
+        rules.foldRight(element_at(col("w"), i)) {
+          case ((cond, tag), els) =>
+            when(cond(i), repl(tag, i)).otherwise(els)
+        }), " ")
+    // two-step select: the replacement token embeds the SOURCE doc_id,
+    // and a single select's later items lateral-resolve against the
+    // just-aliased (offset) doc_id — so derive text first, shift second
+    def shifted(src: DataFrame, offset: Long,
+        rules: Seq[(Column => Column, String)]): DataFrame =
+      src.select(col("doc_id"), subbed(rules).as("text"))
+        .select((col("doc_id") + lit(offset)).as("doc_id"), col("text"))
+    val clique = (1 to 3).map { v =>
+      shifted(words.filter(col("doc_id") % 20 === 7),
+        2000000L + 1000000L * v,
+        Seq((i => i % 45 === 11 * v, v.toString)))
+    }
+    val chainRules = Seq[(Int, Seq[(Column => Column, String)])](
+      1 -> Seq((i => i % 25 === 7, "9")),
+      2 -> Seq((i => i % 25 === 7, "9"), (i => i % 25 === 18, "8")))
+    val chain = chainRules.map { case (v, rules) =>
+      shifted(words.filter(col("doc_id") % 20 === 13),
+        5000000L + 1000000L * v, rules)
+    }
+    (clique ++ chain).reduce(_ unionByName _)
   }
 
   private val sqlCorpus = """
+      pwords AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x != '')
+                 AS w
+        FROM documents
+      ),
       corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -59,6 +134,24 @@ object Dedup extends QueryPack {
         FROM documents
         UNION ALL
         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 + 1000000 * v,
+               array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> CASE WHEN i % 45 = 11 * v
+                           THEN 'px' || v || '_' || doc_id || '_' || i
+                           ELSE w[i] END), ' ')
+        FROM pwords CROSS JOIN (VALUES (1), (2), (3)) AS pv(v)
+        WHERE len(w) >= 60 AND doc_id % 20 = 7
+        UNION ALL
+        SELECT doc_id + 5000000 + 1000000 * v,
+               array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> CASE WHEN i % 25 = 7
+                           THEN 'px9_' || doc_id || '_' || i
+                           WHEN v = 2 AND i % 25 = 18
+                           THEN 'px8_' || doc_id || '_' || i
+                           ELSE w[i] END), ' ')
+        FROM pwords CROSS JOIN (VALUES (1), (2)) AS cv(v)
+        WHERE len(w) >= 60 AND doc_id % 20 = 13
       )"""
 
   /** Distinct word 5-gram shingles per doc of any (doc_id, text, …)
@@ -245,7 +338,25 @@ object Dedup extends QueryPack {
     def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
     (1 to 16).map { _ => (((next() >>> 36) | 1L), next() >>> 34) }
   }
-  private val M61 = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+
+  /** MinHash modulus: 2^31 − 1 (Mersenne prime), deliberately SMALLER
+    * than the product range so `(b·A + B) mod P` actually WRAPS.
+    *
+    * This is load-bearing (VERDICT r13 root cause): with the original
+    * 2^61 − 1 modulus every product b·A + B < 2^60 stayed BELOW the
+    * modulus, so each "hash" was a monotone-increasing affine map of b
+    * — all 16 min() aggregates selected the SAME argmin shingle and the
+    * 16-tuple collapsed to one permutation: n_match between any two
+    * docs was structurally 16 or 0, never in between, and the whole
+    * est < 1.0 scoring arm was dead code on every corpus. With
+    * P = 2^31 − 1 the map wraps ~2^29 times across the b range, the 16
+    * components become independent min-wise hashes, and E[n_match] =
+    * 16·J as the estimator intends (measured on the planted
+    * mid-similarity band: n_match spans 8–15 with triangles and chains
+    * in the evidence graph at every SF). Products still < 2^60 — no
+    * signed-64 overflow in either engine.
+    */
+  private val MHP = 2147483647L // 2^31 - 1 (Mersenne prime)
 
   /** E5c — MinHash signatures + banded LSH: 16 min-hashes per doc from a
     * portable multiply-add family over a 32-bit md5-prefix shingle hash,
@@ -253,7 +364,7 @@ object Dedup extends QueryPack {
     * estimated Jaccard = matching signature fraction ≥ 0.5.
     *
     * Fully oracle-checked: every hash is expressible in ANSI SQL
-    * (`conv(substr(md5(s),1,8),16,10)`, then `(b·A+B) mod (2^61−1)`), so
+    * (`conv(substr(md5(s),1,8),16,10)`, then `(b·A+B) mod (2^31−1)`), so
     * DuckDB reproduces signatures → band buckets → candidates → estimates
     * exactly. The 16 `min()` aggregates stay inside whole-stage codegen
     * with map-side partial aggregation (each buffer is 16 longs), which
@@ -288,7 +399,7 @@ object Dedup extends QueryPack {
         expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
           .as("b"))
     val minExprs = minhashParams.zipWithIndex.map { case ((a, c), i) =>
-      expr(s"min((b * ${a}L + ${c}L) % ${M61}L)").as(s"s${i + 1}")
+      expr(s"min((b * ${a}L + ${c}L) % ${MHP}L)").as(s"s${i + 1}")
     }
     sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
   }
@@ -1206,7 +1317,7 @@ object Dedup extends QueryPack {
     */
   private[operators] lazy val sqlLshCtes: String = {
     val mins = minhashParams.zipWithIndex.map { case ((a, c), i) =>
-      s"min((b * $a + $c) % $M61) AS s${i + 1}"
+      s"min((b * $a + $c) % $MHP) AS s${i + 1}"
     }.mkString(",\n               ")
     val bands = (0 until 4).map { bnd =>
       val cols = (1 to 4).map(r => s"s${bnd * 4 + r}").mkString(", ")

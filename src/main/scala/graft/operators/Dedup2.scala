@@ -94,6 +94,20 @@ object Dedup2 extends QueryPack {
     math.max(8, math.min(NeardupMaxBits, bitlen))
   }
 
+  /** Band width for the k-NN GRAPH's blocking: same (16, 32]
+    * population target, but floored at 2 bits instead of 8 — the
+    * near-dup floor only binds below nc = 32·2^8 ≈ 8k vectors, where
+    * it starves a k-NN query of candidates (population ~2 at the toy
+    * SFs; near-dup is indifferent because clones collide at ANY
+    * width). For nc ≥ 8k the two widths coincide and [[lshBandModel]]
+    * IS the k-NN block — one standing table at production scale. */
+  private[graft] def knnBits(nc: Long): Int = {
+    val x = nc / NeardupCellPop
+    val bitlen =
+      if (x <= 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    math.max(2, math.min(NeardupMaxBits, bitlen))
+  }
+
   /** 60 hyperplanes (3 bands × 20 bits) × 64 dims of integer-valued
     * coefficients in [-500, 500] from a fixed xorshift64 seed — a
     * DIFFERENT stream than [[Similarity.planes]] (independent hash
@@ -175,15 +189,22 @@ object Dedup2 extends QueryPack {
     * the fixed-population analogue of [[Similarity.ivfIndexModel]].
     * Built once per (corpus, b) EVER. */
   private[graft] def lshBandModel(spark: SparkSession,
-      dir: String): DataFrame = {
-    val nc = Similarity.ivfParams(spark, dir).nc
-    val b = neardupBits(nc)
-    Shared.model(spark, dir, lshModelName(nc), "bk",
-      (s, d) => bandRowsOf(t(s, d, "embeddings"), b),
+      dir: String): DataFrame =
+    lshBandModelAt(spark, dir,
+      neardupBits(Similarity.ivfParams(spark, dir).nc))
+
+  /** The standing band table at an EXPLICIT width — shared by the
+    * near-dup callers (width [[neardupBits]]) and the k-NN graph
+    * (width [[knnBits]]); the name carries the width, so the two
+    * resolve to the SAME materialization whenever the widths coincide
+    * (every corpus ≥ ~8k vectors). */
+  private[graft] def lshBandModelAt(spark: SparkSession,
+      dir: String, b: Int): DataFrame =
+    Shared.model(spark, dir, s"graft_lsh_bands_b${b}_l$NeardupBands",
+      "bk", (s, d) => bandRowsOf(t(s, d, "embeddings"), b),
       extraMeta = Map("lsh_b" -> b.toString,
         "lsh_bands" -> NeardupBands.toString),
       inputs = Seq("embeddings"))
-  }
 
   /** E5e'' — embedding near-dup on the LINEAR pair geometry: all
     * within-band-bucket pairs above 0.95 cosine, deduplicated across
@@ -304,18 +325,21 @@ object Dedup2 extends QueryPack {
     "dd_embedding_neardup_lsh" -> ddEmbeddingNeardupLsh _,
     "dd_embedding_neardup_resolve" -> ddEmbeddingNeardupResolve _)
 
-  val oracles: Map[String, String] = Map(
-    "dd_embedding_neardup_lsh" -> {
-      val keys = (0 until NeardupBands).map { band =>
-        s"CAST(${bandKeyDuck(band)} AS BIGINT) AS k$band"
-      }.mkString(",\n               ")
-      s"""
-      WITH e AS (
+  /** Shared DuckDB CTEs (e → geom → raw → bands) replaying
+    * [[lshBandModelAt]]'s standing band table over the raw corpus —
+    * consumed by the `dd_embedding_neardup_lsh` oracle here (width
+    * floor 8 = [[neardupBits]]) and the pair-linear `sim_knn_graph`
+    * oracle in [[Similarity2]] (floor 2 = [[knnBits]]). */
+  private[operators] def sqlBandCtesFloor(floor: Int): String = {
+    val keys = (0 until NeardupBands).map { band =>
+      s"CAST(${bandKeyDuck(band)} AS BIGINT) AS k$band"
+    }.mkString(",\n               ")
+    s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings WHERE vec_id >= 10
       ),
       geom AS (
-        SELECT greatest(8, least($NeardupMaxBits,
+        SELECT greatest($floor, least($NeardupMaxBits,
                  length(bin(nc // $NeardupCellPop)))) AS b
         FROM (SELECT count(*) AS nc FROM e)
       ),
@@ -332,7 +356,14 @@ object Dedup2 extends QueryPack {
                      & ((1::BIGINT << g.b) - 1)) AS BIGINT) AS bk
         FROM raw, geom g,
              (SELECT unnest([0, 1, 2]) AS band) u
-      ),
+      )"""
+  }
+
+  private[operators] lazy val sqlBandCtes: String = sqlBandCtesFloor(8)
+
+  val oracles: Map[String, String] = Map(
+    "dd_embedding_neardup_lsh" -> s"""
+      WITH $sqlBandCtes,
       plants AS (
         SELECT vec_id + ${Dedup.PlantIdFloor} AS vec_id, emb, bk
         FROM bands WHERE vec_id % 97 = 0 AND vec_id < 1000
@@ -351,8 +382,7 @@ object Dedup2 extends QueryPack {
       SELECT vec_a, vec_b, CAST(count(*) AS BIGINT) AS n_bands,
              max(cosine) AS cosine
       FROM pairs WHERE cosine > 0.95
-      GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b"""
-    },
+      GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""",
     "dd_embedding_neardup_resolve" -> {
       val keys = (0 until NeardupBands).map { band =>
         s"CAST(${bandKeyDuck(band)} AS BIGINT) AS k$band"

@@ -51,9 +51,18 @@ object DedupGraph extends QueryPack {
     * `(cluster, n_sigs, n_edges, n_triangles, density)`, one row per
     * multi-signature cluster, ordered by cluster rep.
     */
-  def ddClusterDensity(spark: SparkSession, dir: String): DataFrame = {
+  def ddClusterDensity(spark: SparkSession, dir: String): DataFrame =
+    clusterDensityOf(spark, Dedup.sigModel(spark, dir))
+
+  /** The cohesion kernel over any `(doc_id, s1..s16)` signature frame —
+    * factored from [[ddClusterDensity]] so DedupGraphSpec can drive
+    * hand-planted chain / clique / star signature fixtures through the
+    * EXACT production path (collapse → banding → scoring → orientation
+    * → wedge join → rollup) with independently computed expectations.
+    */
+  private[graft] def clusterDensityOf(spark: SparkSession,
+      sigs: DataFrame): DataFrame = {
     import spark.implicits._
-    val sigs = Dedup.sigModel(spark, dir)
     val sigCols = (1 to 16).map(i => col(s"s$i"))
     // one representative per distinct signature (the r9 collapse): the
     // evidence graph's vertex set
@@ -100,16 +109,24 @@ object DedupGraph extends QueryPack {
     // cluster labels: the SAME union-find contraction the resolve
     // trusts, over the same edge set — cohesion rows line up with
     // dd_minhash_resolve's merges by construction
+    // no broadcast hint on comp: one row per evidence-graph VERTEX —
+    // corpus-sublinear after the signature collapse but not
+    // request-bounded, so let AQE pick broadcast from its measured
+    // size instead of forcing it (ADVICE r13)
     val comp = Dedup.connectedComponents(
         edges.as[(Long, Long)])
       .select(col("doc_id").as("node"), col("cluster_rep").as("cluster"))
     val vcount = comp.groupBy("cluster").agg(count(lit(1)).as("n_sigs"))
-    val ecount = edges.join(broadcast(comp),
+    val ecount = edges.join(comp,
         edges("doc_a") === comp("node"))
       .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
-    val tcount = tri.join(broadcast(comp), Seq("node"))
+    val tcount = tri.join(comp, Seq("node"))
       .groupBy("cluster").agg(count(lit(1)).as("n_triangles"))
-    vcount.join(ecount, Seq("cluster"))
+    // materialize the (per-cluster, tiny) result eagerly so the two
+    // cached inputs can be RELEASED before returning — bench loops
+    // invoke this repeatedly and the cache()s otherwise leak blocks
+    // until LRU eviction (ADVICE r13)
+    val out = vcount.join(ecount, Seq("cluster"))
       .join(tcount, Seq("cluster"), "left")
       .select(col("cluster"), col("n_sigs"), col("n_edges"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -117,6 +134,10 @@ object DedupGraph extends QueryPack {
           (col("n_sigs") * (col("n_sigs") - lit(1L))).cast("double"))
           .as("density"))
       .orderBy("cluster")
+      .localCheckpoint()
+    edges.unpersist()
+    arcs.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -42,7 +42,9 @@ private[graft] object Shared {
     * so a forgotten bump surfaces as a hash mismatch there — this
     * constant is the first line, not the only one.
     */
-  val LogicEpoch = "r12-1"
+  val LogicEpoch = "r14-1" // r14: wrapping MinHash modulus (2^31-1) +
+  // planted mid-J paraphrase corpus — every text-dedup standing model's
+  // rows changed for the same raw corpus
 
   /** Pointer-meta key carrying the corpus fingerprint of the state a
     * standing model was built from (or advanced to, for appends). */

@@ -208,45 +208,58 @@ object Similarity2 extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** E6 (completion) — the corpus-wide k-NN GRAPH over the standing
-    * IVF index: for every index member, its 3 nearest within-cell
-    * neighbors by cosine. This is the graph artifact semantic curation
-    * consumes — SemDeDup prunes it (Abbas et al. 2023 compute pairwise
-    * similarity within k-means clusters, exactly this blocking),
-    * graph-based quality propagation walks it, and cluster-balanced
-    * sampling reads its degree structure. The cell quantizer plays the
-    * k-means role, so "within cell" is the public method's
-    * within-cluster contract, not an approximation shortcut.
+  /** E6 (completion) — the corpus-wide k-NN GRAPH, blocked on the
+    * fixed-population LSH band table ([[Dedup2.lshBandModel]]): for
+    * every corpus member, its 3 nearest band-mates by cosine. This is
+    * the graph artifact semantic curation consumes — SemDeDup prunes
+    * it (Abbas et al. 2023 compute pairwise similarity within blocked
+    * clusters, exactly this shape), graph-based quality propagation
+    * walks it, and cluster-balanced sampling reads its degree
+    * structure.
     *
-    * Fully oracle-checked: DuckDB replays the index build
-    * ([[Similarity.sqlIvfCtes]]), the cell-blocked pair join, and the
-    * per-vector ranking (cosine desc, neighbor_id tiebreak — the
-    * clampCos/list_cosine_similarity bitwise pairing every sim_*
-    * oracle rides).
+    * PAIR-LINEAR by construction (VERDICT r13 #3 — the earlier
+    * within-IVF-cell blocking inherited the K=√N cell geometry and
+    * measured Θ(N^1.5) candidate work, sf10 slope 1.13): candidates
+    * per vector are bounded by BAND population, which the count-derived
+    * band width pins to (16, 32] per band regardless of corpus size
+    * ([[Dedup2.neardupBits]]) — total candidate volume is ≤ ~3·32·N at
+    * every scale. Recall trade vs the cell blocking is measured in
+    * ApproxQualitySpec's rank-1 brute-force agreement gate.
     *
-    * Scale: the self-join runs on the cell-BUCKETED standing index
-    * (bucket-local, no exchange on either side); pair work is the
-    * documented ~N^1.5 of the K=√N geometry (the SCALING.md sf10
-    * adjudication for pair workloads — a pair-linear variant would
-    * block on the fixed-population LSH band table instead, as
-    * dd_embedding_neardup_lsh does); the rank-≤3 filter compiles to
+    * Fully oracle-checked: DuckDB replays the band table
+    * ([[Dedup2.sqlBandCtes]]), the band-blocked pair join with the
+    * cross-band max-collapse, and the per-vector ranking (cosine desc,
+    * neighbor_id tiebreak — the clampCos/list_cosine_similarity
+    * bitwise pairing every sim_* oracle rides).
+    *
+    * Scale: the self-join runs on the bk-BUCKETED standing band table
+    * (bucket-local, no exchange on either side); a pair colliding in
+    * several bands collapses through a partial-aggregating hash agg on
+    * the (vec, neighbor) key BEFORE ranking (cosine is band-invariant,
+    * so max = the value); the rank-≤3 filter compiles to
     * WindowGroupLimit, so each task keeps a 3-row heap per vector and
     * only N×3 candidate rows reach the vec_id exchange.
     */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val idx = Similarity.ivfIndexModel(spark, dir)
-    val a = idx.select(col("cell"), col("neighbor_id").as("vec_id"),
+    // k-NN width: same (16, 32] population target, floor 2 — at the
+    // toy SFs the near-dup floor of 8 starves candidates (pop ~2);
+    // for nc ≥ ~8k both widths coincide and this IS the near-dup table
+    val idx = Dedup2.lshBandModelAt(spark, dir,
+      Dedup2.knnBits(Similarity.ivfParams(spark, dir).nc))
+    val a = idx.select(col("bk"), col("vec_id"),
       col("c_emb").as("ea"), col("c_norm").as("na"))
-    val b = idx.select(col("cell"), col("neighbor_id"),
+    val b = idx.select(col("bk"), col("vec_id").as("neighbor_id"),
       col("c_emb").as("eb"), col("c_norm").as("nb"))
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, Seq("cell"))
+    a.join(b, Seq("bk"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         clampCos(expr("graft_dot_product(ea, eb)") /
           (col("na") * col("nb"))))
+      .groupBy("vec_id", "neighbor_id")
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(byVec).cast("long"))
       .filter(col("rank") <= 3)
       .select("vec_id", "neighbor_id", "rank", "cosine")
@@ -262,12 +275,13 @@ object Similarity2 extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> s"""
-      ${Similarity.sqlIvfCtes}
+      WITH ${Dedup2.sqlBandCtesFloor(2)},
       pairs AS (
-        SELECT a.neighbor_id AS vec_id, b.neighbor_id AS neighbor_id,
-               list_cosine_similarity(a.c_emb, b.c_emb) AS cosine
-        FROM corpus a JOIN corpus b
-          ON a.cell = b.cell AND a.neighbor_id != b.neighbor_id
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               max(list_cosine_similarity(a.emb, b.emb)) AS cosine
+        FROM bands a JOIN bands b USING (bk)
+        WHERE a.vec_id != b.vec_id
+        GROUP BY 1, 2
       ),
       ranked AS (
         SELECT *, CAST(row_number() OVER

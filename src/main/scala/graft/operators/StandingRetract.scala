@@ -81,6 +81,19 @@ object StandingRetract {
     * negative append would double-decrement). */
   val RetractMetaKey = "retract_batch"
 
+  /** Pointer-meta key recording the last applied retraction REQUEST id
+    * (content hash of the sorted raw id list) PER MODEL — idempotency
+    * for the non-streaming path's NON-idempotent arms (ADVICE r13):
+    * after a mid-flight crash the documented recovery is a FRESH
+    * capture + re-run, but an additive model that already committed its
+    * negative partials passes the fresh guard (the corpus is unchanged
+    * and these models carry no tombstone salt), so without this key the
+    * negatives would append a second time and silently double-decrement.
+    * A positive append ([[StandingIngest.appendOne]]) REPLACES pointer
+    * meta wholesale, so a later delete → re-add → delete of the same id
+    * set is not wrongly skipped: the re-add clears the key. */
+  val RetractReqKey = "retract_req"
+
   /** Stored-fingerprint guard, shared by every arm: act only when the
     * model verifiably includes everything up to (and nothing past)
     * the captured pre-delete state, and (when streaming) this batch id
@@ -216,16 +229,25 @@ object StandingRetract {
     physical("graft_lsh_sigs", derivedIds)
 
     // 4. additive aggregates: negative partials, cancelled (and
-    // zero-dropped) by the aggregate-on-read rollup
+    // zero-dropped) by the aggregate-on-read rollup. These are the
+    // NON-idempotent arms, so besides the streaming batch id they
+    // commit the request's content id ([[RetractReqKey]]) and skip
+    // when it already landed — a fresh-capture re-run after a crash
+    // can never double-decrement.
+    val reqId = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawIds.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     def negative(name: String, bucketBy: String,
         inc: => DataFrame): Unit =
       if (reg.relationExists(name) &&
-          guardOk(spark, dir, name, pre, batchId)) {
+          guardOk(spark, dir, name, pre, batchId) &&
+          !reg.pointerMeta(name).get(RetractReqKey).contains(reqId)) {
         val fp = Shared.modelFingerprint(spark, dir, name, bucketBy,
           Seq("documents"), preferMarkerBuckets = true)
         val res = a.appendToBucketedModel(inc, name,
           withBatch(reg.pointerMeta(name) +
-            (Shared.FingerprintKey -> fp), batchId))
+            (Shared.FingerprintKey -> fp) +
+            (RetractReqKey -> reqId), batchId))
         Shared.markResolved(spark, dir, name)
         results.put(name, res)
       }
@@ -312,14 +334,19 @@ object StandingRetract {
     // then the index, then the LSH table — the append path's ordering.
     // The cents advance is guarded by the CENTROIDS' OWN captured
     // pre-state (capturePreEmbeddings records it): an unverifiable
-    // centroid model must never be stamped current.
+    // centroid model must never be stamped current. And the INDEX
+    // advance is gated on the cents advance having happened (ADVICE
+    // r13): if the cents guard fails — or the cents model is absent —
+    // the index must lapse WITH the centroids, or a "current" index
+    // would sit over centroids a later resolve retrains.
     if (reg.relationExists(idxName) &&
         guardOk(spark, dir, idxName, pre) &&
         reg.relationExists(centsName) &&
-        guardOk(spark, dir, centsName, pre))
+        guardOk(spark, dir, centsName, pre)) {
       Shared.advanceFingerprint(spark, dir, centsName,
         Seq("embeddings"), "cell")
-    advance(idxName, "cell")
+      advance(idxName, "cell")
+    }
     advance(lshName, "bk")
 
     results.toMap

@@ -133,14 +133,17 @@ class ApproxQualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val agree = g1.count { case (v, n) => brute1.get(v).contains(n) }
     val frac = agree.toDouble / brute1.size
-    info(f"rank-1 within-cell agreement = $frac%.3f " +
+    info(f"rank-1 band-blocked agreement = $frac%.3f " +
       f"(graph covers ${g1.size}/${brute1.size} members)")
-    // near-iid fixture: a ~25% scan budget bounds agreement near its
-    // fraction times the cell's signal gain (same context note as the
-    // recall pins above). Measured 0.284 — random would be 1/489; the
-    // floor sits under the measured value so a blocking/scoring
-    // regression fails loudly
-    assert(frac >= 0.22, f"rank-1 agreement degraded to $frac%.3f")
+    // near-iid fixture: candidates are the ~3 band buckets' members
+    // (pop target (16,32] at the knnBits width), so agreement is
+    // bounded by P(true NN shares >=1 sketch band) times the in-bucket
+    // win rate. Measured 0.382 on the r14 pair-linear LSH blocking —
+    // UP from the r13 within-IVF-cell 0.284 at a ~25% scan budget,
+    // while candidate volume dropped from Θ(N^1.5) to ≤ ~96·N; random
+    // would be 1/489. The floor sits under the measured value so a
+    // blocking/scoring regression fails loudly.
+    assert(frac >= 0.30, f"rank-1 agreement degraded to $frac%.3f")
     assert(g1.size >= (brute1.size * 9) / 10,
       "kNN graph lost coverage: most members should have a neighbor")
   }
@@ -305,6 +308,42 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(chain(ex).exists(c =>
       Option(c.getMessage).exists(_.contains("PlantIdFloor"))),
       s"expected the guard's message in: $ex")
+  }
+
+  test("MinHash-LSH honest recall on the planted mid-J band") {
+    import org.apache.spark.sql.functions._
+    // The r13 verdict's coverage hole, inverted: the paraphrase
+    // families plant TRUE Jaccard in [0.5, 0.9) — the band where
+    // "near-duplicate" is neither exact nor 99%, where a 16-perm
+    // 4×4-band family has genuinely probabilistic recall (per-pair
+    // candidate P = 1-(1-J⁴)³·(1-J⁴) shape, then the est ≥ 0.5 score
+    // filter at Binomial(16, J) estimator variance). This pins the
+    // family's HONEST number there, measured per sub-band, so the
+    // recall story is data, not theory. Measured (r14, sf0.001):
+    // 0.490 over 96 pairs at J ∈ [0.5, 0.7), 0.890 over 254 pairs at
+    // J ∈ [0.7, 0.9) — more permutations is the recall lever, not
+    // more bands.
+    val exact = Dedup.ddNgramJaccard(spark, dir)
+    val mid = pairs(exact.filter(col("jaccard") >= 0.5 &&
+      col("jaccard") < 0.7), "doc_a", "doc_b")
+    val hi = pairs(exact.filter(col("jaccard") >= 0.7 &&
+      col("jaccard") < 0.9), "doc_a", "doc_b")
+    val sigs = Dedup.sigModel(spark, dir)
+    val sigCols = (1 to 16).map(i => s"s$i")
+    val member = sigs
+      .join(sigs.groupBy(sigCols.map(col): _*)
+        .agg(min("doc_id").as("rep")), sigCols)
+      .select(col("rep"), col("doc_id"))
+    val got = expandPairs(Dedup.ddMinhashLsh(spark, dir),
+      "rep_a", "rep_b", member)
+    assert(mid.nonEmpty && hi.nonEmpty,
+      "planted paraphrase families missing: the mid-J band is empty")
+    val rMid = (got & mid).size.toDouble / mid.size
+    val rHi = (got & hi).size.toDouble / hi.size
+    info(f"planted-band recall: J∈[0.5,0.7) $rMid%.3f over ${mid.size}" +
+      f" pairs; J∈[0.7,0.9) $rHi%.3f over ${hi.size} pairs")
+    assert(rMid >= 0.40, f"mid-band recall degraded to $rMid%.3f")
+    assert(rHi >= 0.70, f"high-band recall degraded to $rHi%.3f")
   }
 
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {
