@@ -32,7 +32,8 @@ object MidScaleResolve {
     GraftConf.tune(spark)
     if (!new java.io.File(s"$dest/documents.parquet").exists())
       DataGen.tileDocuments(spark, src, dest, copies)
-    val names = Seq("dd_simhash_resolve", "dd_minhash_resolve")
+    val names = Seq("dd_simhash_resolve", "dd_minhash_resolve",
+      "dd_minhash_hi_resolve")
     names.foreach { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dest)

@@ -45,6 +45,8 @@ object ScalingProbe {
         "banded LSH join over distinct-sig reps (collapsed pair evidence)",
       "dd_minhash_resolve" ->
         "bounded MinHash dedup (distinct-sig collapse + union-find; 1 row/doc)",
+      "dd_minhash_hi_resolve" ->
+        "production-recall dedup resolve (128-perm sigs, 32×4 bands)",
       "dd_cluster" -> "union-find contraction over the standing overlap model",
       "dd_cluster_density" ->
         "per-cluster cohesion (degree-ordered triangles over the collapsed evidence graph)",
@@ -53,6 +55,8 @@ object ScalingProbe {
         "4-round Bellman-Ford over the weighted src-bucketed edge model",
       "sim_brute_topk" -> "brute-force ANN (fixed query set)",
       "sim_ivf_topk" -> "standing Lloyd-refined IVF index probe",
+      "sim_ivfpq_topk" ->
+        "composed IVF-PQ probe (cell-bucketed codes, broadcast ADC)",
       "dd_embedding_neardup_ivf" ->
         "IVF-cell-blocked near-dup pair join (K=√N geometry)",
       "dd_semantic" ->

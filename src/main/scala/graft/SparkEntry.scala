@@ -17,7 +17,8 @@ object SparkEntry {
     Relational4, Relational5, Relational6, Joins2, Analytics,
     EventWindows, EventWindows2, EventWindows3, TextAnalysis,
     TextAnalysis2, TextAnalysis3, Curation, Curation2, Dedup, Dedup2,
-    DedupGraph, Similarity, Similarity2, Multimodal, Sketches, Graph)
+    DedupGraph, DedupHi, Similarity, Similarity2, Multimodal, Sketches,
+    Graph)
 
   /** Flagship query (jaffle-style customers rollup — SURVEY.md §7 step 1)
     * on sf0.001; driver smoke-checks rows>0.

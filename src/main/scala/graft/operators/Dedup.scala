@@ -197,7 +197,7 @@ object Dedup extends QueryPack {
   def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleSet(corpus(spark, dir).select(col("doc_id"), col("text")))
 
-  private val sqlShingled = s"""
+  private[operators] val sqlShingled = s"""
       $sqlCorpus,
       toks AS (
         SELECT doc_id,
@@ -356,7 +356,7 @@ object Dedup extends QueryPack {
     * in the evidence graph at every SF). Products still < 2^60 — no
     * signed-64 overflow in either engine.
     */
-  private val MHP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private[operators] val MHP = 2147483647L // 2^31 - 1 (Mersenne prime)
 
   /** E5c — MinHash signatures + banded LSH: 16 min-hashes per doc from a
     * portable multiply-add family over a 32-bit md5-prefix shingle hash,

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Production-recall MinHash tier: 128 permutations, 32 bands × 4 rows.
+  *
+  * The 16-perm / 4×4 family ([[Dedup.ddMinhashLsh]]) is the CHEAP tier:
+  * its banding recall `1 − (1 − J⁴)⁴` is honest but probabilistic in the
+  * mid-similarity band — measured 0.49 over the planted J ∈ [0.5, 0.7)
+  * pairs, 0.89 over [0.7, 0.9) (ApproxQualitySpec). A production fuzzy
+  * dedup (the E5 contract's deployment form — reference:
+  * fal-ai/dbt-fal delegates this to the warehouse, so the curve is ours
+  * to own) wants recall ≈ 1 at its threshold. This tier buys it the
+  * standard way — more, narrower bands over a deeper signature:
+  * `1 − (1 − J⁴)³²` ≈ 0.87 at J = 0.5, 0.988 at J = 0.6, 0.9997 at
+  * J = 0.7. Measured on the planted band (ApproxQualitySpec
+  * "hi-recall tier", sf0.001): **0.948** over the J ∈ [0.5, 0.7)
+  * pairs vs the cheap tier's 0.490, **1.000** over [0.7, 0.9) vs
+  * 0.890. Cost: the signature build is a
+  * wider min-aggregate over the SAME shingle explode (one pass, 128
+  * long buffers/doc, map-side combined), and banding emits 32 rows per
+  * distinct signature instead of 4 — both corpus-linear; the trade is
+  * a constant factor, bought once in a standing model.
+  *
+  * The hash family extends the cheap tier's: the SAME xorshift64 stream
+  * that generates [[Dedup.minhashParams]] is read 128 pairs deep, so
+  * components s1..s16 of the deep signature ARE the 16-perm signature
+  * (pinned by DedupHiSpec). Same portable per-component map
+  * `(b·A + B) mod (2³¹−1)` over the 32-bit md5-prefix shingle hash —
+  * every component replays exactly in ANSI SQL, so both queries here
+  * are fully DuckDB-oracle-checked, signatures through estimates.
+  *
+  * Scale shape, where it differs from the 16-perm tier:
+  *   - Candidate scoring joins are SHUFFLED hash joins on the rep id,
+  *     not broadcasts of the signature table. A deep sig row is 8×
+  *     wider (128 longs ≈ 1 KB); at 10⁸ mostly-unique docs the rep
+  *     table is ~100 GB — broadcastable never, while the band-collision
+  *     candidate list stays linear and narrow. The cheap tier's
+  *     broadcast shortcut is correct for 16-long rows only.
+  *   - Everything else is the same linear LSH layout: distinct-sig
+  *     collapse first (clone runs contribute ONE rep row), banding
+  *     shuffles (rep, band, bk) triples, candidate generation is
+  *     quadratic only inside a band bucket.
+  *
+  * Standing state: `graft_minhash128_sigs` (doc_id-bucketed), a member
+  * of [[StandingIngest.DocModels]] — O(batch) append on ingest, O(1)
+  * fingerprint resolve warm, physical bucket-pruned delete on
+  * retraction ([[StandingRetract]]).
+  */
+object DedupHi extends QueryPack {
+
+  /** Permutations / bands / rows-per-band. 32 × 4 = 128 exactly: every
+    * signature component belongs to one band (no waste, no reuse). */
+  private[operators] val NPerm = 128
+  private[operators] val NBands = 32
+  private[operators] val NRows = 4
+
+  /** 128 affine params from the SAME fixed xorshift64 stream as
+    * [[Dedup.minhashParams]] (first 16 pairs identical — the deep
+    * signature extends the cheap one). A odd < 2²⁸ keeps every product
+    * base(<2³²)·A < 2⁶⁰: no signed-64 overflow in either engine.
+    */
+  private[operators] val params: IndexedSeq[(Long, Long)] = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    (1 to NPerm).map { _ => (((next() >>> 36) | 1L), next() >>> 34) }
+  }
+
+  /** Deep MinHash signatures of a (doc_id, text) frame — one shingle
+    * explode, one 128-buffer min-aggregate (wholestage-codegen'd with
+    * map-side partials, exactly like the 16-perm kernel it extends).
+    * Per-doc pure: batch and streaming ingest produce identical rows.
+    */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleSet(docs)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(shingle),1,8),16,10) AS BIGINT)")
+          .as("b"))
+    val minExprs = params.zipWithIndex.map { case ((a, c), i) =>
+      expr(s"min((b * ${a}L + ${c}L) % ${Dedup.MHP}L)").as(s"s${i + 1}")
+    }
+    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** Standing deep-signature model (full derived corpus, bucketed on
+    * doc_id) — built once per (process, dir), appended O(batch) by
+    * [[StandingIngest.appendDocBatch]], physically pruned by
+    * [[StandingRetract.retractDocBatch]].
+    */
+  private[graft] def sigModel(spark: SparkSession, dir: String): DataFrame =
+    Shared.model(spark, dir, "graft_minhash128_sigs", "doc_id",
+      (s, d) => sigsOf(Dedup.corpus(s, d).select("doc_id", "text")))
+
+  /** 32-band × 4-row banding of a deep signature table. */
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (1 to NRows).map(r => col(s"s${bnd * NRows + r}")): _*)
+          .as("bk"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+  }
+
+  /** Distinct-signature reps + per-signature doc counts (the collapse
+    * that keeps every downstream volume clone-independent). */
+  private def repsOf(sigs: DataFrame): (DataFrame, DataFrame) = {
+    val sigCols = (1 to NPerm).map(i => col(s"s$i"))
+    val grp = sigs.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+    (grp.select(col("doc_id") +: sigCols: _*),
+      grp.select(col("doc_id"), col("n_docs")))
+  }
+
+  /** Band-bucket self-join over reps → candidate rep pairs. */
+  private def candidatesOf(rep: DataFrame): DataFrame = {
+    val banded = bandedOf(rep)
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 128-way signature match over candidate pairs, est ≥ 0.5 kept.
+    * Both sig joins are shuffled hash joins on the rep id (see the
+    * class scaladoc for why broadcast is wrong at this width).
+    */
+  private def scoreCandidates(cands: DataFrame,
+      rep: DataFrame): DataFrame = {
+    val sigA = rep.toDF("doc_a" +: (1 to NPerm).map(i => s"a$i"): _*)
+    val sigB = rep.toDF("doc_b" +: (1 to NPerm).map(i => s"b$i"): _*)
+    val nMatch = (1 to NPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(sigA.hint("shuffle_hash"), "doc_a")
+      .join(sigB.hint("shuffle_hash"), "doc_b")
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / NPerm.toDouble)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+  }
+
+  /** E5b hi-recall — near-dup evidence collapsed onto distinct deep
+    * signatures, same contract as [[Dedup.ddMinhashLsh]]: one row per
+    * near-dup SIGNATURE pair (`rep_a < rep_b`, est ≥ 0.5) plus one row
+    * per intra-signature clone run (`rep_a = rep_b`, est = 1.0,
+    * n_pairs = n·(n−1)/2); the full doc-pair list is recoverable by
+    * expanding reps through their member sets.
+    */
+  def ddMinhashHi(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sigModel(spark, dir)
+    val (rep, cnt) = repsOf(sigs)
+    // the per-signature doc counts are rep-population-sized too, so
+    // they join shuffled like the sig scoring (nothing in this plan
+    // broadcasts corpus-derived state — pinned by PlanPropertiesSpec)
+    val inter = scoreCandidates(candidatesOf(rep), rep)
+      .join(cnt.toDF("doc_a", "docs_a").hint("shuffle_hash"), "doc_a")
+      .join(cnt.toDF("doc_b", "docs_b").hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("n_match"), col("est_jaccard"), col("docs_a"), col("docs_b"),
+        (col("docs_a") * col("docs_b")).as("n_pairs"))
+    val intra = cnt.filter(col("n_docs") >= 2)
+      .select(col("doc_id").as("rep_a"), col("doc_id").as("rep_b"),
+        lit(NPerm.toLong).as("n_match"), lit(1.0).as("est_jaccard"),
+        col("n_docs").as("docs_a"), col("n_docs").as("docs_b"),
+        expr("(n_docs * (n_docs - 1)) DIV 2").as("n_pairs"))
+    inter.unionByName(intra).orderBy("rep_a", "rep_b")
+  }
+
+  /** E5c hi-recall — bounded dedup resolve over the deep family: one
+    * `(doc_id, cluster_rep, is_kept)` row per corpus doc, components of
+    * the est ≥ 0.5 rep graph, labels transferred to docs through their
+    * signature; shingle-less docs (< 5 tokens) are their own singleton
+    * clusters. Identical output contract to [[Dedup.ddMinhashResolve]]
+    * — what changes is the RECALL of the edges feeding the union-find.
+    */
+  def ddMinhashHiResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = sigModel(spark, dir)
+    val (rep, _) = repsOf(sigs)
+    val edges = scoreCandidates(candidatesOf(rep), rep)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    val repLabel = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("rep"), col("cluster_rep").as("comp"))
+    val docLabel = sigs
+      .join(rep.withColumnRenamed("doc_id", "rep"),
+        (1 to NPerm).map(i => s"s$i"))
+      .join(broadcast(repLabel), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("rep")).as("lbl"))
+    Dedup.corpus(spark, dir).select("doc_id")
+      .join(docLabel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_minhash_hi" -> ddMinhashHi _,
+    "dd_minhash_hi_resolve" -> ddMinhashHiResolve _)
+
+  /** Shared DuckDB CTEs replaying [[sigsOf]]/[[bandedOf]]: 128 min()
+    * aggregates over the same shingle hash, 32-band keys. */
+  private lazy val sqlHiCtes: String = {
+    val mins = params.zipWithIndex.map { case ((a, c), i) =>
+      s"min((b * $a + $c) % ${Dedup.MHP}) AS s${i + 1}"
+    }.mkString(",\n               ")
+    s"""${Dedup.sqlShingled},
+      hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
+        FROM sh
+      ),
+      sig AS (
+        SELECT doc_id,
+               $mins
+        FROM hx GROUP BY doc_id
+      )"""
+  }
+
+  /** rep-level banding SQL: 32 UNION ALL arms over `grp`. */
+  private lazy val sqlRepBands: String = (0 until NBands).map { bnd =>
+    val cols = (1 to NRows).map(r => s"s${bnd * NRows + r}").mkString(", ")
+    s"SELECT rep, $bnd AS band, concat_ws(',', $cols) AS bk FROM grp"
+  }.mkString("\n        UNION ALL\n        ")
+
+  /** doc-level banding SQL (32 arms over `sig`) — the resolve oracle's
+    * form, matching the 16-perm resolve's doc-level structure. */
+  private lazy val sqlDocBands: String = (0 until NBands).map { bnd =>
+    val cols = (1 to NRows).map(r => s"s${bnd * NRows + r}").mkString(", ")
+    s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
+  }.mkString("\n        UNION ALL\n        ")
+
+  /** 128-way match sum, BALANCED into 8 parenthesized 16-term chunks:
+    * a flat left-associated 127-`+` chain exceeds DuckDB's binder
+    * recursion depth (max 128); chunking caps the tree at ~22. */
+  private lazy val sqlMatch128: String = (0 until 8).map { c =>
+    "(" + (1 to 16).map { i =>
+      val k = c * 16 + i
+      s"(CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END)"
+    }.mkString(" + ") + ")"
+  }.mkString("\n               + ")
+
+  private lazy val sigList = (1 to NPerm).map(i => s"s$i").mkString(", ")
+
+  /** grp (distinct-sig reps) + cand (banded rep pairs) + scored —
+    * the shared spine of both oracles. */
+  private lazy val sqlHiSpine: String = s"""
+      $sqlHiCtes,
+      grp AS (
+        SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs,
+               $sigList
+        FROM sig GROUP BY $sigList
+      ),
+      rbanded AS (
+        $sqlRepBands
+      ),
+      cand AS (
+        SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+        FROM rbanded a JOIN rbanded b
+          ON a.band = b.band AND a.bk = b.bk AND a.rep < b.rep
+      ),
+      scored AS (
+        SELECT doc_a, doc_b,
+               CAST($sqlMatch128 AS BIGINT) AS n_match
+        FROM cand JOIN grp sa ON doc_a = sa.rep
+                  JOIN grp sb ON doc_b = sb.rep
+      )"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_minhash_hi" -> s"""
+      WITH $sqlHiSpine
+      SELECT doc_a AS rep_a, doc_b AS rep_b, n_match,
+             CAST(n_match AS DOUBLE) / $NPerm.0 AS est_jaccard,
+             ga.n_docs AS docs_a, gb.n_docs AS docs_b,
+             CAST(ga.n_docs * gb.n_docs AS BIGINT) AS n_pairs
+      FROM scored JOIN grp ga ON doc_a = ga.rep
+                  JOIN grp gb ON doc_b = gb.rep
+      WHERE CAST(n_match AS DOUBLE) / $NPerm.0 >= 0.5
+      UNION ALL
+      SELECT rep, rep, CAST($NPerm AS BIGINT), CAST(1.0 AS DOUBLE),
+             n_docs, n_docs,
+             CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT)
+      FROM grp WHERE n_docs >= 2
+      ORDER BY rep_a, rep_b""",
+    // doc-level structure (banded over sig, jp = doc pairs, reach
+    // seeded from corpus) deliberately VERBATIM-parallel to the
+    // dd_minhash_resolve oracle: scripts/check_resolve_midscale.py
+    // extracts the `jp` CTE and replays the closure with a Python
+    // union-find at sf1, so the hi tier rides the same exact-closure
+    // ladder (docs sharing a 128-tuple share every band → est 1.0 →
+    // the doc-level component structure equals the rep-level one the
+    // Spark side contracts)
+    "dd_minhash_hi_resolve" -> s"""
+      WITH RECURSIVE $sqlHiCtes,
+      banded AS (
+        $sqlDocBands
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      ),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 CAST($sqlMatch128 AS BIGINT) AS n_match
+          FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                    JOIN sig sb ON doc_b = sb.doc_id
+        ) WHERE CAST(n_match AS DOUBLE) / $NPerm.0 >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp
+      ),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT src AS doc_id, min(node) AS cluster_rep,
+             (src = min(node)) AS is_kept
+      FROM reach GROUP BY src ORDER BY doc_id""")
+}

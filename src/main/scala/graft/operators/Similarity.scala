@@ -548,11 +548,80 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** E6d3 — IVF-PQ composed ANN: the production large-index layout
+    * (FAISS `IVFx,PQy`): IVF bounds WHICH vectors are scanned
+    * (nprobe/K of the corpus), PQ bounds the BYTES per scanned vector
+    * (16 codes ≈ 8 B vs 256 B of floats) — composed, a 100 TB index
+    * probe reads ~nprobe/K · 3% of the raw bytes. Standing state is
+    * ONE new model: the encoded corpus re-keyed by IVF cell
+    * ([[ivfPqCodesModel]], bucketed on cell so the per-cell ADC scan
+    * aggregates in place); the codebook and centroids are the existing
+    * [[pqCodebookModel]] / [[ivfCentsModel]] standing models. The
+    * probe is the same shape as [[simIvfTopk]] — query cells and the
+    * per-query 16×16 ADC table both broadcast (queries × 256 rows),
+    * the code table never moves — scoring is one broadcast-joined scan
+    * over the probed cells' codes plus a fixed-width pivot sum.
+    *
+    * Fully oracle-checked like its two parents: the cell chain is
+    * [[sqlIvfCtes]], the PQ chain is [[sqlPqCtes]], the ADC sum adds
+    * 16 CASE-pivoted terms in fixed order. Quality/scan-fraction
+    * pinned in ApproxQualitySpec (recall trades as IVF recall × PQ
+    * code resolution; both parents' numbers bound it).
+    */
+  /** Ingest/retract posture: this composed model is NOT in the
+    * embedding append/retract capture lists — on any corpus change its
+    * fingerprint (keyed on the embeddings listing) lapses and the next
+    * touch rebuilds, which is one join of the two MAINTAINED standing
+    * models it derives from (no re-training, no re-encoding). The name
+    * carries K like the IVF index, so a K-boundary crossing rebuilds
+    * under a new name by construction. An O(batch) append lane
+    * (mirroring the index's) is possible but unearned while the
+    * rebuild is a cheap derived join.
+    */
+  private[graft] def ivfPqCodesModel(spark: SparkSession,
+      dir: String): DataFrame = {
+    val p = ivfParams(spark, dir)
+    Shared.model(spark, dir, s"graft_ivfpq_codes_k${p.k}_r$LloydRounds",
+      "cell", { (s, d) =>
+        ivfIndexModel(s, d).select(col("cell"), col("neighbor_id"))
+          .join(pqCodesModel(s, d), "neighbor_id")
+      }, inputs = Seq("embeddings"))
+  }
+
+  def simIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val codes = ivfPqCodesModel(spark, dir)
+    val qcells = ivfQueryCells(spark, dir, embNorm(spark, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb"), col("norm")))
+      .select(col("query_id"), col("cell"))
+    val qd = pqVsubs(spark, dir).filter(col("vec_id") < 10)
+      .join(broadcast(pqCodebookModel(spark, dir)), "m")
+      .select(col("vec_id").as("qid"), col("m"),
+        col("code").as("qcode"), sdExpr)
+    val perSub = (0 until 16).map(i =>
+      sum(when(col("cm") === i, col("sd"))).as(s"s$i"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    codes.join(broadcast(qcells), "cell")
+      .join(broadcast(qd),
+        col("query_id") === col("qid") && col("cm") === col("m") &&
+          col("code") === col("qcode"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("approx_dist",
+        (0 until 16).map(i => col(s"s$i")).reduce(_ + _))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "approx_dist")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> simBruteTopk _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
-    "sim_pq_topk" -> simPqTopk _)
+    "sim_pq_topk" -> simPqTopk _,
+    "sim_ivfpq_topk" -> simIvfPqTopk _)
 
   /** Shared DuckDB CTEs replaying the standing IVF index build (seed
     * sampling, quantized-sum Lloyd step, corpus cell assignment) — one
@@ -706,21 +775,79 @@ object Similarity extends QueryPack {
       )
       SELECT query_id, neighbor_id, rank, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    "sim_pq_topk" -> {
-      val perSub = (0 until 16)
-        .map(i => s"sum(CASE WHEN m = $i THEN sd END) AS s$i")
-        .mkString(",\n               ")
-      val addSub = (0 until 16).map(i => s"s$i").mkString(" + ")
-      s"""
+    "sim_pq_topk" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ),
-      seeds AS (
+      $sqlPqCtes,
+      adc AS (
+        SELECT query_id, neighbor_id,
+               $sqlPqPerSub
+        FROM pq_codes JOIN pq_qd ON cm = m AND code = qcode
+        GROUP BY query_id, neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, $sqlPqAddSub AS approx_dist,
+               CAST(row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY $sqlPqAddSub, neighbor_id) AS BIGINT) AS rank
+        FROM adc
+      )
+      SELECT query_id, neighbor_id, rank, approx_dist FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_ivfpq_topk" -> s"""
+      $sqlIvfCtes
+      $sqlPqCtes,
+      qc AS (
+        SELECT vec_id AS query_id, cell
+        FROM assigned, ivf_params WHERE vec_id < 10 AND crank <= nprobe
+      ),
+      ccodes AS (
+        SELECT c.cell, p.neighbor_id, p.cm, p.code
+        FROM pq_codes p JOIN corpus c USING (neighbor_id)
+      ),
+      adc AS (
+        SELECT qc.query_id AS query_id, k.neighbor_id,
+               $sqlPqPerSub
+        FROM ccodes k
+        JOIN qc ON k.cell = qc.cell
+        JOIN pq_qd d ON k.cm = d.m AND k.code = d.qcode
+                    AND qc.query_id = d.query_id
+        GROUP BY qc.query_id, k.neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, $sqlPqAddSub AS approx_dist,
+               CAST(row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY $sqlPqAddSub, neighbor_id) AS BIGINT) AS rank
+        FROM adc
+      )
+      SELECT query_id, neighbor_id, rank, approx_dist FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+
+  /** CASE-pivot of the 16 per-subspace ADC terms (fixed add order —
+    * a grouped double sum would be partition-order-dependent). */
+  private lazy val sqlPqPerSub: String = (0 until 16)
+    .map(i => s"sum(CASE WHEN cm = $i THEN sd END) AS s$i")
+    .mkString(",\n               ")
+  private lazy val sqlPqAddSub: String =
+    (0 until 16).map(i => s"s$i").mkString(" + ")
+
+  /** Shared DuckDB CTEs replaying the PQ pipeline — codebook seed
+    * sampling, one quantized-sum Lloyd step, corpus encoding
+    * (`pq_codes`), per-query sub-distances (`pq_qd`) — consumed by the
+    * sim_pq and sim_ivfpq oracles. Expects an upstream CTE
+    * `e(vec_id, emb)`; CTE names are pq_-prefixed because
+    * [[sqlIvfCtes]] (which sim_ivfpq composes with) already defines
+    * `seeds`/`scored`/`assigned`.
+    */
+  private lazy val sqlPqCtes: String = """
+      pq_seeds AS (
         SELECT vec_id AS cent_id, emb AS cent_emb FROM e
         WHERE vec_id >= 10 AND vec_id % 59 = 0
         ORDER BY vec_id LIMIT 16
       ),
-      sub0 AS (
+      pq_sub0 AS (
         SELECT vec_id, cent_id, m,
                list_dot_product(vs, vs) + list_dot_product(cs, cs)
                  - 2.0 * list_dot_product(vs, cs) AS sd
@@ -728,35 +855,35 @@ object Similarity extends QueryPack {
           SELECT e.vec_id, cent_id, m,
                  e.emb[m * 4 + 1 : m * 4 + 4] AS vs,
                  cent_emb[m * 4 + 1 : m * 4 + 4] AS cs
-          FROM e, seeds, (SELECT unnest(range(0, 16)) AS m) ms
+          FROM e, pq_seeds, (SELECT unnest(range(0, 16)) AS m) ms
           WHERE e.vec_id >= 10 AND e.vec_id % 3 = 0
         )
       ),
-      codes0 AS (
+      pq_codes0 AS (
         SELECT vec_id, m, cent_id AS code
         FROM (
           SELECT *, row_number() OVER
             (PARTITION BY vec_id, m ORDER BY sd, cent_id) AS crank
-          FROM sub0
+          FROM pq_sub0
         ) WHERE crank = 1
       ),
-      tsums AS (
+      pq_tsums AS (
         SELECT m, code, pos,
                sum(CAST(floor(emb[m * 4 + pos + 1] * 10000000.0)
                  AS BIGINT)) AS s,
                count(*) AS n
-        FROM codes0 JOIN e USING (vec_id),
+        FROM pq_codes0 JOIN e USING (vec_id),
              (SELECT unnest(range(0, 4)) AS pos) ps
         GROUP BY m, code, pos
       ),
-      trained AS (
+      pq_trained AS (
         SELECT m, code,
                list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                  + 0.5) AS DOUBLE) / 10000000.0 ORDER BY pos)
                  AS cent_emb
-        FROM tsums GROUP BY m, code
+        FROM pq_tsums GROUP BY m, code
       ),
-      sub AS (
+      pq_sub AS (
         SELECT vec_id, code, m,
                list_dot_product(vs, vs) + list_dot_product(cs, cs)
                  - 2.0 * list_dot_product(vs, cs) AS sd
@@ -764,35 +891,19 @@ object Similarity extends QueryPack {
           SELECT e.vec_id, code, m,
                  e.emb[m * 4 + 1 : m * 4 + 4] AS vs,
                  cent_emb AS cs
-          FROM e, trained
+          FROM e, pq_trained
         )
       ),
-      codes AS (
+      pq_codes AS (
         SELECT vec_id AS neighbor_id, m AS cm, code
         FROM (
           SELECT *, row_number() OVER
             (PARTITION BY vec_id, m ORDER BY sd, code) AS crank
-          FROM sub WHERE vec_id >= 10
+          FROM pq_sub WHERE vec_id >= 10
         ) WHERE crank = 1
       ),
-      qd AS (
+      pq_qd AS (
         SELECT vec_id AS query_id, m, code AS qcode, sd
-        FROM sub WHERE vec_id < 10
-      ),
-      adc AS (
-        SELECT query_id, neighbor_id,
-               $perSub
-        FROM codes JOIN qd ON cm = m AND code = qcode
-        GROUP BY query_id, neighbor_id
-      ),
-      ranked AS (
-        SELECT query_id, neighbor_id, $addSub AS approx_dist,
-               CAST(row_number() OVER
-                 (PARTITION BY query_id
-                  ORDER BY $addSub, neighbor_id) AS BIGINT) AS rank
-        FROM adc
-      )
-      SELECT query_id, neighbor_id, rank, approx_dist FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank"""
-    })
+        FROM pq_sub WHERE vec_id < 10
+      )"""
 }

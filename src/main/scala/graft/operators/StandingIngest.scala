@@ -97,6 +97,7 @@ object StandingIngest {
     "drift_ref_256" -> "b",
     "doc_shingles" -> "shingle",
     "graft_lsh_sigs" -> "doc_id",
+    "graft_minhash128_sigs" -> "doc_id",
     "graft_lsh_band_index" -> "bb",
     "graft_simhash_sigs" -> "simhash")
 
@@ -324,6 +325,12 @@ object StandingIngest {
     lazy val batchSigs = Dedup
       .sigsOf(batchCorpus.select("doc_id", "text")).localCheckpoint()
     appendDoc("graft_lsh_sigs", batchSigs)
+
+    // the production-recall tier's deep signatures (DedupHi): per-doc
+    // pure like the 16-perm pass, so the batch's rows are exactly the
+    // full rebuild's restriction to the batch
+    appendDoc("graft_minhash128_sigs",
+      DedupHi.sigsOf(batchCorpus.select("doc_id", "text")))
 
     appendDoc("graft_lsh_band_index",
       Dedup.withBb(Dedup.bandedOf(

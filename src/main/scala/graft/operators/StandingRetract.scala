@@ -14,10 +14,10 @@ import graft.api.WriteResult
   * by the caller; this object then brings every standing model to the
   * post-delete state WITHOUT corpus-sized rebuilds, by ALGEBRAIC SHAPE:
   *
-  *   - doc_id-BUCKETED models (`documents_by_doc`, `graft_lsh_sigs`):
-  *     O(affected-buckets) physical delete — each doc's rows live in
-  *     exactly one bucket, so only those buckets rewrite
-  *     ([[graft.api.FalApi.deleteFromBucketedModel]]);
+  *   - doc_id-BUCKETED models (`documents_by_doc`, `graft_lsh_sigs`,
+  *     `graft_minhash128_sigs`): O(affected-buckets) physical delete —
+  *     each doc's rows live in exactly one bucket, so only those
+  *     buckets rewrite ([[graft.api.FalApi.deleteFromBucketedModel]]);
   *   - scattered-key models carrying doc_id (`gram_starts_10`,
   *     `doc_terms`, `doc_shingles`, `graft_lsh_band_index`,
   *     `graft_simhash_sigs` — [[Shared.TombstoneCovered]]): a physical
@@ -227,6 +227,7 @@ object StandingRetract {
       }
     physical("documents_by_doc", rawIds)
     physical("graft_lsh_sigs", derivedIds)
+    physical("graft_minhash128_sigs", derivedIds)
 
     // 4. additive aggregates: negative partials, cancelled (and
     // zero-dropped) by the aggregate-on-read rollup. These are the

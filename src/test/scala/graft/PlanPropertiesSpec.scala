@@ -93,6 +93,19 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected ShuffledHashJoin for the band join:\n${p.take(1500)}")
   }
 
+  test("the hi-recall tier's scoring joins shuffle (never broadcast " +
+      "the 128-long signature table — 8× wider rows, rep population " +
+      "~ distinct docs, unbroadcastable at corpus scale)") {
+    val p = plan("dd_minhash_hi")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in the hi tier:\n${p.take(1500)}")
+    // the only legitimate broadcasts in this plan are request/label
+    // sized (none in the pair listing); the sig table must not appear
+    // under a BroadcastExchange
+    assert(!p.contains("BroadcastHashJoin"),
+      s"hi-tier sig scoring must not broadcast:\n${p.take(1500)}")
+  }
+
   test("scrub reassembly joins the doc_id-bucketed corpus with no " +
       "exchange on the documents side (VERDICT r11 #4)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -60,6 +60,27 @@ class ApproxQualitySpec extends AnyFunSuite {
     assert(r >= 0.55, f"IVF recall@5 degraded to $r%.3f")
   }
 
+  test("IVF-PQ composed ANN recall@5 (cell-bounded ADC scan)") {
+    // The composed index reads ~nprobe/K of the corpus (IVF) at ~3% of
+    // the bytes per vector (PQ codes) — recall is bounded above by
+    // BOTH parents: the IVF probe can only rank what its cells contain
+    // (0.68 here) and the 8-byte codes only resolve what their
+    // quantization preserves (full-scan PQ 0.24 here). The composed
+    // floor pins that the two losses compose multiplicatively rather
+    // than collapse (a broken cell join or a mis-keyed ADC table reads
+    // as ~0). Measured (r14): 0.320 — ABOVE full-scan PQ's 0.240,
+    // because the cell restriction removes far-away distractors the
+    // 8-byte codes mis-rank; the IVF bound (0.680) still caps it.
+    val r = annRecall(Similarity.simIvfPqTopk(spark, dir))
+    val rIvf = annRecall(Similarity.simIvfTopk(spark, dir))
+    val rPq = annRecall(Similarity.simPqTopk(spark, dir))
+    info(f"ivfpq recall@5 = $r%.3f (ivf $rIvf%.3f × pq $rPq%.3f " +
+      f"bounds it)")
+    assert(r >= 0.20, f"IVF-PQ recall@5 degraded to $r%.3f")
+    assert(r <= rIvf + 1e-9,
+      "composed recall cannot exceed its IVF cell bound")
+  }
+
   test("IVF probe scan fraction stays near its nprobe/K budget") {
     import org.apache.spark.sql.functions._
     // recall alone can be bought by scanning everything — a Lloyd
@@ -344,6 +365,62 @@ class ApproxQualitySpec extends AnyFunSuite {
       f" pairs; J∈[0.7,0.9) $rHi%.3f over ${hi.size} pairs")
     assert(rMid >= 0.40, f"mid-band recall degraded to $rMid%.3f")
     assert(rHi >= 0.70, f"high-band recall degraded to $rHi%.3f")
+  }
+
+  test("hi-recall tier (128 perms, 32×4 bands) closes the mid-band " +
+      "recall gap the 16-perm family honestly reports") {
+    import org.apache.spark.sql.functions._
+    // the deep family EXTENDS the cheap one: same xorshift stream, so
+    // the first 16 (A, B) pairs — and hence s1..s16 of every deep
+    // signature — are the 16-perm tier's (the ladder is one family at
+    // two depths, not two unrelated hash families)
+    assert(DedupHi.params.take(16) == Dedup.minhashParams,
+      "deep params must extend the 16-perm stream")
+    assert(DedupHi.params.size == 128 &&
+      DedupHi.params.distinct.size == 128)
+    // banding recall 1-(1-J⁴)³² ≈ 0.87/0.988/0.9997 at J = 0.5/0.6/0.7
+    // (vs the cheap tier's 0.42 at 0.6); the residual mid-band loss is
+    // the est ≥ 0.5 SCORE filter at Binomial(128, J) variance, which
+    // any thresholded estimator pays at its boundary (at J = 0.5 the
+    // estimator itself rejects half the true pairs, at J ≥ 0.6 almost
+    // none). Measured (r14, sf0.001): 0.948 over 96 pairs at
+    // J ∈ [0.5, 0.7) vs the 16-perm tier's 0.490; 1.000 over 254
+    // pairs at [0.7, 0.9) vs 0.890.
+    val exact = Dedup.ddNgramJaccard(spark, dir)
+    val mid = pairs(exact.filter(col("jaccard") >= 0.5 &&
+      col("jaccard") < 0.7), "doc_a", "doc_b")
+    val hi = pairs(exact.filter(col("jaccard") >= 0.7 &&
+      col("jaccard") < 0.9), "doc_a", "doc_b")
+    val sigs = DedupHi.sigModel(spark, dir)
+    val sigCols = (1 to 128).map(i => s"s$i")
+    val member = sigs
+      .join(sigs.groupBy(sigCols.map(col): _*)
+        .agg(min("doc_id").as("rep")), sigCols)
+      .select(col("rep"), col("doc_id"))
+    val got = expandPairs(DedupHi.ddMinhashHi(spark, dir),
+      "rep_a", "rep_b", member)
+    assert(mid.nonEmpty && hi.nonEmpty)
+    val rMid = (got & mid).size.toDouble / mid.size
+    val rHi = (got & hi).size.toDouble / hi.size
+    val cheap16 = {
+      val s16 = Dedup.sigModel(spark, dir)
+      val c16 = (1 to 16).map(i => s"s$i")
+      val m16 = s16.join(s16.groupBy(c16.map(col): _*)
+          .agg(min("doc_id").as("rep")), c16)
+        .select(col("rep"), col("doc_id"))
+      expandPairs(Dedup.ddMinhashLsh(spark, dir), "rep_a", "rep_b", m16)
+    }
+    info(f"hi-tier planted-band recall: J∈[0.5,0.7) $rMid%.3f over " +
+      f"${mid.size} pairs (16-perm: ${(cheap16 & mid).size.toDouble /
+        mid.size}%.3f); J∈[0.7,0.9) $rHi%.3f over ${hi.size} pairs " +
+      f"(16-perm: ${(cheap16 & hi).size.toDouble / hi.size}%.3f)")
+    assert(rMid >= 0.70, f"hi-tier mid-band recall degraded to $rMid%.3f")
+    assert(rHi >= 0.97, f"hi-tier high-band recall degraded to $rHi%.3f")
+    // the ladder must actually be a ladder: the deep tier dominates
+    // the cheap tier on BOTH planted sub-bands
+    assert(rMid > (cheap16 & mid).size.toDouble / mid.size,
+      "deep tier must beat the 16-perm tier on the mid band")
+    assert((got & hi).size >= (cheap16 & hi).size)
   }
 
   test("MinHash-LSH recovers the strong exact-Jaccard near-dup pairs") {

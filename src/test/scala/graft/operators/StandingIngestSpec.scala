@@ -97,11 +97,12 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextAnalysis.bigramCounts(spark, dir).count()
     Dedup.docShingles(spark, dir).count()
     Dedup.sigModel(spark, dir).count()
+    DedupHi.sigModel(spark, dir).count()
     Dedup.bandIndexModel(spark, dir).count()
     Dedup.simhashSigs(spark, dir).count()
     val baseBuilds = Seq("gram_starts_10", "gram_shared_10",
       "documents_by_doc", "doc_terms", "bigram_counts", "drift_ref_256",
-      "doc_shingles", "graft_lsh_sigs",
+      "doc_shingles", "graft_lsh_sigs", "graft_minhash128_sigs",
       "graft_lsh_band_index", "graft_simhash_sigs")
     baseBuilds.foreach(m => assert(builds(m) >= 1, s"$m not built"))
     val snapshot = baseBuilds.map(m => m -> builds(m)).toMap
@@ -157,6 +158,9 @@ class StandingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(Dedup.sigModel(spark, dir),
       Dedup.sigsOf(fullCorpus.select("doc_id", "text")),
       "graft_lsh_sigs")
+    assertSameRows(DedupHi.sigModel(spark, dir),
+      DedupHi.sigsOf(fullCorpus.select("doc_id", "text")),
+      "graft_minhash128_sigs")
     assertSameRows(Dedup.bandIndexModel(spark, dir),
       Dedup.withBb(Dedup.bandedOf(
         Dedup.sigsOf(fullCorpus.select("doc_id", "text"))

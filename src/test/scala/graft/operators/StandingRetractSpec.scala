@@ -62,7 +62,8 @@ class StandingRetractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val maintained = Seq("gram_starts_10", "documents_by_doc",
     "doc_terms", "bigram_counts", "drift_ref_256", "doc_shingles",
-    "graft_lsh_sigs", "graft_lsh_band_index", "graft_simhash_sigs")
+    "graft_lsh_sigs", "graft_minhash128_sigs", "graft_lsh_band_index",
+    "graft_simhash_sigs")
 
   private def touchAll(): Unit = {
     Curation2.gramStarts(spark, dir).count()
@@ -73,6 +74,7 @@ class StandingRetractSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextAnalysis.bigramCounts(spark, dir).count()
     Dedup.docShingles(spark, dir).count()
     Dedup.sigModel(spark, dir).count()
+    DedupHi.sigModel(spark, dir).count()
     Dedup.bandIndexModel(spark, dir).count()
     Dedup.simhashSigs(spark, dir).count()
     ()
@@ -130,6 +132,9 @@ class StandingRetractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(Dedup.sigModel(spark, dir),
       Dedup.sigsOf(keepCorpus.select("doc_id", "text")),
       "graft_lsh_sigs")
+    assertSameRows(DedupHi.sigModel(spark, dir),
+      DedupHi.sigsOf(keepCorpus.select("doc_id", "text")),
+      "graft_minhash128_sigs")
     assertSameRows(Dedup.bandIndexModel(spark, dir),
       Dedup.withBb(Dedup.bandedOf(
         Dedup.sigsOf(keepCorpus.select("doc_id", "text"))
