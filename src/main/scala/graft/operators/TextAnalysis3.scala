@@ -338,13 +338,72 @@ object TextAnalysis3 extends QueryPack {
     gram.unionByName(xty).orderBy("i", "j")
   }
 
+  /** E7 — BM25 retrieval (Robertson/Sparck-Jones, k1 = 1.2, b = 0.75)
+    * over the standing term-bucketed `doc_terms` model: docs 0–9 are
+    * the query set (their DISTINCT terms — short-query BM25's qtf = 1
+    * convention), docs ≥ 10 the searched corpus, top-10 per query.
+    * The retrieval shape decontamination and eval-overlap audits run
+    * at corpus scale: score every (query, doc) pair sharing a term,
+    * rank, keep the head.
+    *
+    * Scale shape: query terms broadcast (request-sized); the candidate
+    * generation is a map-side probe of the term-bucketed standing
+    * model (no corpus shuffle); df joins bucket-local on the same
+    * term buckets; the doc-length join shuffles only the CANDIDATE
+    * rows (bounded by Σ df over query terms) against the narrow
+    * (doc_id, dl) table; the final agg groups candidate rows. Nothing
+    * corpus-sized moves.
+    *
+    * Oracle parity: idf = round(ln((N − df + ½)/(df + ½) + 1), 6) —
+    * the ulp-collapse idiom for ln of a non-rational value; the
+    * per-term score (identical operand bits → identical double bits:
+    * only +,−,×,÷) is quantized to exact 1e-6 BIGINT units with
+    * floor(x·1e6 + 0.5), summed exactly, divided ONCE at the end —
+    * the established portable-sum pattern (a double sum would be
+    * partition-order-dependent).
+    */
+  def txBm25(spark: SparkSession, dir: String): DataFrame = {
+    val dt = TextAnalysis.docTerms(spark, dir)
+      .select("doc_id", "term", "cnt")
+    val corpusT = dt.filter(col("doc_id") >= 10)
+    val qterms = dt.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val dfreq = corpusT.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = corpusT.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tfp = (col("cnt").cast("double") * lit(2.2)) /
+      (col("cnt").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("squant").desc, col("doc_id"))
+    corpusT.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sq",
+        floor(idf * tfp * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("sq")).as("squant"))
+      .withColumn("score", col("squant").cast("double") / lit(1000000.0))
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "doc_id", "rank", "score")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_classifier_train" -> txClassifierTrain _,
     "tx_fertility" -> txFertility _,
     "tx_gopher_rules" -> txGopherRules _,
     "tx_classifier" -> txClassifier _,
     "tx_mad_outliers" -> txMadOutliers _,
-    "tx_pii" -> txPii _)
+    "tx_pii" -> txPii _,
+    "tx_bm25" -> txBm25 _)
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
@@ -356,6 +415,48 @@ object TextAnalysis3 extends QueryPack {
       out: String): String = sqlMedianByCtes(p, src, "lang", v, out)
 
   val oracles: Map[String, String] = Map(
+    "tx_bm25" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest($sqlToks) AS term FROM documents
+      ),
+      tf AS (
+        SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+      ),
+      q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10
+      ),
+      c AS (SELECT doc_id, term, cnt FROM tf WHERE doc_id >= 10),
+      dfreq AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
+      dl AS (SELECT doc_id, sum(cnt) AS dl FROM c GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+      scored AS (
+        SELECT query_id, c.doc_id,
+               CAST(floor(
+                 round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                     + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+                 * ((CAST(cnt AS DOUBLE) * 2.2) /
+                    (CAST(cnt AS DOUBLE) + 1.2 *
+                     (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                       (CAST(tot_dl AS DOUBLE) /
+                        CAST(n_docs AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) AS sq
+        FROM c JOIN q USING (term) JOIN dfreq USING (term)
+               JOIN dl USING (doc_id), stats
+      ),
+      agg AS (
+        SELECT query_id, doc_id, sum(sq) AS squant FROM scored
+        GROUP BY 1, 2
+      ),
+      ranked AS (
+        SELECT query_id, doc_id,
+               CAST(squant AS DOUBLE) / 1000000.0 AS score,
+               CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY squant DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM agg
+      )
+      SELECT query_id, doc_id, rank, score FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     "tx_classifier_train" -> {
       val tvals = trainTeacher.zipWithIndex
         .map { case (w, b) => s"($b, $w)" }.mkString(", ")

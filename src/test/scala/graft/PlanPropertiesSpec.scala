@@ -156,12 +156,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     "dd_embedding_incremental",
     // hard negatives: the same anchor × K broadcast cell assignment
     "sim_hard_negatives",
+    // composed IVF-PQ probe: the same query × K broadcast centroid
+    // scoring (ivfQueryCells) plus the 1-row stats scalar broadcast
+    "sim_ivfpq_topk",
     "c7_join_theta", "q_range_join", "tx_token_budget", "tx_vocab",
     "tx_sample_temperature", "tx_pmi", "q_pagerank", "q_pagerank_fast",
     "q_bloom_join",
     "tx_dsir", // dsir: 1-row smoothing-totals broadcast into the λ table
     "cu_drift", // drift: 1-row totals broadcast into the 256-bucket table
     "q_chisq", // chisq: 1-row grand-total broadcast into the cell table
+    "tx_bm25", // bm25: 1-row (N, total-dl) broadcast into the candidates
     // classifier trainer: 1-row median-threshold θ broadcast into the
     // per-doc margin table (the q_chisq scalar-join shape)
     "tx_classifier_train",
