@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * The hash family extends the cheap tier's: the SAME xorshift64 stream
   * that generates [[Dedup.minhashParams]] is read 128 pairs deep, so
   * components s1..s16 of the deep signature ARE the 16-perm signature
-  * (pinned by DedupHiSpec). Same portable per-component map
+  * (pinned by ApproxQualitySpec's ladder test). Same portable map
   * `(b·A + B) mod (2³¹−1)` over the 32-bit md5-prefix shingle hash —
   * every component replays exactly in ANSI SQL, so both queries here
   * are fully DuckDB-oracle-checked, signatures through estimates.
@@ -93,12 +93,19 @@ object DedupHi extends QueryPack {
     Shared.model(spark, dir, "graft_minhash128_sigs", "doc_id",
       (s, d) => sigsOf(Dedup.corpus(s, d).select("doc_id", "text")))
 
-  /** 32-band × 4-row banding of a deep signature table. */
+  /** 32-band × 4-row banding of a deep signature table. Band keys are
+    * 60-bit md5-prefix BIGINTs of the 4-component string (the portable
+    * engine⇄oracle hash family), not the string itself: this tier
+    * shuffles 32 band rows per rep — 8× the cheap tier's — so the
+    * ~10× narrower fixed-width key is the difference between shipping
+    * tens and hundreds of GB per 10⁸ reps. A (band, bk) collision can
+    * only ADD a candidate pair, and candidates are re-scored exactly.
+    */
   private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NBands).map { bnd =>
+      val cols = (1 to NRows).map(r => s"s${bnd * NRows + r}").mkString(", ")
       struct(lit(bnd).as("band"),
-        concat_ws(",", (1 to NRows).map(r => col(s"s${bnd * NRows + r}")): _*)
-          .as("bk"))
+        expr(s"graft_md5_prefix(concat_ws(',', $cols), 15)").as("bk"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
@@ -153,6 +160,7 @@ object DedupHi extends QueryPack {
     * expanding reps through their member sets.
     */
   def ddMinhashHi(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sigs = sigModel(spark, dir)
     val (rep, cnt) = repsOf(sigs)
     // the per-signature doc counts are rep-population-sized too, so
@@ -181,6 +189,7 @@ object DedupHi extends QueryPack {
     */
   def ddMinhashHiResolve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val sigs = sigModel(spark, dir)
     val (rep, _) = repsOf(sigs)
     val edges = scoreCandidates(candidatesOf(rep), rep)
@@ -217,25 +226,22 @@ object DedupHi extends QueryPack {
                CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
         FROM sh
       ),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT doc_id,
                $mins
         FROM hx GROUP BY doc_id
       )"""
   }
 
-  /** rep-level banding SQL: 32 UNION ALL arms over `grp`. */
+  /** rep-level banding SQL: 32 UNION ALL arms over `grp`, band keys as
+    * the same 60-bit md5-prefix BIGINTs the Spark side emits. */
   private lazy val sqlRepBands: String = (0 until NBands).map { bnd =>
     val cols = (1 to NRows).map(r => s"s${bnd * NRows + r}").mkString(", ")
-    s"SELECT rep, $bnd AS band, concat_ws(',', $cols) AS bk FROM grp"
+    s"SELECT rep, $bnd AS band, " +
+      s"CAST(concat('0x', substr(md5(concat_ws(',', $cols)), 1, 15)) " +
+      s"AS BIGINT) AS bk FROM grp"
   }.mkString("\n        UNION ALL\n        ")
 
-  /** doc-level banding SQL (32 arms over `sig`) — the resolve oracle's
-    * form, matching the 16-perm resolve's doc-level structure. */
-  private lazy val sqlDocBands: String = (0 until NBands).map { bnd =>
-    val cols = (1 to NRows).map(r => s"s${bnd * NRows + r}").mkString(", ")
-    s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bk FROM sig"
-  }.mkString("\n        UNION ALL\n        ")
 
   /** 128-way match sum, BALANCED into 8 parenthesized 16-term chunks:
     * a flat left-associated 127-`+` chain exceeds DuckDB's binder
@@ -253,7 +259,7 @@ object DedupHi extends QueryPack {
     * the shared spine of both oracles. */
   private lazy val sqlHiSpine: String = s"""
       $sqlHiCtes,
-      grp AS (
+      grp AS MATERIALIZED (
         SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs,
                $sigList
         FROM sig GROUP BY $sigList
@@ -289,31 +295,51 @@ object DedupHi extends QueryPack {
              CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT)
       FROM grp WHERE n_docs >= 2
       ORDER BY rep_a, rep_b""",
-    // doc-level structure (banded over sig, jp = doc pairs, reach
-    // seeded from corpus) deliberately VERBATIM-parallel to the
-    // dd_minhash_resolve oracle: scripts/check_resolve_midscale.py
-    // extracts the `jp` CTE and replays the closure with a Python
-    // union-find at sf1, so the hi tier rides the same exact-closure
-    // ladder (docs sharing a 128-tuple share every band → est 1.0 →
-    // the doc-level component structure equals the rep-level one the
-    // Spark side contracts)
+    // jp is a DOC-level pair CTE (scripts/check_resolve_midscale.py
+    // extracts it and replays the closure with a Python union-find at
+    // sf1, the same exact-closure ladder as dd_minhash_resolve), but
+    // candidate generation collapses to distinct-signature reps FIRST
+    // — a doc-level 32-band self-join materializes 32 × C(m,2) rows
+    // per m-clone run before its DISTINCT (the sf1 tiling's ~10-copy
+    // clone runs spilled DuckDB's temp budget), while the rep-level
+    // join + an md5-grouped member expansion emits each intra-run
+    // clique once and each rep pair once; connectivity (and therefore
+    // the min-label closure) is identical because docs sharing a
+    // 128-tuple share every band (est 1.0)
     "dd_minhash_hi_resolve" -> s"""
       WITH RECURSIVE $sqlHiCtes,
-      banded AS (
-        $sqlDocBands
+      sgk AS MATERIALIZED (
+        SELECT doc_id, md5(concat_ws(',', $sigList)) AS k FROM sig
       ),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      sgrp AS MATERIALIZED (SELECT k, min(doc_id) AS rep FROM sgk GROUP BY k),
+      grp AS MATERIALIZED (
+        SELECT g.rep, s.* FROM sig s JOIN sgrp g ON s.doc_id = g.rep
       ),
-      jp AS (
+      rbanded AS (
+        $sqlRepBands
+      ),
+      rcand AS (
+        SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+        FROM rbanded a JOIN rbanded b
+          ON a.band = b.band AND a.bk = b.bk AND a.rep < b.rep
+      ),
+      rjp AS (
         SELECT doc_a, doc_b FROM (
           SELECT doc_a, doc_b,
                  CAST($sqlMatch128 AS BIGINT) AS n_match
-          FROM cand JOIN sig sa ON doc_a = sa.doc_id
-                    JOIN sig sb ON doc_b = sb.doc_id
+          FROM rcand JOIN grp sa ON doc_a = sa.rep
+                     JOIN grp sb ON doc_b = sb.rep
         ) WHERE CAST(n_match AS DOUBLE) / $NPerm.0 >= 0.5
+      ),
+      members AS MATERIALIZED (
+        SELECT g.rep, s.doc_id FROM sgk s JOIN sgrp g USING (k)
+      ),
+      jp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM members a JOIN members b
+          ON a.rep = b.rep AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT doc_a, doc_b FROM rjp
       ),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM jp

@@ -348,11 +348,16 @@ object TextAnalysis3 extends QueryPack {
     *
     * Scale shape: query terms broadcast (request-sized); the candidate
     * generation is a map-side probe of the term-bucketed standing
-    * model (no corpus shuffle); df joins bucket-local on the same
-    * term buckets; the doc-length join shuffles only the CANDIDATE
-    * rows (bounded by Σ df over query terms) against the narrow
-    * (doc_id, dl) table; the final agg groups candidate rows. Nothing
-    * corpus-sized moves.
+    * model (no corpus shuffle); df is computed for the QUERY TERMS
+    * ONLY (semi-join first — a full-vocab df table is
+    * billions-of-terms at 100 TB and must never broadcast), so its
+    * broadcast is request-bounded at any corpus size; doc lengths are
+    * a map-only pass over the doc_id-bucketed standing corpus copy
+    * (no corpus-side exchange — the plan-audit alternative, sum(cnt)
+    * over doc_terms, re-shuffles the whole term table onto doc_id);
+    * the doc-length join shuffles only the CANDIDATE rows (bounded by
+    * Σ df over query terms); the final agg groups candidate rows.
+    * Nothing corpus-sized moves.
     *
     * Oracle parity: idf = round(ln((N − df + ½)/(df + ½) + 1), 6) —
     * the ulp-collapse idiom for ln of a non-rational value; the
@@ -368,8 +373,14 @@ object TextAnalysis3 extends QueryPack {
     val corpusT = dt.filter(col("doc_id") >= 10)
     val qterms = dt.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
-    val dfreq = corpusT.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = corpusT.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
+    val dfreq = corpusT
+      .join(broadcast(qterms.select("term").distinct()),
+        Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = Curation2.docsById(spark, dir)
+      .filter(col("doc_id") >= 10)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_dl"))
     val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
@@ -382,7 +393,7 @@ object TextAnalysis3 extends QueryPack {
     val byQ = Window.partitionBy("query_id")
       .orderBy(col("squant").desc, col("doc_id"))
     corpusT.join(broadcast(qterms), "term")
-      .join(dfreq, "term")
+      .join(broadcast(dfreq), "term")
       .join(dl.hint("shuffle_hash"), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("sq",
@@ -427,7 +438,10 @@ object TextAnalysis3 extends QueryPack {
       ),
       c AS (SELECT doc_id, term, cnt FROM tf WHERE doc_id >= 10),
       dfreq AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
-      dl AS (SELECT doc_id, sum(cnt) AS dl FROM c GROUP BY 1),
+      dl AS (
+        SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl
+        FROM documents WHERE doc_id >= 10
+      ),
       stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
       scored AS (
         SELECT query_id, c.doc_id,
