@@ -40,7 +40,16 @@ object RaceAppender {
           col("doc_id") < base + rowsPer).count() == rowsPer
       var attempts = 0
       var done = false
-      while (!done && attempts < 20) {
+      // 50 attempts + linear backoff (capped 1 s): on a loaded host
+      // each append attempt runs for seconds while the spec's
+      // compactor lands a swap every ~100 ms, so a fixed 20-attempt
+      // no-backoff loop can lose the pointer race every single time
+      // (reproduced under a 24-core synthetic load: "batch 1 failed
+      // to land after 20 attempts"). Backoff yields the swap window
+      // to the appender without weakening the re-decide contract.
+      while (!done && attempts < 50) {
+        if (attempts > 0)
+          Thread.sleep(math.min(1000L, 100L * attempts))
         attempts += 1
         try {
           api.appendToBucketedModel(batch, name)

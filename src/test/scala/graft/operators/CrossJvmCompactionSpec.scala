@@ -96,7 +96,12 @@ class CrossJvmCompactionSpec extends AnyFunSuite {
         } catch {
           case _: graft.api.SwapConflictException => conflicts += 1
         }
-        Thread.sleep(50)
+        // 150 ms cadence: still tens of compactions per appender run
+        // (the race stays exercised — see the compactions >= 1 assert
+        // and the isolation run's ~46), but on a loaded host a 50 ms
+        // loop monopolized the pointer swap and livelocked the
+        // appender out of its attempt budget
+        Thread.sleep(150)
       }
       reader.join(10000)
       val out = outBuf.synchronized(outBuf.toString)
