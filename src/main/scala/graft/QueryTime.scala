@@ -1,12 +1,14 @@
 package graft
 
-/** Dev micro-bench: time one named query cold and warm.
+/** Dev micro-bench: time one or more named queries cold and warm.
+  * Comma-separate names to amortize session spin-up over a list.
   *
   * {{{ sbt "runMain graft.QueryTime dd_ngram_jaccard /root/testdata/sf0.1 3" }}}
+  * {{{ sbt "runMain graft.QueryTime q_rfm,q_sssp /root/testdata/sf0.1 3" }}}
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -15,12 +17,14 @@ object QueryTime {
     GraftConf.tune(spark)
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)")
       .collect()
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"[qt] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"[qt] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -111,14 +111,40 @@ object DedupHi extends QueryPack {
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
   }
 
-  /** Distinct-signature reps + per-signature doc counts (the collapse
-    * that keeps every downstream volume clone-independent). */
-  private def repsOf(sigs: DataFrame): (DataFrame, DataFrame) = {
+  /** 128-bit digest of the full signature tuple — the NARROW collapse
+    * key. Same formulation as the resolve oracle's `sgk` CTE
+    * (`md5(concat_ws(',', s1..s128))`): longs render as decimal
+    * strings identically in both engines, and md5 over the 128-tuple
+    * is collision-free for any real corpus, so grouping by the digest
+    * is row-identical to grouping by the 128 raw columns — while the
+    * collapse exchange carries ~45 B/row instead of the ~1 KB raw
+    * signature (opt guide §2.3 "shuffle keys and metadata instead of
+    * payloads"; §8's decision-on-a-proxy pattern). Measured at sf0.1:
+    * the wide-group collapse + 128-column re-join dominated both hi
+    * queries (3.3 / 4.0 s steady); the digest form shuffles the
+    * signature payload zero times before banding.
+    */
+  private def sigKey: org.apache.spark.sql.Column =
+    md5(concat_ws(",", (1 to NPerm).map(i => col(s"s$i")): _*))
+
+  /** Distinct-signature collapse via the digest key: returns
+    * (rep rows with full signatures, per-signature groups
+    * `(doc_id = rep, n_docs, __k)`, doc→digest map `(doc_id, __k)`).
+    * The rep rows come from a doc_id join back into the doc_id-BUCKETED
+    * standing model (sig side exchange-free; only the narrow rep-id
+    * list shuffles), hinted shuffle_hash so the corpus-sized rep list
+    * can never be planned as a broadcast (PlanPropertiesSpec pins the
+    * hi tier broadcast-free).
+    */
+  private def repsOf(sigs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val sigCols = (1 to NPerm).map(i => col(s"s$i"))
-    val grp = sigs.groupBy(sigCols: _*)
+    val sgk = sigs.select(col("doc_id"), sigKey.as("__k"))
+    val sgrp = sgk.groupBy("__k")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
-    (grp.select(col("doc_id") +: sigCols: _*),
-      grp.select(col("doc_id"), col("n_docs")))
+    val rep = sigs.join(sgrp.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"))
+      .select(col("doc_id") +: sigCols: _*)
+    (rep, sgrp, sgk)
   }
 
   /** Band-bucket self-join over reps → candidate rep pairs. */
@@ -162,7 +188,8 @@ object DedupHi extends QueryPack {
   def ddMinhashHi(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sigs = sigModel(spark, dir)
-    val (rep, cnt) = repsOf(sigs)
+    val (rep, sgrp, _) = repsOf(sigs)
+    val cnt = sgrp.select(col("doc_id"), col("n_docs"))
     // the per-signature doc counts are rep-population-sized too, so
     // they join shuffled like the sig scoring (nothing in this plan
     // broadcasts corpus-derived state — pinned by PlanPropertiesSpec)
@@ -191,14 +218,19 @@ object DedupHi extends QueryPack {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val sigs = sigModel(spark, dir)
-    val (rep, _) = repsOf(sigs)
+    val (rep, sgrp, sgk) = repsOf(sigs)
     val edges = scoreCandidates(candidatesOf(rep), rep)
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
     val repLabel = Dedup.connectedComponents(edges)
       .select(col("doc_id").as("rep"), col("cluster_rep").as("comp"))
-    val docLabel = sigs
-      .join(rep.withColumnRenamed("doc_id", "rep"),
-        (1 to NPerm).map(i => s"s$i"))
+    // label transfer through the DIGEST key, not a 128-column re-join
+    // of two signature-width tables: (doc_id, __k) ⋈ (__k, rep) moves
+    // ~45 B/row where the raw-column join moved ~1 KB/row on BOTH
+    // sides (guide §2.3); identical rows because docs sharing a
+    // 128-tuple share its digest
+    val docLabel = sgk
+      .join(sgrp.select(col("__k"), col("doc_id").as("rep"))
+        .hint("shuffle_hash"), Seq("__k"))
       .join(broadcast(repLabel), Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("rep")).as("lbl"))
