@@ -135,20 +135,72 @@ object TextAnalysis3 extends QueryPack {
     * percentile_approx sketches — the gate logic is unchanged.
     */
   def txMadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
-    val med = medianBy(d, "lang", "n_chars", "median_chars")
-    val dev = d.join(broadcast(med), "lang")
-      .withColumn("dev",
-        abs(col("n_chars").cast("double") - col("median_chars")))
-    val mad = medianBy(dev, "lang", "dev", "mad")
-    dev.join(broadcast(mad), "lang")
+    // COUNT-COMPRESSED form (opt guide §2.3/§1.2 — remove passes the
+    // algorithm doesn't need): every statistic here is a function of
+    // the (lang, n_chars) histogram, whose cardinality is bounded by
+    // the value DOMAIN (#langs × max doc length), not the corpus — so
+    // one map-side-combined aggregation replaces the two corpus-wide
+    // range-shuffle median passes, and the deviation distribution
+    // derives from the histogram itself (dev = |n_chars − median| is a
+    // function of the histogram key), never from a second corpus scan.
+    // Rank selection and interpolation are expression-identical to
+    // exactMedianBy (value at rank ⌊idx⌋ / ⌊idx⌋+1, idx = 1 + 0.5(n−1))
+    // so the result is bitwise what the two-pass form produced —
+    // measured 1.5 s → ~0.3 s at sf0.1 with the oracle unchanged.
+    val lenCnts = t(spark, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("__c"))
+    val med = medianOfCounts(lenCnts, "lang", "n_chars", "median_chars")
+    val devCnts = lenCnts.join(broadcast(med), "lang")
+      .select(col("lang"), col("median_chars"),
+        abs(col("n_chars").cast("double") - col("median_chars"))
+          .as("dev"),
+        col("__c"))
+      // two histogram cells can land on the same deviation (median ± k)
+      .groupBy(col("lang"), col("median_chars"), col("dev"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = medianOfCounts(devCnts, "lang", "dev", "mad")
+    devCnts.join(broadcast(mad), "lang")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("__c")).as("n_docs"),
         max(col("median_chars")).as("median_chars"),
         max(col("mad")).as("mad"),
-        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("dev") > lit(3.0) * col("mad"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
       .orderBy("lang")
+  }
+
+  /** Exact interpolated median over a `(key, value, __c)` count table —
+    * the histogram twin of [[graft.operators.exactMedianBy]] (identical
+    * rank formula and interpolation expressions, so identical bits):
+    * value at rank r is the row whose cumulative-count range covers r.
+    * The keyed window runs over the HISTOGRAM (domain-bounded), never
+    * the corpus.
+    */
+  private def medianOfCounts(cnts: DataFrame, key: String,
+      valueCol: String, out: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val cum = cnts
+      .withColumn("__hi", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val idx = lit(1.0) + lit(0.5) *
+      (col("__n") - 1).cast(org.apache.spark.sql.types.DoubleType)
+    val rlo = floor(idx).cast(org.apache.spark.sql.types.LongType)
+    val covers = (r: Column) =>
+      col("__hi") - col("__c") < r && r <= col("__hi")
+    cum.groupBy(key)
+      .agg(
+        max(when(covers(rlo), col(valueCol))).as("__vlo"),
+        max(when(covers(rlo + 1), col(valueCol))).as("__vhi"),
+        max(idx - floor(idx)).as("__frac"))
+      .select(col(key),
+        (col("__vlo").cast(org.apache.spark.sql.types.DoubleType) +
+          (coalesce(col("__vhi"), col("__vlo"))
+            .cast(org.apache.spark.sql.types.DoubleType) -
+            col("__vlo").cast(org.apache.spark.sql.types.DoubleType)) *
+          col("__frac")).as(out))
   }
 
 
