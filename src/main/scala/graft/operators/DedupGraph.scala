@@ -116,25 +116,45 @@ object DedupGraph extends QueryPack {
     val comp = Dedup.connectedComponents(
         edges.as[(Long, Long)])
       .select(col("doc_id").as("node"), col("cluster_rep").as("cluster"))
-    val vcount = comp.groupBy("cluster").agg(count(lit(1)).as("n_sigs"))
-    val ecount = edges.join(comp,
-        edges("doc_a") === comp("node"))
-      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
-    val tcount = tri.join(comp, Seq("node"))
-      .groupBy("cluster").agg(count(lit(1)).as("n_triangles"))
-    // materialize the (per-cluster, tiny) result eagerly so the two
-    // cached inputs can be RELEASED before returning — bench loops
-    // invoke this repeatedly and the cache()s otherwise leak blocks
-    // until LRU eviction (ADVICE r13)
-    val out = vcount.join(ecount, Seq("cluster"))
-      .join(tcount, Seq("cluster"), "left")
+    // ONE rollup instead of three: vertex / edge / triangle
+    // contributions union into a single (cluster, v, e, t) stream and
+    // one hash aggregation sums them — the former three per-cluster
+    // groupBys plus two cluster-keyed joins re-shuffled the same tiny
+    // label space five times (opt guide §2.4 — operations keyed the
+    // same way share one exchange). Every comp cluster has ≥ 1 edge
+    // (labels come from the edge list), so the inner vcount⋈ecount of
+    // the old shape never dropped a row and the union form is
+    // row-identical, triangles coalescing to 0 as before.
+    val contrib = comp
+      .select(col("cluster"), lit(1L).as("v"), lit(0L).as("e"),
+        lit(0L).as("t"))
+      .unionAll(edges.join(comp, edges("doc_a") === comp("node"))
+        .select(col("cluster"), lit(0L).as("v"), lit(1L).as("e"),
+          lit(0L).as("t")))
+      .unionAll(tri.join(comp, Seq("node"))
+        .select(col("cluster"), lit(0L).as("v"), lit(0L).as("e"),
+          lit(1L).as("t")))
+    val rolled = contrib.groupBy("cluster")
+      .agg(sum(col("v")).as("n_sigs"), sum(col("e")).as("n_edges"),
+        sum(col("t")).as("n_triangles"))
       .select(col("cluster"), col("n_sigs"), col("n_edges"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("n_triangles"),
         ((col("n_edges") * 2).cast("double") /
           (col("n_sigs") * (col("n_sigs") - lit(1L))).cast("double"))
           .as("density"))
       .orderBy("cluster")
-      .localCheckpoint()
+    // plan-only escape hatch for graft.Explain: the eager checkpoint
+    // below otherwise executes during query CONSTRUCTION and collapses
+    // the visible plan to one ExistingRDD scan — dumping the real
+    // dataflow needs the un-checkpointed frame (never set in
+    // Verify/Bench paths; rows are identical either way)
+    if (spark.conf.getOption("graft.planOnly").exists(_.toBoolean))
+      return rolled
+    // materialize the (per-cluster, tiny) result eagerly so the two
+    // cached inputs can be RELEASED before returning — bench loops
+    // invoke this repeatedly and the cache()s otherwise leak blocks
+    // until LRU eviction (ADVICE r13)
+    val out = rolled.localCheckpoint()
     edges.unpersist()
     arcs.unpersist()
     out

@@ -339,10 +339,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
     */
   private val lowCardKeyCols =
     Set("event_type", "o_orderstatus", "lang", "l_returnflag", "source")
-  // empty since q_mode moved to the struct-min argmax idiom: every
-  // query now computes rank/top-1 without a low-cardinality-keyed
-  // window
-  private val intendedLowCardWindow: Set[String] = Set()
+  // tx_mad_outliers (r14): its lang-keyed cumulative-count windows run
+  // over the (lang, n_chars) HISTOGRAM — bounded by the value domain
+  // (#langs × max document length), never the corpus — which is what
+  // bought the query its one-pass form (69 → 28 Exchanges). Everything
+  // else computes rank/top-1 without a low-cardinality-keyed window
+  // (q_mode's struct-min argmax idiom).
+  private val intendedLowCardWindow: Set[String] = Set("tx_mad_outliers")
 
   test("no query windows keyed only by a low-cardinality attribute") {
     import org.apache.spark.sql.execution.SparkPlan
