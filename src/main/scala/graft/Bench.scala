@@ -80,14 +80,20 @@ object Bench {
     val entries = results.toSeq.sortBy { case (_, t) => -t }
       .map { case (k, v) => jstr(k) + ":" + fmt(v, "%.2f") }
     val prefix = s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":{"""
-    val suffix = s"""},"sf":"$sfDir"}"""
-    val budget = 1850 - prefix.length - suffix.length
+    // "printed":N (count of per-query entries that fit the byte
+    // budget) tells the driver's round-over-round diff that a query
+    // missing from `queries` merely fell below the print cutoff —
+    // NOT that it was dropped (VERDICT r14 #8). Additions-only; 16
+    // bytes reserved so the budget stays conservative.
+    val suffixTail = s"""},"sf":"$sfDir"}"""
+    val budget = 1850 - prefix.length - suffixTail.length - 16
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     entries.foreach { e =>
       val add = e.length + (if (kept.isEmpty) 0 else 1)
       if (used + add <= budget) { kept += e; used += add }
     }
+    val suffix = s"""},"printed":${kept.size},"sf":"$sfDir"}"""
     // Standing-model builds happen on first touch inside the warm pass;
     // their one-time cost is excluded from the per-query timings above
     // (that's the point of the warm pass), so record it explicitly —

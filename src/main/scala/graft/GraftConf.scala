@@ -23,6 +23,22 @@ object GraftConf {
     // 32-way shuffles of kB-sized stages burning task overhead
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // Shuffles START at a partition count derived from DATA, not from
+    // the core count (opt guide §2.2/§5; VERDICT r14 #2): the harness
+    // mains set spark.sql.shuffle.partitions = cpus, which ties each
+    // task's working set to data ÷ cores — at 100 TB "fewer cores per
+    // byte" is the normal regime and per-partition hash tables grow
+    // with it. With AQE coalescing on (advisory byte size, above), a
+    // HIGHER initial count is free at small scale (tiny partitions
+    // merge right back) while bounding per-task state when bytes/core
+    // grows. Parameterized; the local default (128 = 4× the largest
+    // local core count benched) keeps the driver's bench comparable —
+    // measured neutral at local[32] and local[8] (OPTIMIZATION_r15).
+    // Production: set to max(2-3× total executor cores,
+    // input bytes / advisoryPartitionSize).
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "128"))
     // parquet nanos (events table) read as long, converted in Tables.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // WindowExec logs "No Partition Defined ... serious performance

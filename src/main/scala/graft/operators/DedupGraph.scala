@@ -52,33 +52,43 @@ object DedupGraph extends QueryPack {
     * multi-signature cluster, ordered by cluster rep.
     */
   def ddClusterDensity(spark: SparkSession, dir: String): DataFrame =
-    clusterDensityOf(spark, Dedup.sigModel(spark, dir))
+    // the evidence edges are standing state ([[Dedup.repEdgesModel]],
+    // VERDICT r14 #3): the query is now the graph-structure kernel
+    // over a bucketed 2-long-column scan — the shared ~2700-plan-line
+    // collapse → banding → scoring spine that dominated this query at
+    // BOTH core counts (r14: 3.2 s, scaling ratio 0.99) runs once per
+    // corpus in the model build
+    cohesionOf(spark,
+      Dedup.repEdgesModel(spark, dir).select(col("doc_a"), col("doc_b")))
 
   /** The cohesion kernel over any `(doc_id, s1..s16)` signature frame —
-    * factored from [[ddClusterDensity]] so DedupGraphSpec can drive
-    * hand-planted chain / clique / star signature fixtures through the
-    * EXACT production path (collapse → banding → scoring → orientation
-    * → wedge join → rollup) with independently computed expectations.
+    * kept for DedupGraphSpec, which drives hand-planted chain / clique
+    * / star signature fixtures through the EXACT production dataflow
+    * (collapse → banding → scoring via [[Dedup.repEdgesOf]] — the same
+    * code the standing model build runs — then orientation → wedge
+    * join → rollup) with independently computed expectations.
     */
   private[graft] def clusterDensityOf(spark: SparkSession,
       sigs: DataFrame): DataFrame = {
-    import spark.implicits._
     val sigCols = (1 to 16).map(i => col(s"s$i"))
     // one representative per distinct signature (the r9 collapse): the
     // evidence graph's vertex set
     val rep = sigs.groupBy(sigCols: _*)
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id") +: sigCols: _*)
-    val banded = Dedup.bandedOf(rep)
-    val cands = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    cohesionOf(spark,
+      Dedup.repEdgesOf(rep).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Per-cluster cohesion over an undirected `(doc_a, doc_b)` edge
+    * list (doc_a < doc_b): degree-ordered orientation, wedge-join
+    * triangle count, union-find labels, one rollup. */
+  private def cohesionOf(spark: SparkSession,
+      edgeRows: DataFrame): DataFrame = {
+    import spark.implicits._
     // undirected edge set (doc_a < doc_b), consumed 4× (degree, arcs,
     // labels, per-cluster edge count): cache the narrow 2-long rows
-    val edges = Dedup.scoreCandidates(cands, rep, "doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = edgeRows.cache()
     val deg = edges.select(col("doc_a").as("node"))
       .unionAll(edges.select(col("doc_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -148,8 +158,15 @@ object DedupGraph extends QueryPack {
     // the visible plan to one ExistingRDD scan — dumping the real
     // dataflow needs the un-checkpointed frame (never set in
     // Verify/Bench paths; rows are identical either way)
-    if (spark.conf.getOption("graft.planOnly").exists(_.toBoolean))
+    if (spark.conf.getOption("graft.planOnly").exists(_.toBoolean)) {
+      // release the two cache registrations before the early return
+      // (ADVICE r14): the flag is session-wide conf, so a non-Explain
+      // caller that sets it must not silently lose the release
+      // contract; lineage still computes for the plan dump
+      edges.unpersist()
+      arcs.unpersist()
       return rolled
+    }
     // materialize the (per-cluster, tiny) result eagerly so the two
     // cached inputs can be RELEASED before returning — bench loops
     // invoke this repeatedly and the cache()s otherwise leak blocks

@@ -123,6 +123,19 @@ object DedupHi extends QueryPack {
     * the wide-group collapse + 128-column re-join dominated both hi
     * queries (3.3 / 4.0 s steady); the digest form shuffles the
     * signature payload zero times before banding.
+    *
+    * NON-NULL INVARIANT (ADVICE r14): `concat_ws` silently DROPS null
+    * components, so a nullable signature column would make distinct
+    * tuples collide under the digest — and the resolve oracle's `sgk`
+    * CTE groups the same digest while `dd_minhash_hi`'s groups the raw
+    * 128 columns, so engine and oracle would diverge on any such
+    * collision. The invariant holds by construction: every s_i is a
+    * `min()` over a non-empty per-doc group of non-null hashes (docs
+    * with < 5 tokens emit no shingles and never reach the sig model;
+    * md5/conv of a non-null string is non-null) — no VALUE is ever
+    * null even though the post-aggregate schema is formally nullable.
+    * Any future nullable component must switch to a null-sensitive
+    * encoding here AND in the resolve oracle's sgk.
     */
   private def sigKey: org.apache.spark.sql.Column =
     md5(concat_ws(",", (1 to NPerm).map(i => col(s"s$i")): _*))
@@ -227,13 +240,21 @@ object DedupHi extends QueryPack {
     // of two signature-width tables: (doc_id, __k) ⋈ (__k, rep) moves
     // ~45 B/row where the raw-column join moved ~1 KB/row on BOTH
     // sides (guide §2.3); identical rows because docs sharing a
-    // 128-tuple share its digest
+    // 128-tuple share its digest.
+    // Component labels attach to the rep-POPULATION-sized sgrp first
+    // (two narrow rep-keyed tables, shuffled hash): the r14 shape
+    // broadcast repLabel — one row per rep in any candidate edge =
+    // O(near-dup clusters), corpus-scale on exactly the dedup-heavy
+    // corpora this tier exists for (VERDICT r14 #6) — and re-shuffled
+    // the corpus-sized (doc_id, rep) stream a second time by rep.
+    // Now nothing in the tier broadcasts corpus-derived state and the
+    // doc-level table shuffles exactly once (by the digest).
+    val sgrpLbl = sgrp.select(col("__k"), col("doc_id").as("rep"))
+      .join(repLabel.hint("shuffle_hash"), Seq("rep"), "left")
+      .select(col("__k"), coalesce(col("comp"), col("rep")).as("lbl"))
     val docLabel = sgk
-      .join(sgrp.select(col("__k"), col("doc_id").as("rep"))
-        .hint("shuffle_hash"), Seq("__k"))
-      .join(broadcast(repLabel), Seq("rep"), "left")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("rep")).as("lbl"))
+      .join(sgrpLbl.hint("shuffle_hash"), Seq("__k"))
+      .select(col("doc_id"), col("lbl"))
     Dedup.corpus(spark, dir).select("doc_id")
       .join(docLabel, Seq("doc_id"), "left")
       .select(col("doc_id"),

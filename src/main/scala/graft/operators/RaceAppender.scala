@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * double-append).
   *
   * args: corpusDir modelName nBatches rowsPerBatch startId
-  * prints APPENDED=<n> on success (the spec's handshake).
+  * prints BATCH=<b> as each batch lands (the spec's progress signal
+  * for bounding its compaction window) and APPENDED=<n> on success
+  * (the spec's completion handshake).
   */
 object RaceAppender {
   def main(args: Array[String]): Unit = {
@@ -40,14 +42,19 @@ object RaceAppender {
           col("doc_id") < base + rowsPer).count() == rowsPer
       var attempts = 0
       var done = false
-      // 50 attempts + linear backoff (capped 1 s): on a loaded host
-      // each append attempt runs for seconds while the spec's
-      // compactor lands a swap every ~100 ms, so a fixed 20-attempt
-      // no-backoff loop can lose the pointer race every single time
-      // (reproduced under a 24-core synthetic load: "batch 1 failed
-      // to land after 20 attempts"). Backoff yields the swap window
-      // to the appender without weakening the re-decide contract.
-      while (!done && attempts < 50) {
+      // WALL-CLOCK deadline, not an attempt budget (VERDICT r14 #1):
+      // any fixed attempt count encodes an assumption about how fast
+      // attempts run, and on a loaded host attempts slow to seconds
+      // while the spec's compactor keeps landing swaps — the r14
+      // 50-attempt + backoff rebalance passed locally and still
+      // livelocked in the driver's environment. The spec's compactor
+      // now STANDS DOWN once the race is provably exercised (it
+      // watches the BATCH= progress lines), so after that point the
+      // appender drains uncontended and the only thing the deadline
+      // bounds is a genuine hang. 10 min/batch is ~2 orders above the
+      // uncontended append time.
+      val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+      while (!done && System.nanoTime() < deadline) {
         if (attempts > 0)
           Thread.sleep(math.min(1000L, 100L * attempts))
         attempts += 1
@@ -69,8 +76,13 @@ object RaceAppender {
             done = try landed() catch { case _: Throwable => false }
         }
       }
-      require(done, s"batch $b failed to land after $attempts attempts")
+      require(done,
+        s"batch $b failed to land after $attempts attempts (deadline)")
       appended += rowsPer
+      // progress handshake: the spec bounds its compaction window on
+      // this (compact until >=K compactions AND >=1 landed batch, then
+      // stand down) — System.out autoflushes on newline
+      println(s"BATCH=$b")
     }
     println(s"APPENDED=$appended")
     spark.stop()

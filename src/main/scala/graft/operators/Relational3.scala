@@ -78,19 +78,39 @@ object Relational3 extends QueryPack {
     * part of the check.
     */
   def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
     val ranked = withRankBy(
-      t(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"))
+      orders
         .withColumn("__ord", struct(col("o_totalprice"), col("o_orderkey"))),
       "o_orderstatus", "__ord", "__rn", "__n")
     // full-frame first/last/nth(2) per status: min price, max price,
-    // and the rank-2 price (null when a status has a single order)
-    val frameVals = ranked.groupBy("o_orderstatus").agg(
+    // and the rank-2 price (null when a status has a single order).
+    // Computed from the RAW orders scan, not from `ranked` (opt guide
+    // §1.2): the r14 shape aggregated over `ranked`, which re-planned
+    // the whole two-phase rank subtree (range shuffle + stats + join)
+    // a second time under the frameVals aggregation. min/max are plain
+    // map-side-combined aggregates; the rank-2 price is the
+    // second-smallest (price, orderkey) struct = the min above the
+    // per-status min — two narrow scans replace a full rank pass.
+    // Equivalence: ranks order by struct(price, okey) with okey unique,
+    // so __rn = 2 is exactly the second-smallest struct; a 1-order
+    // status has no row above its min → left join yields NULL, as
+    // max(when(__rn = 2, …)) did.
+    val m1 = orders.groupBy("o_orderstatus").agg(
       min(col("o_totalprice")).as("status_min_price"),
       max(col("o_totalprice")).as("status_max_price"),
-      max(when(col("__rn") === 2, col("o_totalprice")))
-        .as("status_2nd_price"))
+      min(struct(col("o_totalprice"), col("o_orderkey"))).as("__m1"))
+    val m2 = orders
+      .join(broadcast(m1.select(col("o_orderstatus"), col("__m1"))),
+        Seq("o_orderstatus"))
+      .filter(struct(col("o_totalprice"), col("o_orderkey")) > col("__m1"))
+      .groupBy("o_orderstatus")
+      .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("__m2"))
+      .select(col("o_orderstatus"),
+        col("__m2").getField("o_totalprice").as("status_2nd_price"))
+    val frameVals = m1.drop("__m1").join(m2, Seq("o_orderstatus"), "left")
     // ntile(k): the first n%k buckets carry n DIV k + 1 rows, the rest
     // n DIV k; greatest(·,1) keeps the (unreachable when n<k) ELSE
     // divisor ANSI-safe. percent_rank/cume_dist are the same single
@@ -193,7 +213,22 @@ object Relational3 extends QueryPack {
     * the key the join co-locates shuffle-free, and each refresh touches
     * one partition of history.
     */
-  def c23Snapshot(spark: SparkSession, dir: String): DataFrame = {
+  def c23Snapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotRows(spark, dir).orderBy("order_key", "valid_from")
+
+  /** The un-sorted SCD2 row stream shared by [[c23Snapshot]] and
+    * [[c23Pit]] — ONE pass over the full-outer join instead of the r14
+    * shape's four filtered re-reads of a cached join (opt guide §1.2;
+    * the cache also leaked until LRU in any long session, the q_sssp
+    * leak class). Each joined row expands to its 1–2 history rows via
+    * an exploded CASE array; the branch predicates are verbatim the
+    * four filters, so the row set is identical (a CASE with no hit
+    * yields NULL and explode drops it — exactly the old shape's
+    * no-branch outcome, which only an impossible k1-without-k2 row
+    * could reach). c23_pit additionally stops paying [[c23Snapshot]]'s
+    * final global sort just to filter and re-sort.
+    */
+  private def snapshotRows(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val t1 = o.filter(col("o_orderdate") < lit("1996-01-01"))
       .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("s1"))
@@ -201,25 +236,27 @@ object Relational3 extends QueryPack {
       .select(col("o_orderkey").as("k2"),
         when(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0,
           lit("F")).otherwise(col("o_orderstatus")).as("s2"))
-    val j = t1.join(t2, col("k1") === col("k2"), "full_outer").cache()
+    val j = t1.join(t2, col("k1") === col("k2"), "full_outer")
     val d1 = to_date(lit("1996-01-01"))
     val d2 = to_date(lit("1996-07-01"))
     val nullD = lit(null).cast("date")
-    val unchanged = j.filter(col("k1").isNotNull && col("s2") === col("s1"))
-      .select(col("k1").as("order_key"), col("s1").as("status"),
-        d1.as("valid_from"), nullD.as("valid_to"))
-    val closed = j.filter(col("k1").isNotNull && col("s2") =!= col("s1"))
-      .select(col("k1").as("order_key"), col("s1").as("status"),
-        d1.as("valid_from"), d2.as("valid_to"))
-    val current = j.filter(col("k1").isNotNull && col("s2") =!= col("s1"))
-      .select(col("k1").as("order_key"), col("s2").as("status"),
-        d2.as("valid_from"), nullD.as("valid_to"))
-    val inserted = j.filter(col("k1").isNull)
-      .select(col("k2").as("order_key"), col("s2").as("status"),
-        d2.as("valid_from"), nullD.as("valid_to"))
-    unchanged.unionByName(closed).unionByName(current).unionByName(inserted)
+    def row(k: Column, s: Column, from: Column, to: Column) =
+      struct(k.as("order_key"), s.as("status"),
+        from.as("valid_from"), to.as("valid_to"))
+    j.select(explode(
+        when(col("k1").isNotNull && col("s2") === col("s1"),
+          array(row(col("k1"), col("s1"), d1, nullD)))
+        .when(col("k1").isNotNull && col("s2") =!= col("s1"),
+          array(row(col("k1"), col("s1"), d1, d2),
+            row(col("k1"), col("s2"), d2, nullD)))
+        .when(col("k1").isNull,
+          array(row(col("k2"), col("s2"), d2, nullD))))
+      .as("r"))
+      .select(col("r.order_key").as("order_key"),
+        col("r.status").as("status"),
+        col("r.valid_from").as("valid_from"),
+        col("r.valid_to").as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("order_key", "valid_from")
   }
 
   /** C23b — point-in-time lookup over the SCD2 history: the status of
@@ -232,7 +269,10 @@ object Relational3 extends QueryPack {
     */
   def c23Pit(spark: SparkSession, dir: String): DataFrame = {
     val pit = to_date(lit("1996-03-01"))
-    c23Snapshot(spark, dir)
+    // reads the UN-sorted history stream: filtering then sorting by
+    // order_key is row-identical to filtering the sorted snapshot,
+    // and skips c23Snapshot's (order_key, valid_from) global sort
+    snapshotRows(spark, dir)
       .filter(col("valid_from") <= pit &&
         (col("valid_to").isNull || col("valid_to") > pit))
       .select(col("order_key"), col("status").as("status_asof"))

@@ -33,7 +33,10 @@ import graft.api.WriteResult
   *   - rebuilt on next touch (fingerprint mismatch, automatic): models
   *     whose rows mix old and new docs through non-additive state —
   *     doc_perplexity (every doc's score shifts with the grown LM),
-  *     the shingle_overlap pair table and cluster scores, BPE / PQ
+  *     the shingle_overlap pair table and cluster scores, the 16-perm
+  *     distinct-signature collapse and its scored rep-pair evidence
+  *     (lsh_sig_groups / lsh_rep_edges — a new doc can join an
+  *     existing signature group, shifting reps and edges), BPE / PQ
   *     trained state, IVF centroids when the corpus crosses a K
   *     geometry boundary (the model NAME carries K, so the rebuild is
   *     automatic).

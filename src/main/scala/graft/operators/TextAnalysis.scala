@@ -337,7 +337,10 @@ object TextAnalysis extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val vc = docTerms(spark, dir)
       .groupBy("term").agg(sum(col("cnt")).as("cnt"))
-    val total = vc.agg(sum(col("cnt")).as("total"))
+    // the corpus total is Σ cnt over the RAW model rows — a map-only
+    // partial-aggregated scan; the r14 shape re-ran the whole per-term
+    // hash aggregation (`vc.agg`) just to sum it back up (§1.2)
+    val total = docTerms(spark, dir).agg(sum(col("cnt")).as("total"))
     val top = vc.orderBy(col("cnt").desc, col("term")).limit(50)
     val byFreq = Window.orderBy(col("cnt").desc, col("term"))
     top.crossJoin(broadcast(total))

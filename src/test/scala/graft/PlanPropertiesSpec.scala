@@ -88,7 +88,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("the banded LSH self-joins use shuffled hash joins (no sort)") {
-    val p = plan("dd_minhash_lsh")
+    // r15: the banded spine moved into the standing lsh_rep_edges
+    // build (VERDICT r14 #3 — shared across dd_minhash_lsh,
+    // dd_minhash_resolve and dd_cluster_density), so the property is
+    // pinned on the BUILD dataflow — the same repEdgesOf kernel the
+    // model materializes — not on the consumer queries, which now
+    // read the bucketed edge table.
+    val rep = operators.Dedup.sigGroupsModel(spark, dir)
+      .select((Seq("doc_id") ++ (1 to 16).map(i => s"s$i"))
+        .map(org.apache.spark.sql.functions.col): _*)
+    val p = operators.Dedup.repEdgesOf(rep)
+      .queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"),
       s"expected ShuffledHashJoin for the band join:\n${p.take(1500)}")
   }
@@ -380,7 +390,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
         "q_degree_dist" -> "graft_edges_bipartite",
         "dd_resolve" -> "graft_doc_clusters_scored",
         "dd_incremental" -> "graft_lsh_band_index",
-        "dd_minhash_lsh" -> "graft_lsh_sigs",
+        // r15: the 16-perm consumers read the shared standing spine
+        // (collapse + scored rep pairs) instead of re-deriving it
+        "dd_minhash_lsh" -> "graft_lsh_sig_groups",
+        "dd_minhash_lsh" -> "graft_lsh_rep_edges",
+        "dd_minhash_resolve" -> "graft_lsh_rep_edges",
+        "dd_minhash_resolve" -> "graft_lsh_sigs",
         "dd_ngram_jaccard" -> "graft_shingle_overlap",
         "dd_containment" -> "graft_shingle_overlap",
         "dd_cluster" -> "graft_shingle_overlap",

@@ -70,20 +70,33 @@ class CrossJvmCompactionSpec extends AnyFunSuite {
       pb.redirectErrorStream(true)
       val proc = pb.start()
       val outBuf = new StringBuilder
+      val landedBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val reader = new Thread(() => {
         val src = scala.io.Source.fromInputStream(proc.getInputStream)
-        src.getLines().foreach(l => outBuf.synchronized {
-          outBuf.append(l).append('\n')
-        })
+        src.getLines().foreach { l =>
+          if (l.startsWith("BATCH=")) landedBatches.incrementAndGet()
+          outBuf.synchronized { outBuf.append(l).append('\n') }
+        }
       })
       reader.setDaemon(true)
       reader.start()
 
-      // this JVM: compact in a loop until the appender exits; count
-      // landed compactions and content-conflict aborts
+      // this JVM: compact until the race is PROVABLY exercised — at
+      // least K compactions landed AND the appender has landed >= 1
+      // batch under contention (its BATCH= progress lines) — then
+      // STAND DOWN so the appender drains uncontended. Bounding the
+      // race WINDOW instead of the appender's retry budget is what
+      // makes the spec deterministic under arbitrary host load
+      // (VERDICT r14 #1): the r14 shape compacted for the appender's
+      // whole lifetime, so a loaded host could starve the appender's
+      // pointer swaps for longer than any fixed attempt budget. The
+      // invariants asserted at the end are unchanged — exactly-once
+      // content, never timing.
       var compactions = 0
       var conflicts = 0
-      while (proc.isAlive) {
+      val targetCompactions = 5
+      while (proc.isAlive &&
+          !(compactions >= targetCompactions && landedBatches.get() >= 1)) {
         try {
           api.compactModel(name)
           // keep = 2 (the API default) is LOAD-BEARING with concurrent
@@ -96,13 +109,17 @@ class CrossJvmCompactionSpec extends AnyFunSuite {
         } catch {
           case _: graft.api.SwapConflictException => conflicts += 1
         }
-        // 150 ms cadence: still tens of compactions per appender run
-        // (the race stays exercised — see the compactions >= 1 assert
-        // and the isolation run's ~46), but on a loaded host a 50 ms
-        // loop monopolized the pointer swap and livelocked the
-        // appender out of its attempt budget
+        // 150 ms cadence: several compactions land inside the first
+        // batch's append alone (appends run ~1 s+ here), so the window
+        // closes quickly on an idle host while a loaded host simply
+        // takes longer to reach the same K — never livelocks
         Thread.sleep(150)
       }
+      // appender drains the remaining batches uncontended; the bound
+      // is a generous hang guard, not a race timing assumption
+      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) proc.destroyForcibly()
+      assert(finished, "appender JVM hung (20 min)")
       reader.join(10000)
       val out = outBuf.synchronized(outBuf.toString)
       assert(proc.exitValue() == 0,
